@@ -1,0 +1,157 @@
+package graft.kmeans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+import graft.sources.Tables
+
+/** Single K-Means *steps* with fixed literal centroids — the reference's
+  * operators O7–O18/O21–O22 (SURVEY.md §2) exposed as standalone,
+  * DuckDB-oracle-checkable queries. The iterative fit lives in
+  * [[RefKMeans]]; these steps are its building blocks.
+  *
+  * Parity convention (FIXTURES.md §C): centroids are the k lowest-id
+  * embedding rows (cid = vec_id), so both Spark and the SQL oracle derive
+  * identical literals from the data itself.
+  *
+  * Scale posture: every step is a single narrow projection or one
+  * partial-aggregated shuffle of k×d rows — nothing materializes O(N)
+  * driver-side. Centroids travel as plan literals (the broadcast of
+  * `master.go:313-333`).
+  */
+object KMeansSteps {
+
+  /** Number of literal centroids used by the parity queries. */
+  val K = 8
+
+  /** Collect the k lowest-id embedding vectors as (cid, coords).
+    * k×d doubles driver-side — the same tiny payload the reference ships
+    * per RPC round (`utils/structs.go:34-37`). */
+  def centroids(spark: SparkSession, sfDir: String, k: Int = K): Seq[(Int, Array[Double])] =
+    Tables.points(spark, sfDir).filter(col("id") < k).orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .toSeq
+
+  private def pts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.points(spark, sfDir)
+
+  /** O7 — min distance of every point to the centroid set
+    * (`main/worker/worker.go:232-245`). */
+  def minDistances(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = centroids(spark, sfDir)
+    pts(spark, sfDir)
+      .select(col("id").as("vec_id"),
+        round(minDist(col("features"), cs), 6).as("min_dist"))
+      .orderBy("vec_id")
+  }
+
+  /** O8+O10 — the farthest point (maximin seeding candidate): global
+    * argmax of min-distance, lowest-id tie-break (strict `<` at
+    * `main/worker/worker.go:271-285`, `worker.go:106-129`). Partial
+    * per-partition top-1 then global top-1 — Spark's TakeOrderedAndProject
+    * does the map-side combine the reference hand-rolls in `initCombine`. */
+  def farthestPoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = centroids(spark, sfDir)
+    pts(spark, sfDir)
+      .select(col("id").as("vec_id"), minDist(col("features"), cs).as("md"))
+      .orderBy(desc("md"), asc("vec_id")).limit(1)
+      .select(col("vec_id"), round(col("md"), 6).as("min_dist"))
+  }
+
+  /** O11 — E-step assignment: nearest centroid per point
+    * (`main/worker/worker.go:248-268,288-304`). Narrow map, no shuffle. */
+  def assignment(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = centroids(spark, sfDir)
+    pts(spark, sfDir)
+      .select(col("id").as("vec_id"),
+        nearestCid(col("features"), cs).as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** O18 — cluster sizes (`main/client/client.go:208-234`). */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    assignment(spark, sfDir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .orderBy("cluster_id")
+
+  /** O12+O14 — recenter: per-cluster count + per-dimension mean
+    * (`main/worker/worker.go:169-210,307-319`).
+    *
+    * Physical shape: ONE hash aggregate with d independent `sum` columns —
+    * Catalyst emits partial (map-side) + final aggregation automatically,
+    * which is exactly the reference's combiner (`worker.go:169-189`) +
+    * per-cluster reducer (`worker.go:192-210`) — then the tiny k-row
+    * result explodes to long format (cluster_id, dim, n, mean) for the
+    * oracle compare. The shuffle carries k×(d+1) values, not N×d. */
+  def recenterLong(spark: SparkSession, sfDir: String, assigned0: Option[DataFrame] = None): DataFrame = {
+    val cs = centroids(spark, sfDir)
+    val d = cs.head._2.length
+    val assigned = assigned0.getOrElse {
+      pts(spark, sfDir).select(
+        nearestCid(col("features"), cs).as("cluster_id"), col("features"))
+    }
+    val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
+    assigned.groupBy("cluster_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("cluster_id"), col("n"),
+        posexplode(array((0 until d).map(i => col(s"s$i")): _*)).as(Seq("dim", "s")))
+      .select(col("cluster_id"), col("dim"), col("n"),
+        round(col("s") / col("n"), 6).as("mean"))
+      .orderBy("cluster_id", "dim")
+  }
+
+  /** O16 — convergence delta: mean Euclidean displacement between the
+    * literal centroids and the recentered ones
+    * (`main/master/master.go:569-576`). k×d rows end-to-end. */
+  def delta(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = centroids(spark, sfDir)
+    val d = cs.head._2.length
+    val assigned = pts(spark, sfDir).select(
+      nearestCid(col("features"), cs).as("cluster_id"), col("features"))
+    val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
+    val newLong = assigned.groupBy("cluster_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("cluster_id"),
+        posexplode(array((0 until d).map(i => col(s"s$i") / col("n")): _*)).as(Seq("dim", "m")))
+    val oldLong = cs.flatMap { case (cid, v) =>
+      v.zipWithIndex.map { case (x, i) => (cid, i, x) }
+    }
+    val old = spark.createDataFrame(oldLong).toDF("cluster_id", "dim", "o")
+    newLong.join(old, Seq("cluster_id", "dim"))
+      .groupBy("cluster_id")
+      .agg(sqrt(sum((col("m") - col("o")) * (col("m") - col("o")))).as("disp"))
+      .agg(round(avg("disp"), 6).as("delta"))
+  }
+
+  /** O21 — 2-D reshape projection of every embedding
+    * (`plot/plotter.go:114-137`): dims split into 2 contiguous buckets,
+    * each averaged. Long format (vec_id, bucket, value). */
+  def reshape2d(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = 64
+    pts(spark, sfDir)
+      .select(col("id").as("vec_id"),
+        posexplode(reshape(col("features"), d, 2)).as(Seq("bucket", "v")))
+      .select(col("vec_id"), col("bucket"), round(col("v"), 6).as("value"))
+      .orderBy("vec_id", "bucket")
+  }
+
+  /** O22 — intra-set cohesion: per label, the mean over points of the mean
+    * distance to all *other* points of the label, skipping zero distances
+    * (`utils/utils.go:57-86`). Self-join keyed by label — co-partitioned
+    * shuffle on the group key, never a global cross join. */
+  def avgDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings").select(
+      col("label"), col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("label"), col("vec_id"), col("v"))
+    val b = e.select(col("label"), col("vec_id").as("vec_id2"), col("v").as("v2"))
+    a.join(b, "label")
+      .select(col("label"), col("vec_id"), dist(col("v"), col("v2")).as("d"))
+      .filter(col("d") > 0)
+      .groupBy("label", "vec_id").agg(avg("d").as("ad"))
+      .groupBy("label").agg(round(avg("ad"), 6).as("avg_dist"))
+      .orderBy("label")
+  }
+}

@@ -1,0 +1,151 @@
+package graft.kmeans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorOps._
+
+/** Reference-parity distributed K-Means: maximin ("farthest point")
+  * seeding + Lloyd iterations, re-expressed Spark-first.
+  *
+  * Semantics pinned to the reference:
+  *  - seeding: random first centroid (`main/master/master.go:160` — but
+  *    seeded/deterministic here), then k−1 rounds each picking the point
+  *    with the largest min-distance to the current centroid set, lowest-id
+  *    tie-break (`master.go:157-190`, `main/worker/worker.go:106-129,271-285`).
+  *    This is maximin, NOT MLlib's probabilistic k-means||.
+  *  - Lloyd stop rule (`master.go:193-236`): delta = mean Euclidean
+  *    centroid displacement (`master.go:569-576`); if delta <
+  *    `deltaThreshold` stop BEFORE updating (reported centroids are the
+  *    ones the final assignment used); if the iteration cap is hit the
+  *    loop stops AFTER updating (centroids one step ahead of the last
+  *    assignment — a reference quirk, `master.go:212-231`, reproduced).
+  *  - empty clusters keep their previous centroid (`master.go:579-600`);
+  *    unlike the reference, that path can't crash the shuffle
+  *    (`master.go:398-404` panics on a gap in cluster ids).
+  *
+  * Physical plan per iteration — ONE Spark job:
+  *   narrow map (argmin over literal centroids — the centroid broadcast of
+  *   `master.go:313-333`) → hash aggregate with map-side partials (the
+  *   combiner of `worker.go:169-189`) → shuffle of k×(d+1) values → k rows
+  *   collected driver-side. The points DataFrame is cached once
+  *   (`worker.go:53-59`'s chunk cache). Nothing O(N) ever reaches the
+  *   driver, and membership is materialized once, post-convergence —
+  *   fixing the reference's per-iteration member shipping
+  *   (`structs.go:40`, `master.go:234`).
+  */
+object RefKMeans {
+
+  /** @param firstId explicit first centroid row id (tests / reproducing the
+    *                reference's "pick some row"); None → pseudo-random pick
+    *                derived from `seed`. */
+  final case class Config(
+      k: Int,
+      seed: Long = 42L,
+      deltaThreshold: Double = 0.01,
+      maxIter: Int = 100,
+      firstId: Option[Long] = None)
+
+  final case class Result(
+      centroids: Array[(Int, Array[Double])],
+      iterations: Int,
+      finalDelta: Double,
+      converged: Boolean)
+
+  private def collectPoint(df: DataFrame): (Long, Array[Double]) = {
+    val r = df.head()
+    (r.getLong(0), r.getSeq[Double](1).toArray)
+  }
+
+  /** Maximin seeding (`master.go:157-190`). k driver-coordinated jobs,
+    * each a narrow scan + top-1 (TakeOrderedAndProject = per-partition
+    * top-1 partials, the reference's `initCombine` `worker.go:95-101`). */
+  def seed(points: DataFrame, cfg: Config): Array[Array[Double]] = {
+    val first = cfg.firstId match {
+      case Some(id) => collectPoint(points.filter(col("id") === id))._2
+      case None =>
+        // Deterministic pseudo-random pick: min over a seeded hash of the
+        // row id — one narrow top-1 pass, any partitioning.
+        collectPoint(points
+          .orderBy(xxhash64(col("id"), lit(cfg.seed)), col("id")).limit(1))._2
+    }
+    val cents = scala.collection.mutable.ArrayBuffer(first)
+    while (cents.length < cfg.k) {
+      val cs = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+      val far = points
+        .select(col("id"), col("features"),
+          nearest(col("features"), cs).getField("sqdist").as("sq"))
+        .orderBy(desc("sq"), asc("id")).limit(1)
+        .select(col("id"), col("features"))
+      cents += collectPoint(far)._2
+    }
+    cents.toArray
+  }
+
+  /** Full fit: seeding + Lloyd loop. `points` must have columns
+    * (id: LONG, features: ARRAY<DOUBLE>). */
+  def fit(points0: DataFrame, cfg: Config): Result = {
+    val points = points0.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = points.head().getSeq[Double](1).length
+      var cents: Array[Array[Double]] = seed(points, cfg)
+      var iter = 0
+      var delta = Double.MaxValue
+      var converged = false
+
+      while (!converged && iter < cfg.maxIter) {
+        val cs = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+        val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
+        // One job: argmin map → partial/final hash agg → k rows collected.
+        val rows = points
+          .select(nearestCid(col("features"), cs).as("cid"), col("features"))
+          .groupBy("cid")
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val byCid = rows.map { r =>
+          val cid = r.getInt(0)
+          val n = r.getLong(1)
+          val mean = Array.tabulate(d)(i => r.getDouble(2 + i) / n)
+          cid -> mean
+        }.toMap
+        // O15 empty-cluster carry-over (master.go:579-600).
+        val newCents = Array.tabulate(cfg.k)(i => byCid.getOrElse(i, cents(i)))
+        delta = cents.zip(newCents)
+          .map { case (o, n) =>
+            math.sqrt(o.zip(n).map { case (a, b) => (a - b) * (a - b) }.sum)
+          }.sum / cfg.k
+        iter += 1
+        if (delta < cfg.deltaThreshold) {
+          converged = true // stop BEFORE update: cents stay as assigned
+        } else {
+          cents = newCents // iteration-cap exit reports updated centroids
+        }
+      }
+      Result(cents.zipWithIndex.map { case (c, i) => (i, c) }, iter, delta, converged)
+    } finally points.unpersist()
+  }
+
+  /** Final membership — computed ONCE with the frozen centroids (drops the
+    * reference's every-iteration member materialization, SURVEY.md §4). */
+  def assign(points: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame =
+    points.select(col("id"),
+      nearestCid(col("features"), centroids.toSeq).as("cluster_id"))
+
+  /** Fit + summarize: (cluster_id, n, centroid-as-long-format rows are in
+    * [[centroidsDF]]); this is the client's result summary
+    * (`main/client/client.go:208-234`). */
+  def fitSizes(spark: SparkSession, points: DataFrame, cfg: Config): DataFrame = {
+    val res = fit(points, cfg)
+    assign(points, res.centroids)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .orderBy("cluster_id")
+  }
+
+  def centroidsDF(spark: SparkSession, res: Result): DataFrame = {
+    val rows = res.centroids.flatMap { case (cid, v) =>
+      v.zipWithIndex.map { case (x, i) => (cid, i, x) }
+    }.toSeq
+    spark.createDataFrame(rows).toDF("cluster_id", "dim", "value")
+  }
+}

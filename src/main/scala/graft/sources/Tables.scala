@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet tables (`/root/testdata/sf*`,
+  * see TESTDATA.md) plus the reference's native headerless-CSV point format.
+  *
+  * Reference ingest surface: CSV scan (`main/client/client.go:172-186`),
+  * float64 cast projection with ordinal row ids (`utils/utils.go:21-42`),
+  * dataset catalog listing (`main/client/client.go:151-170`). Here the scan
+  * is `spark.read.parquet`/`csv` (columnar, predicate-pushdown capable);
+  * row ids come from the source (`vec_id`) instead of the reference's
+  * per-chunk ordinal quirk (ids restart every 100k rows,
+  * `main/client/client.go:61-63,122`).
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` mirrors the
+    * DuckDB oracle's table namespace. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** The K-Means points relation: (id LONG, features ARRAY<DOUBLE>).
+    * Maps the reference's `Points` (`utils/utils.go:8-13`) onto the
+    * embeddings table; FLOAT[] is widened to DOUBLE[] to match the
+    * reference's float64-everywhere data model (`utils/utils.go:27-30`). */
+  def points(spark: SparkSession, sfDir: String): DataFrame =
+    apply(spark, sfDir, "embeddings").select(
+      col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("features"))
+
+  /** Relational → vector synthesis: numeric lineitem columns as a dense
+    * feature vector, exercising the same ingest path from a star-schema
+    * fact table (SURVEY.md §7.2 M0). */
+  def lineitemPoints(spark: SparkSession, sfDir: String): DataFrame =
+    apply(spark, sfDir, "lineitem").select(
+      (col("l_orderkey") * lit(10) + col("l_linenumber")).cast("long").as("id"),
+      array(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax")).cast("array<double>").as("features"))
+
+  /** Reference-native ingest: headerless CSV of floats, ordinal row id
+    * (`utils/utils.go:21-42` — but with globally-unique ids, fixing the
+    * 100k-chunk id-restart quirk of `client.go:61-63`). */
+  def csvPoints(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "false").option("inferSchema", "true").csv(path)
+    val cols = raw.columns.map(c => col(c).cast("double"))
+    raw.select(array(cols: _*).as("features"))
+      .withColumn("id", monotonically_increasing_id())
+      .select(col("id"), col("features"))
+  }
+}
