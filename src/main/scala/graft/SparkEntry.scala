@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
 import graft.kmeans.{KMeansSteps, RefKMeans}
+import graft.functions.HashOps
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md §C.
@@ -23,7 +25,27 @@ object SparkEntry {
     RefKMeans.fitSizes(spark, pts, RefKMeans.Config(k = 4, firstId = Some(0L)))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    kmeansQueries ++ textQueries ++ dedupQueries ++ annQueries
+
+  private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashLSH(s, dir)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)))
+
+  private def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)))
+
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)))
+
+  private def kmeansQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1/O2 — scan + typed projection
     "ingest_embeddings" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
@@ -89,7 +111,164 @@ object SparkEntry {
        |               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |        FROM d) WHERE rn = 1)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    kmeansOracle ++ textOracle ++ dedupOracle ++ annOracle
+
+  // DuckDB lexicon/list literals generated from the same Scala constants.
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def hits(ws: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(ws)}, t)))"
+  private val wordHashSql: String = HashOps.wordHashSql
+
+  /** Shared fragments: distinct word-3-gram shingle rows / double vectors. */
+  private val SHROWS =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs FROM d),
+      |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s0)""".stripMargin
+  private val COSP =
+    "p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+  private def cosSql(a: String, b: String): String =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  private def dedupOracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dedup_ngram" ->
+      s"""WITH $SHROWS,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
+         |shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |       FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+         |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $SHROWS,
+         |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS h
+         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.MINHASH_PERMS - 1})) AS j) g
+         |       GROUP BY doc_id, j),
+         |bk AS (SELECT doc_id, CAST(floor(j / 2.0) AS BIGINT) AS band,
+         |              min(CASE WHEN j % 2 = 0 THEN h END) || min(CASE WHEN j % 2 = 1 THEN h END) AS key
+         |       FROM mh GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+         |                            AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ov AS (SELECT c.doc_a, c.doc_b, count(*) AS c FROM cand c
+         |       JOIN sh x ON x.doc_id = c.doc_a
+         |       JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+         |FROM ov JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, $wordHashSql AS hw
+         |      FROM (SELECT doc_id, md5(w) AS m FROM tok)),
+         |bits AS (SELECT doc_id, b,
+         |                sum(CASE WHEN ((hw >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) g
+         |         GROUP BY doc_id, b),
+         |sig AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+         |        FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, sig, band, substring(sig, band * 8 + 1, 8) AS key
+         |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) g),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sa, b.doc_id AS doc_b, b.sig AS sb
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |                                  AND a.doc_id < b.doc_id),
+         |ham AS (SELECT doc_a, doc_b,
+         |               CAST(list_sum(list_transform(generate_series(1, 32),
+         |                 p -> CASE WHEN substring(sa, p, 1) = substring(sb, p, 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+         |        FROM cand)
+         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cosine" ->
+      s"""WITH $COSP
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin)
+
+  private def annOracle: Map[String, String] = Map(
+    "ann_brute_topk" ->
+      s"""WITH $COSP,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
+         |s AS (SELECT q.q_id, p.vec_id AS n_id, ${cosSql("q.qv", "p.v")} AS cos
+         |      FROM q JOIN p ON p.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH $COSP,
+         |cents AS (SELECT vec_id AS cid, v AS c FROM p WHERE vec_id < ${KMeansSteps.K}),
+         |bkt AS (SELECT vec_id, v, cid AS bucket FROM (
+         |          SELECT p.vec_id, p.v, c.cid,
+         |                 row_number() OVER (PARTITION BY p.vec_id
+         |                   ORDER BY list_distance(p.v, c.c), c.cid) AS rn
+         |          FROM p CROSS JOIN cents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
+         |probes AS (SELECT q_id, qv, cid AS bucket FROM (
+         |             SELECT q.q_id, q.qv, c.cid,
+         |                    row_number() OVER (PARTITION BY q.q_id
+         |                      ORDER BY list_distance(q.qv, c.c), c.cid) AS rn
+         |             FROM q CROSS JOIN cents c) WHERE rn <= 2),
+         |s AS (SELECT pr.q_id, b.vec_id AS n_id, ${cosSql("pr.qv", "b.v")} AS cos
+         |      FROM bkt b JOIN probes pr ON b.bucket = pr.bucket AND b.vec_id <> pr.q_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin)
+
+  private def textOracle: Map[String, String] = {
+    val scoreCols = TextAnalysis.lexicons
+      .map { case (l, ws) => s"CAST(${hits(ws)} AS BIGINT) AS s_$l" }.mkString(",\n       ")
+    val m = TextAnalysis.lexicons.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val caseChain = TextAnalysis.lexicons
+      .map { case (l, _) => s"WHEN s_$l = m AND m > 0 THEN '$l'" }.mkString("\n            ")
+    Map(
+      "text_lang_id" ->
+        s"""WITH s AS (SELECT doc_id, $scoreCols FROM documents),
+           |g AS (SELECT *, $m AS m FROM s)
+           |SELECT doc_id, s_de, s_en, s_es, s_fr,
+           |       CASE $caseChain ELSE 'und' END AS lang_pred
+           |FROM g ORDER BY doc_id""".stripMargin,
+      "text_quality" ->
+        s"""WITH c AS (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           |  CAST(${hits(TextAnalysis.stopwords)} AS BIGINT) AS stop_hits,
+           |  CAST(length(text) AS BIGINT) AS n_char FROM documents)
+           |SELECT doc_id, n_tok, n_punct, stop_hits,
+           |       round(least(1.0, n_tok / 100.0) * 0.4
+           |             + (1.0 - n_punct / n_char) * 0.3
+           |             + least(1.0, stop_hits * 5.0 / n_tok) * 0.3, 6) AS score
+           |FROM c ORDER BY doc_id""".stripMargin,
+      "text_tokens" ->
+        s"""SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}')) AS BIGINT) AS n_bpe_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id,
+           |             unnest(string_split(text, ' ')) AS w,
+           |             generate_subscripts(string_split(text, ' '), 1) AS i
+           |           FROM documents),
+           |h AS (SELECT doc_id, i, $wordHashSql AS hw
+           |      FROM (SELECT doc_id, i, md5(w) AS m FROM t)),
+           |p AS (SELECT doc_id,
+           |             ((hw % ${TextAnalysis.FP_MOD}) * ((i * 31 + 7) % ${TextAnalysis.FP_MOD})) % ${TextAnalysis.FP_MOD} AS term
+           |      FROM h)
+           |SELECT doc_id, CAST(sum(term) % ${TextAnalysis.FP_MOD} AS BIGINT) AS fingerprint
+           |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  private def kmeansOracle: Map[String, String] = Map(
     "ingest_embeddings" ->
       "SELECT vec_id, len(embedding) AS dim FROM embeddings ORDER BY vec_id",
     "lineitem_features" ->

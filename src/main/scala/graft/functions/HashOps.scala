@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** md5-derived hash kernels shared by fingerprinting, SimHash and MinHash.
+  *
+  * Everything is built on `md5` (identical lowercase-hex output in Spark
+  * and DuckDB) + ascii arithmetic, so the DuckDB oracle reproduces every
+  * hash bit-for-bit. All column expressions; codegen-friendly; no UDFs.
+  */
+object HashOps {
+
+  /** Hex-nibble value of char j (1-based) of a lowercase-hex string. */
+  def nib(h: Column, j: Int): Column = {
+    val a = ascii(substring(h, j, 1))
+    when(a <= 57, a - 48).otherwise(a - 87).cast("long")
+  }
+
+  /** 32-bit hash of a string: first 8 md5 nibbles, big-endian. */
+  def wordHash(w: Column): Column = {
+    val h = md5(w.cast("binary"))
+    (1 to 8).map(j => nib(h, j) * lit(1L << (4 * (8 - j)))).reduce(_ + _)
+  }
+
+  /** DuckDB SQL for [[wordHash]], over a column `m` holding `md5(w)`. */
+  val wordHashSql: String =
+    (1 to 8).map(j =>
+      s"CAST(CASE WHEN ascii(substring(m, $j, 1)) <= 57" +
+        s" THEN ascii(substring(m, $j, 1)) - 48" +
+        s" ELSE ascii(substring(m, $j, 1)) - 87 END AS BIGINT)" +
+        s" * ${1L << (4 * (8 - j))}").mkString(" + ")
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table. The reference has no text surface (SURVEY.md §2
+  * absent-table) — these extend the engine per the build contract.
+  *
+  * Scale posture: every operator here is a NARROW per-row projection
+  * (split / filter / transform / aggregate higher-order functions — all
+  * inside whole-stage codegen, no UDFs, no shuffle, no join). At 100 TB
+  * they read parquet, prune to (doc_id, text), and stream. Lexicons are
+  * plan literals (tiny), never a join side.
+  *
+  * Every kernel is defined so the DuckDB oracle can reproduce it exactly:
+  * integer counts, md5-derived hashes (identical lowercase-hex semantics
+  * in Spark and DuckDB), and fixed-order arithmetic.
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------- language id
+
+  /** Tiny per-language marker lexicons (deterministic heuristic). CASE
+    * evaluation order = lexicographic lang code = tie-break. */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is", "it"),
+    "es" -> Seq("el", "la", "los", "que", "una", "por"),
+    "fr" -> Seq("le", "les", "des", "une", "dans"))
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Count of tokens contained in a literal word set — a narrow
+    * filter-length over the token array, no shuffle. */
+  private def hitCount(text: Column, words: Seq[String]): Column = {
+    val lex = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(lex, t))).cast("long")
+  }
+
+  /** N-gram/stopword-profile language ID: per-language marker-hit counts,
+    * argmax with lexicographic tie-break, 'und' when no lexicon hits. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val scored = docs.select(
+      col("doc_id") +:
+        lexicons.map { case (lang, ws) => hitCount(col("text"), ws).as(s"s_$lang") }: _*)
+    val m = greatest(lexicons.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = lexicons.foldRight(lit("und")) { case ((l, _), els) =>
+      when(col(s"s_$l") === m && m > 0, lit(l)).otherwise(els)
+    }
+    // foldRight builds: de first → lexicographic-first wins ties
+    scored.select(
+      (col("doc_id") +: lexicons.map { case (l, _) => col(s"s_$l") }) :+
+        pred.as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------- quality scoring
+
+  val stopwords: Seq[String] = lexicons.toMap.apply("en")
+
+  /** Heuristic quality score from length / punctuation / stopword ratios.
+    * All components are integer counts (exact), combined by a fixed
+    * formula and rounded to 6. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents").select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .cast("long").as("n_punct"),
+      hitCount(col("text"), stopwords).as("stop_hits"),
+      length(col("text")).cast("long").as("n_char"))
+      .select(col("doc_id"), col("n_tok"), col("n_punct"), col("stop_hits"),
+        round(least(lit(1.0), col("n_tok") / 100.0) * 0.4
+          + (lit(1.0) - col("n_punct") / col("n_char")) * 0.3
+          + least(lit(1.0), col("stop_hits") * 5.0 / col("n_tok")) * 0.3, 6)
+          .as("score"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------- token counting
+
+  /** BPE-ish pre-tokenizer regex: letter runs, digit runs, single
+    * non-alphanumeric marks. Identical semantics in Java regex and RE2. */
+  val bpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents").select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  // ----------------------------------------------------------- fingerprint
+
+  val FP_MOD = 1000000007L
+
+  /** Position-weighted polynomial document fingerprint:
+    * sum_i ((h(w_i) mod P) * ((i*31+7) mod P)) mod P, i 1-based —
+    * order-sensitive (a permuted document fingerprints differently),
+    * overflow-free in int64, and exactly reproducible in SQL. Narrow:
+    * transform-with-index + aggregate, no shuffle. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = transform(tokens(col("text")), (w, i) =>
+      pmod(pmod(graft.functions.HashOps.wordHash(w), lit(FP_MOD))
+        * pmod((i + 1) * 31 + 7, lit(FP_MOD)), lit(FP_MOD)))
+    Tables(spark, sfDir, "documents").select(
+      col("doc_id"),
+      pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(FP_MOD)).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for dedup operators on a synthetic mini documents table
+  * (written as parquet so operators exercise the same source path). */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Mini corpus: 0/1 identical, 2 near-dup of 0 (one word changed),
+    * 3 unrelated, 4 too short for 3-grams. */
+  lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_dedup").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60L),
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60L),
+      (2L, "the quick brown fox jumps over the lazy cat again and again", "en", "s", 60L),
+      (3L, "completely different content with no overlap whatsoever here", "en", "s", 60L),
+      (4L, "too short", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("shingles: distinct word 3-grams; short texts yield empty") {
+    import spark.implicits._
+    val sh = Seq("a b c d", "x y").toDF("text")
+      .select(Dedup.shingles(col("text")).as("s")).collect()
+    assert(sh(0).getSeq[String](0).toSet == Set("a b c", "b c d"))
+    assert(sh(1).getSeq[String](0).isEmpty)
+  }
+
+  test("exact dedup keeps min doc_id and counts duplicates") {
+    val rows = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("ngram jaccard finds identical and near-dup pairs, not unrelated") {
+    val pairs = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH finds the identical pair with jaccard 1.0") {
+    val pairs = Dedup.minhashLSH(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0) // identical docs always share every band
+  }
+
+  test("simhash: identical docs have identical signatures, hamming 0") {
+    val sigs = Dedup.simhashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L).length == Dedup.SIMHASH_BITS)
+    assert(sigs(0L).forall(c => c == '0' || c == '1'))
+    val pairs = Dedup.simhashPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((0L, 1L)) == 0L)
+  }
+}
