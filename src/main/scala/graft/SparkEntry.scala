@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 import graft.kmeans.{KMeansSteps, RefKMeans}
 import graft.functions.HashOps
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md §C.
@@ -26,7 +26,25 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    kmeansQueries ++ textQueries ++ dedupQueries ++ annQueries
+    kmeansQueries ++ textQueries ++ dedupQueries ++ annQueries ++
+      relationalQueries ++ eventQueries
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => Relational.q1Agg(s, dir)),
+    "join_mkt" -> ((s, dir) => Relational.joinMkt(s, dir)),
+    "join_semi_anti" -> ((s, dir) => Relational.semiAnti(s, dir)),
+    "topk_window" -> ((s, dir) => Relational.topkWindow(s, dir)),
+    "rollup_agg" -> ((s, dir) => Relational.rollupAgg(s, dir)),
+    "set_ops" -> ((s, dir) => Relational.setOps(s, dir)),
+    "distinct_agg" -> ((s, dir) => Relational.distinctAgg(s, dir)),
+    "approx_distinct" -> ((s, dir) => Relational.approxDistinct(s, dir)),
+    "scalar_funcs" -> ((s, dir) => Relational.scalarFuncs(s, dir)),
+    "asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)))
+
+  private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
+    "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
+    "events_props" -> ((s, dir) => Events.propsAgg(s, dir)))
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -112,7 +130,112 @@ object SparkEntry {
        |        FROM d) WHERE rn = 1)""".stripMargin
 
   def oracleSql: Map[String, String] =
-    kmeansOracle ++ textOracle ++ dedupOracle ++ annOracle
+    kmeansOracle ++ textOracle ++ dedupOracle ++ annOracle ++
+      relationalOracle ++ eventOracle
+
+  /** Exact integer-cents projection (matches Relational.cents). */
+  private def centsSql(c: String): String = s"CAST(round($c * 100, 0) AS BIGINT)"
+
+  private def relationalOracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_cents,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,
+         |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_c4,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_mkt" ->
+      s"""SELECT c_mktsegment,
+         |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_c4,
+         |  count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_semi_anti" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, 'with' AS grp, count(*) AS n
+        |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT CAST(c_nationkey AS BIGINT), 'without', count(*)
+        |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey, grp""".stripMargin,
+    "topk_window" ->
+      s"""WITH t AS (SELECT l_returnflag, l_orderkey,
+         |             CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |             ${centsSql("l_extendedprice")} AS price_cents FROM lineitem),
+         |w AS (SELECT *,
+         |  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY price_cents DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+         |  CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY price_cents DESC, l_orderkey, l_linenumber) AS BIGINT) AS rnk,
+         |  coalesce(lag(price_cents, 1) OVER (PARTITION BY l_returnflag ORDER BY price_cents DESC, l_orderkey, l_linenumber), -1) AS prev_price_cents,
+         |  CAST(sum(price_cents) OVER (PARTITION BY l_returnflag ORDER BY price_cents DESC, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+         |  FROM t)
+         |SELECT l_returnflag, l_orderkey, l_linenumber, price_cents, rn, rnk, prev_price_cents, running_cents
+         |FROM w WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+    "rollup_agg" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+         |       CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_cents,
+         |       count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+        |SELECT 'intersect' AS op, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'union' AS op, o_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+        |ORDER BY op, o_custkey""".stripMargin,
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  upper(l_returnflag) AS flag_u,
+        |  l_returnflag || '-' || l_linestatus AS fs,
+        |  CAST(length(l_returnflag || l_linestatus) AS BIGINT) AS fs_len,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_y,
+        |  CAST(month(l_shipdate) AS BIGINT) AS ship_m,
+        |  CAST(day(l_shipdate) AS BIGINT) AS ship_d,
+        |  epoch_us(date_trunc('month', l_shipdate)) AS ship_month_us,
+        |  round(abs(l_discount - 0.05), 6) AS disc_dev,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "asof_join" ->
+      """WITH r AS (SELECT o_custkey % 10 AS key, o_orderdate AS ts, min(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        |     l AS (SELECT user_id % 10 AS key, ts, event_id FROM events)
+        |SELECT l.event_id, coalesce(r.o_orderkey, -1) AS o_orderkey
+        |FROM l ASOF LEFT JOIN r ON l.key = r.key AND r.ts <= l.ts
+        |ORDER BY event_id""".stripMargin)
+
+  private def eventOracle: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |       count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM e),
+        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS boundary FROM l),
+        |s AS (SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM b)
+        |SELECT user_id, session_id, count(*) AS n,
+        |       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |       round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "events_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   // DuckDB lexicon/list literals generated from the same Scala constants.
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")

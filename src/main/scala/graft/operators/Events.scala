@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-time analytics over the `events` table — the batch semantics of
+  * the streaming operators in [[graft.streaming.EventStream]] (same
+  * logical aggregations; the streaming flavor adds watermarks/state).
+  * The reference's only "streaming" is transport chunking with acks
+  * (SURVEY.md O4) — these are the real event-time semantics it lacks.
+  */
+object Events {
+
+  /** Tumbling 1-hour event-time window aggregation. Hash aggregate on
+    * (window, type): map-side partials, k×types shuffle rows. */
+  def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        unix_micros(window(col("ts"), "1 hour").getField("start")).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("hour_us", "event_type")
+
+  /** Gap-based sessionization (gap > 30 min): per-user lag + running
+    * boundary count — one shuffle keyed by user, sort within partition.
+    * This is the batch twin of the stateful streaming sessionizer. */
+  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapUs = gapMinutes * 60L * 1000000L
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("boundary").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"),
+        unix_micros(min("ts")).as("start_us"),
+        unix_micros(max("ts")).as("end_us"),
+        round(sum("value"), 6).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Semi-structured props extraction (regex — engine-portable, no JSON
+    * extension dependency) + aggregation per event type. */
+  def propsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+}

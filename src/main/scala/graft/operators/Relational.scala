@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator surface over the TPC-H-ish tables. The reference
+  * has none of these (SURVEY.md §2 absent-table: joins, filters, grouping
+  * sets, windows, set ops, distinct) — they are required engine breadth
+  * for a complete analytics library.
+  *
+  * Oracle-parity rule for aggregates: money/quantity sums are computed in
+  * integer cents (`round(x*100)` per row, then BIGINT sum) — exact and
+  * order-independent, immune to FP summation-order drift between Spark
+  * partitions and DuckDB. Per-row float math stays double + round(6).
+  *
+  * Scale notes are per-operator in the Scaladoc.
+  */
+object Relational {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** TPC-H Q1-shaped aggregation: one hash aggregate, map-side partials,
+    * shuffle of (flag,status) × 4 longs only. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_c4"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Star join: fact lineitem ⋈ orders (shuffle hash/SMJ on orderkey)
+    * ⋈ broadcast customer (small dim — the broadcast side is explicit).
+    * Revenue per market segment. */
+  def joinMkt(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val o = Tables(spark, sfDir, "orders")
+    val c = Tables(spark, sfDir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_c4"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Semi/anti join: customers with vs without orders, per nation.
+    * left_semi/left_anti keep only the build-side key — no payload
+    * shuffle. */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders").select(col("o_custkey"))
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+      .agg(count(lit(1)).as("n")).withColumn("grp", lit("with"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+      .agg(count(lit(1)).as("n")).withColumn("grp", lit("without"))
+    withO.unionByName(without)
+      .select(col("c_nationkey"), col("grp"), col("n"))
+      .orderBy("c_nationkey", "grp")
+  }
+
+  /** Window functions: per returnflag top-3 lineitems by price with
+    * row_number + rank + lag + running cents sum. Shuffle keyed by the
+    * partition column; rank ties broken deterministically. */
+  def topkWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    // ordering key is the exact integer cents value (not the double) so
+    // the oracle's ordering is bit-identical
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(desc("price_cents"), asc("l_orderkey"), asc("l_linenumber"))
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("prev_price_cents", coalesce(lag("price_cents", 1).over(w), lit(-1L)))
+      .withColumn("running_cents",
+        sum("price_cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rn") <= 3)
+      .orderBy("l_returnflag", "rn")
+  }
+
+  /** ROLLUP grouping sets over (returnflag, linestatus); rollup NULLs
+    * surfaced as 'ALL' so the compare is null-free. */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_cents"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("qty_cents"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Set operators: INTERSECT / EXCEPT / UNION over customer-key sets
+    * (open orders vs big-ticket orders), tagged into one result. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val b = o.filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+    a.intersect(b).withColumn("op", lit("intersect"))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+      .unionByName(a.union(b).distinct().withColumn("op", lit("union")))
+      .select(col("op"), col("o_custkey"))
+      .orderBy("op", "o_custkey")
+  }
+
+  /** Exact distinct aggregation (count-distinct expands to a two-phase
+    * aggregate; partial aggregation still applies). */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** HLL approximate distinct — sketch counts differ across engines by
+    * design, so this is a rows-only query (no oracle). At scale this is
+    * the right default: one pass, fixed memory, mergeable sketches. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  /** Scalar-function breadth: string/date/math projections with
+    * engine-portable semantics (no transcendentals — libm results are not
+    * bit-portable across engines). Narrow, codegen'd, pushdown-friendly. */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      upper(col("l_returnflag")).as("flag_u"),
+      concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("fs"),
+      length(concat(col("l_returnflag"), col("l_linestatus"))).cast("long").as("fs_len"),
+      year(col("l_shipdate")).cast("long").as("ship_y"),
+      month(col("l_shipdate")).cast("long").as("ship_m"),
+      dayofmonth(col("l_shipdate")).cast("long").as("ship_d"),
+      unix_micros(date_trunc("month", col("l_shipdate"))).as("ship_month_us"),
+      round(abs(col("l_discount") - 0.05), 6).as("disc_dev"),
+      round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+      ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+      floor(col("l_extendedprice")).cast("long").as("price_floor"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** As-of (backward) join: for every event, the most recent order (by
+    * o_orderdate ≤ event ts) within the same hash key. Spark lacks a
+    * native as-of join; this is the scalable union+window formulation:
+    * both sides union into one stream sorted by (key, ts, side), and a
+    * running `last(ignoreNulls)` carries the latest right-side row
+    * forward — one shuffle on the key, sort-merge within partitions, no
+    * range explosion. The right side is first deduped per (key, ts)
+    * (min orderkey) so the match is deterministic. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables(spark, sfDir, "orders")
+      .select((col("o_custkey") % 10).as("key"), col("o_orderdate").as("ts"), col("o_orderkey"))
+      .groupBy("key", "ts").agg(min("o_orderkey").as("o_orderkey"))
+    val l = Tables.events(spark, sfDir)
+      .select((col("user_id") % 10).as("key"), col("ts"), col("event_id"))
+    val u = r.select(col("key"), col("ts"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), lit(0).as("side"))
+      .unionByName(l.select(col("key"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"), lit(1).as("side")))
+    val w = Window.partitionBy("key").orderBy(asc("ts"), asc("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("matched", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), coalesce(col("matched"), lit(-1L)).as("o_orderkey"))
+      .orderBy("event_id")
+  }
+}

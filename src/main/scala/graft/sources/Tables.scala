@@ -26,7 +26,24 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` mirrors the
     * DuckDB oracle's table namespace. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else apply(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+
+  /** Events with `ts` normalized to a microsecond TIMESTAMP. The driver
+    * parquet stores TIMESTAMP(NANOS), which Spark 4 only reads with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (as raw nano longs);
+    * `div 1000` (exact integer division — a double roundtrip would lose
+    * precision above 2^53) matches DuckDB's own nanos→micros read. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = apply(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 
   /** The K-Means points relation: (id LONG, features ARRAY<DOUBLE>).
     * Maps the reference's `Points` (`utils/utils.go:8-13`) onto the

@@ -11,6 +11,7 @@ class SparkEntrySpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"
