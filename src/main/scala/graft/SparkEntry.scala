@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.kmeans.{KMeansSteps, RefKMeans}
+import graft.kmeans.{KMeansSteps, MLlibKMeans, RefKMeans}
 import graft.functions.HashOps
-import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md §C.
@@ -27,7 +27,21 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     kmeansQueries ++ textQueries ++ dedupQueries ++ annQueries ++
-      relationalQueries ++ eventQueries
+      relationalQueries ++ eventQueries ++ multimodalQueries
+
+  private def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
+    // decode-stub feature extraction + frame sampling: rows-only checks
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, dir).toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("dim", "f")))
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          col("dim").cast("long").as("dim"), round(col("f"), 6).as("f"))
+        .orderBy("doc_id", "dim")),
+    "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    // MLlib k-means|| path (probabilistic seeding — never the oracle)
+    "kmeans_mllib" -> ((s, dir) => MLlibKMeans.fitSizes(s, dir)))
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => Relational.q1Agg(s, dir)),
@@ -131,7 +145,16 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     kmeansOracle ++ textOracle ++ dedupOracle ++ annOracle ++
-      relationalOracle ++ eventOracle
+      relationalOracle ++ eventOracle ++ multimodalOracle
+
+  private def multimodalOracle: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS width,
+        |  CAST(64 + (doc_id % 5) * 16 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** Exact integer-cents projection (matches Relational.cents). */
   private def centsSql(c: String): String = s"CAST(round($c * 100, 0) AS BIGINT)"

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: media as opaque `BINARY` columns with
+  * typed metadata, plus batch decode / feature-extract / frame-sample
+  * operators. The container has no image/audio codecs, so the decode
+  * kernel is an explicitly-marked deterministic STUB — the Spark-side
+  * contract (schema, binary transport, per-partition batch shape,
+  * feature-vector output) is real and tested, and swapping the stub for
+  * a JNI/codec call changes nothing upstream.
+  *
+  * Scale posture: binaries stay columnar in parquet; metadata predicates
+  * (mime, size) push down without touching bytes; decode runs
+  * per-partition with no shuffle; frame sampling is a narrow explode.
+  */
+object Multimodal {
+
+  /** Synthesized media table over documents: (doc_id, media BINARY,
+    * mime, width, height) — deterministic so the oracle can reproduce
+    * the metadata exactly. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+      (lit(64) + (col("doc_id") % 8) * 16).cast("long").as("width"),
+      (lit(64) + (col("doc_id") % 5) * 16).cast("long").as("height"))
+
+  /** Metadata projection — never touches the bytes; with a parquet
+    * media table this prunes to the metadata columns only. */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("doc_id"), col("mime"),
+      length(col("media")).cast("long").as("n_bytes"),
+      col("width"), col("height"))
+      .orderBy("doc_id")
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], mime: String)
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+      features: Array[Float])
+
+  /** STUB decode kernel: stands in for a real image/audio decode (codec
+    * libraries are not available in this container). Deterministic fake
+    * features from the byte stream; replace the body with a real decoder
+    * without touching the operator plumbing. */
+  private[operators] def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    // ??? <- real codec call would go here (e.g. decode + pooled embedding)
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % dim) += (bytes(i) & 0xff)
+      i += 1
+    }
+    acc.map(a => (a % 1000L) / 1000.0f)
+  }
+
+  /** Batch feature extraction over media binaries: `mapPartitions` so a
+    * real decoder could amortize per-partition init (model load, codec
+    * context) across its whole batch — the Scala analog of a Pandas-UDF
+    * batch. Narrow; no shuffle. */
+  def extractFeatures(spark: SparkSession, sfDir: String, dim: Int = 4): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("media"), col("mime"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init would happen here (codec/model handle)
+        rows.map(r => MediaFeatures(r.doc_id, r.mime, r.media.length.toLong,
+          stubDecode(r.media, dim)))
+      }
+  }
+
+  /** Frame sampling: n evenly-spaced byte-range "frames" per media blob
+    * (a real video op would seek keyframes; the slicing contract and the
+    * exploded output shape are identical). */
+  def frameSample(spark: SparkSession, sfDir: String, nFrames: Int = 4): DataFrame = {
+    val m = mediaTable(spark, sfDir)
+    val frameLen = (length(col("media")) / nFrames).cast("int")
+    m.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(nFrames - 1)), i =>
+          substring(col("media"), (i * frameLen + 1).cast("int"), greatest(frameLen, lit(1))))) // 1-based
+          .as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"))
+      .orderBy("doc_id", "frame_idx")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming flavor of the event operators: the reference's
+  * chunked-ingest "stream" (`main/master/master.go:60-96` — transport
+  * framing with acks, no time semantics) upgraded to real event-time
+  * processing: watermarks, tumbling windows, and stateful gap
+  * sessionization. Batch twins live in [[graft.operators.Events]] and are
+  * the oracle-checked surface; these produce the same aggregates
+  * incrementally.
+  */
+object EventStream {
+
+  /** File-source schema for the driver's events parquet, read with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (ts arrives as raw
+    * nanosecond longs; normalized below). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events directory (files appearing in `dir`
+    * become micro-batches — the principled version of the reference's
+    * 100k-point ingest chunks, `main/client/client.go:49-63`). */
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour event-time aggregation with a watermark: late data
+    * beyond 1 hour is dropped, finalized windows emit in append mode.
+    * State is bounded by (watermark horizon × active windows). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // ------------------------------------------------------------ sessions
+
+  case class Ev(user_id: Long, ts: java.time.Instant, value: Double) {
+    def ts_us: Long = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+  }
+  case class SessionState(openStart: Long, openEnd: Long, n: Long,
+      sum: Double, nextId: Long)
+  case class Session(user_id: Long, session_id: Long, n: Long,
+      start_us: Long, end_us: Long, sum_value: Double)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState — the
+    * streaming twin of [[graft.operators.Events.sessionize]]. One state
+    * record per active user (bounded); sessions close either by an
+    * explicit gap within a batch or by event-time timeout once the
+    * watermark passes `end + gap`. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    // the watermark column `ts` must survive into the typed Dataset for
+    // EventTimeTimeout — keep it as-is, derive micros inside the rows
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Ev]
+
+    def update(userId: Long, evs: Iterator[Ev],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, s.nextId, s.n, s.openStart, s.openEnd, s.sum))
+      } else {
+        val sorted = evs.toSeq.sortBy(_.ts_us)
+        var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0.0, 1L))
+        val closed = Seq.newBuilder[Session]
+        sorted.foreach { e =>
+          if (st.openStart < 0) {
+            st = SessionState(e.ts_us, e.ts_us, 1L, e.value, st.nextId)
+          } else if (e.ts_us - st.openEnd > gapUs) {
+            closed += Session(userId, st.nextId, st.n, st.openStart, st.openEnd, st.sum)
+            st = SessionState(e.ts_us, e.ts_us, 1L, e.value, st.nextId + 1)
+          } else {
+            st = st.copy(openEnd = e.ts_us, n = st.n + 1, sum = st.sum + e.value)
+          }
+        }
+        state.update(st)
+        state.setTimeoutTimestamp((st.openEnd + gapUs) / 1000L + 1L) // ms
+        closed.result().iterator
+      }
+    }
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

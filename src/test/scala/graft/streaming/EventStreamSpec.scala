@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Events
+
+/** Streaming operators vs their batch twins, driven through a real file
+  * source: the sf0.001 events file is batch 1; two far-future sentinel
+  * files advance the watermark so append-mode windows finalize and
+  * event-time timeouts flush open sessions. */
+class EventStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+  val SENTINEL_USER = 999999L
+
+  /** events dir: real file + 2 sentinel files (written after, so the
+    * file source picks them up as later micro-batches). */
+  lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_stream").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$d/a_events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // sentinel ts: 2030-01-01 and 2030-02-01, as raw nanos
+    Seq((9000000L, 1893456000000000000L, SENTINEL_USER, "noop", 0.0, "{}"),
+      (9000001L, 1896134400000000000L, SENTINEL_USER, "noop", 0.0, "{}"))
+      .zipWithIndex.foreach { case (row, i) =>
+        Seq(row).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("overwrite").parquet(s"$d/z_sentinel$i.parquet")
+      }
+    d
+  }
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming hourly windows match the batch aggregate once finalized") {
+    runToCompletion(EventStream.hourlyAgg(EventStream.readEvents(spark, dir)), "hourly")
+    val got = spark.table("hourly")
+      .filter(col("hour_us") < 1800000000000000L) // drop sentinel windows
+      .select("hour_us", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Events.hourlyAgg(spark, sf)
+      .select("hour_us", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every emitted window must match batch exactly
+    val wrong = got.filter { case (k, v) => want.get(k) != Some(v) }
+    assert(wrong.isEmpty, s"streaming windows disagreeing with batch: ${wrong.take(5)}")
+    // append mode only finalizes a window once a LATER batch's watermark
+    // passes its end — windows in the last event-time hours may still be
+    // pending at end-of-stream. Allow only those to be missing.
+    val maxHour = want.keys.map(_._1).max
+    val missing = (want.keySet -- got.keySet).filter(_._1 < maxHour - 2 * 3600000000L)
+    assert(missing.isEmpty, s"non-trailing windows never emitted: ${missing.take(5)}")
+    assert(got.size >= want.size - 5)
+  }
+
+  test("stateful sessionization matches the batch sessionizer") {
+    runToCompletion(EventStream.sessionize(spark, EventStream.readEvents(spark, dir)).toDF(), "sessions")
+    val got = spark.table("sessions")
+      .filter(col("user_id") =!= SENTINEL_USER)
+      .select("user_id", "session_id", "n", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val want = Events.sessionize(spark, sf)
+      .select("user_id", "session_id", "n", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got.nonEmpty)
+    // every emitted streaming session must exactly match a batch session;
+    // sessions still open at end-of-stream may be unflushed (no further
+    // batch advances the watermark past their timeout)
+    val unmatched = got -- want
+    assert(unmatched.isEmpty, s"streaming sessions not in batch: ${unmatched.take(5)}")
+    val missing = want -- got
+    assert(missing.size <= Events.sessionize(spark, sf).select("user_id").distinct().count(),
+      "at most one trailing open session per user may be unflushed")
+  }
+}
