@@ -315,24 +315,25 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |h AS (SELECT doc_id, $wordHashSql AS hw
+         |h AS (SELECT doc_id, ${HashOps.wordHashSqlN(Dedup.SIMHASH_BITS / 4)} AS hw
          |      FROM (SELECT doc_id, md5(w) AS m FROM tok)),
          |bits AS (SELECT doc_id, b,
          |                sum(CASE WHEN ((hw >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
-         |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) g
+         |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SIMHASH_BITS - 1})) AS b) g
          |         GROUP BY doc_id, b),
-         |sig AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+         |sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
          |        FROM bits GROUP BY doc_id),
-         |bands AS (SELECT doc_id, sig, band, substring(sig, band * 8 + 1, 8) AS key
-         |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) g),
+         |bands AS (SELECT doc_id, sig, band,
+         |                 (sig >> (band * ${Dedup.SIMHASH_BAND_BITS})) & ${(1L << Dedup.SIMHASH_BAND_BITS) - 1} AS key
+         |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.SIMHASH_BANDS - 1})) AS band) g),
+         |ok AS (SELECT band, key FROM bands GROUP BY band, key
+         |       HAVING count(*) <= ${Dedup.SIMHASH_BUCKET_CAP}),
+         |bk AS (SELECT b.* FROM bands b JOIN ok USING (band, key)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sa, b.doc_id AS doc_b, b.sig AS sb
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         |                                  AND a.doc_id < b.doc_id),
-         |ham AS (SELECT doc_a, doc_b,
-         |               CAST(list_sum(list_transform(generate_series(1, 32),
-         |                 p -> CASE WHEN substring(sa, p, 1) = substring(sb, p, 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
-         |        FROM cand)
-         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+         |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+         |                            AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_cosine" ->
       s"""WITH $COSP

@@ -17,17 +17,25 @@ object HashOps {
     when(a <= 57, a - 48).otherwise(a - 87).cast("long")
   }
 
-  /** 32-bit hash of a string: first 8 md5 nibbles, big-endian. */
-  def wordHash(w: Column): Column = {
+  /** (4·nNibbles)-bit hash of a string: first n md5 nibbles, big-endian.
+    * n ≤ 15 keeps the value positive in an int64. */
+  def wordHashN(w: Column, nNibbles: Int): Column = {
+    require(nNibbles <= 15, "16 nibbles would overflow the int64 sign bit")
     val h = md5(w.cast("binary"))
-    (1 to 8).map(j => nib(h, j) * lit(1L << (4 * (8 - j)))).reduce(_ + _)
+    (1 to nNibbles).map(j => nib(h, j) * lit(1L << (4 * (nNibbles - j)))).reduce(_ + _)
   }
 
-  /** DuckDB SQL for [[wordHash]], over a column `m` holding `md5(w)`. */
-  val wordHashSql: String =
-    (1 to 8).map(j =>
+  /** 32-bit hash of a string: first 8 md5 nibbles, big-endian. */
+  def wordHash(w: Column): Column = wordHashN(w, 8)
+
+  /** DuckDB SQL for [[wordHashN]], over a column `m` holding `md5(w)`. */
+  def wordHashSqlN(nNibbles: Int): String =
+    (1 to nNibbles).map(j =>
       s"CAST(CASE WHEN ascii(substring(m, $j, 1)) <= 57" +
         s" THEN ascii(substring(m, $j, 1)) - 48" +
         s" ELSE ascii(substring(m, $j, 1)) - 87 END AS BIGINT)" +
-        s" * ${1L << (4 * (8 - j))}").mkString(" + ")
+        s" * ${1L << (4 * (nNibbles - j))}").mkString(" + ")
+
+  /** DuckDB SQL for [[wordHash]]. */
+  val wordHashSql: String = wordHashSqlN(8)
 }

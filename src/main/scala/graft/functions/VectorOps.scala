@@ -20,17 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Squared Euclidean distance; sequential fold keeps FP order stable. */
+  /** Squared Euclidean distance. Native codegen kernel
+    * ([[graft.plans.SquaredDistance]]) — same sequential left-to-right
+    * summation as the HOF fold `aggregate(zip_with(...))` it replaced
+    * (bit-identical results), but allocation-free. */
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
   def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    column(graft.plans.SquaredDistance(expression(a), expression(b)))
 
   /** Euclidean distance (`utils/utils.go:46-54`). */
   def dist(a: Column, b: Column): Column = sqrt(sqDist(a, b))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    column(graft.plans.DotProduct(expression(a), expression(b)))
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

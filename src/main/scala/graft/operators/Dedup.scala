@@ -60,6 +60,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
     val sh = shingleRows(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
     val shr = sh.join(rare, "sh")
@@ -90,6 +91,7 @@ object Dedup {
   def minhashLSH(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingleRows(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = sh
       .select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit(MINHASH_PERMS - 1))).as("j"))
@@ -101,7 +103,8 @@ object Dedup {
       .agg(concat(
         min(when(col("j") % 2 === 0, col("h"))),
         min(when(col("j") % 2 === 1, col("h")))).as("key"))
-    val cand = bk.as("a").join(bk.as("b"),
+    val bkP = bk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bkP.as("a").join(bkP.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -129,41 +132,60 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  val SIMHASH_BITS = 32
-  val SIMHASH_BANDS = 4 // 8 bits per band
+  val SIMHASH_BITS = 60 // 15 md5 nibbles — positive in int64
+  val SIMHASH_BANDS = 4 // 15 bits per band
+  val SIMHASH_BAND_BITS: Int = SIMHASH_BITS / SIMHASH_BANDS
+  val SIMHASH_BUCKET_CAP = 200
 
-  /** 32-bit SimHash signature per document (token multiplicity counted):
-    * bit b = sign of Σ_tokens (±1 by bit b of wordHash). Computed as 32
-    * sequential folds over the per-row hash array — narrow, no shuffle.
-    * Near-dup pairs via 4×8-bit band LSH + Hamming ≤ maxHamming. */
+  /** 60-bit SimHash signature per document as a BIGINT (token
+    * multiplicity counted): bit b = sign of Σ_tokens (±1 by bit b of the
+    * 60-bit wordHash). Narrow per-row computation, no shuffle; the whole
+    * signature is ONE expression tree — a single fold over the
+    * token-hash array accumulating all 60 bit counters in an array, then
+    * sign → power-of-two → sum. (A bit-per-fold formulation re-evaluates
+    * the token hashing per bit: lambda HOFs are excluded from
+    * subexpression elimination — 10× slower, measured.) */
   def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val hws = transform(split(col("text"), " "), w => HashOps.wordHash(w))
-    val withH = Tables(spark, sfDir, "documents").select(col("doc_id"), hws.as("hws"))
-    val bitCols = (0 until SIMHASH_BITS).map { b =>
-      val s = aggregate(col("hws"), lit(0L), (acc, h) =>
-        acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
-      when(s > 0, lit("1")).otherwise(lit("0"))
-    }
-    withH.select(col("doc_id"), concat(bitCols: _*).as("sig"))
+    val hws = transform(split(col("text"), " "),
+      w => HashOps.wordHashN(w, SIMHASH_BITS / 4))
+    val zero = array(Seq.fill(SIMHASH_BITS)(lit(0L)): _*)
+    val bitSums = aggregate(hws, zero, (acc, h) =>
+      transform(sequence(lit(0), lit(SIMHASH_BITS - 1)), b =>
+        element_at(acc, b + 1) +
+          (call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1)))
+    val powers = array((0 until SIMHASH_BITS).map(b => lit(1L << b)): _*)
+    val sig = aggregate(
+      zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    Tables(spark, sfDir, "documents").select(col("doc_id"), sig.as("sig"))
   }
 
+  /** SimHash near-dup pairs: 4×15-bit band LSH with a deterministic
+    * bucket-size cap (stop-buckets — band keys shared by > cap docs —
+    * are skipped: the standard LSH skew guard, mirrored in the oracle),
+    * then exact Hamming via `bit_count(sa xor sb)`. */
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    // signatures are md5-heavy and the plan below branches 4+ ways
+    // (band explode, bucket-size agg, both self-join sides) — persist the
+    // tiny (doc_id, sig) relation so the fold runs ONCE over the corpus
     val sig = simhashSignatures(spark, sfDir)
-    val bandWidth = SIMHASH_BITS / SIMHASH_BANDS
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until SIMHASH_BANDS).map(b =>
-        substring(col("sig"), b * bandWidth + 1, bandWidth)): _*)).as(Seq("band", "key")))
-    val cand = bands.as("a").join(bands.as("b"),
+        shiftright(col("sig"), b * SIMHASH_BAND_BITS)
+          .bitwiseAND(lit((1L << SIMHASH_BAND_BITS) - 1))): _*)).as(Seq("band", "key")))
+    val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= SIMHASH_BUCKET_CAP).select("band", "key")
+    val bk = bands.join(ok, Seq("band", "key"))
+    val cand = bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.sig").as("sa"),
         col("b.doc_id").as("doc_b"), col("b.sig").as("sb"))
       .distinct()
-    val hamming = aggregate(
-      zip_with(split(col("sa"), ""), split(col("sb"), ""),
-        (x, y) => when(x =!= y, 1L).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-    cand.select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
@@ -176,9 +198,13 @@ object Dedup {
     * assignment first and only pair within buckets. */
   def cosineNearDup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
-    val p = Tables(spark, sfDir, "embeddings").select(
-      col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cos = VectorOps.cosine(col("a.v"), col("b.v"))
+    // norms precomputed once per row (N values), so each of the O(N²)
+    // pairs pays exactly one dot-product kernel — same arithmetic as
+    // cosine() (norm = sqrt(dot(v,v)) bit-identically), 3× less work
+    val p = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), VectorOps.l2norm(col("v")).as("nrm"))
+    val cos = VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("cos"))
       .filter(col("cos") >= threshold)

@@ -16,9 +16,13 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** (vec_id, v, nrm): norm precomputed once per row so every pairwise
+    * score is a single dot-product kernel (cos = dot/(nrmA·nrmB), same
+    * arithmetic as cosine() bit-for-bit). */
   private def points(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "embeddings").select(
-      col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), l2norm(col("v")).as("nrm"))
 
   /** Exact brute-force cosine top-k: the tiny query set is broadcast
     * against the full corpus (one narrow pass over N), then per-query
@@ -29,9 +33,10 @@ object Similarity {
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val p = points(spark, sfDir)
     val q = p.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = p.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -50,22 +55,23 @@ object Similarity {
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val cs = KMeansSteps.centroids(spark, sfDir) // nlist = 8 literal centroids
     val p = points(spark, sfDir)
-    val bucketed = p.select(col("vec_id"), col("v"),
+    val bucketed = p.select(col("vec_id"), col("v"), col("nrm"),
       nearestCid(col("v"), cs).as("bucket"))
     // per-query probed buckets: nprobe nearest centroids (dist, cid order)
     val q = p.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val probes = q.select(col("q_id"), col("qv"),
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = q.select(col("q_id"), col("qv"), col("qnrm"),
         posexplode(transform(centroidsLit(cs), c =>
           struct(sqDist(col("qv"), c.getField("c")).as("d"), c.getField("cid").as("cid"))))
           .as(Seq("i", "dc")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("dc.d"), col("dc.cid"))))
       .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("qv"), col("dc.cid").as("bucket"))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("dc.cid").as("bucket"))
     val scored = bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

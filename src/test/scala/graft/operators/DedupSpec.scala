@@ -62,10 +62,9 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhash: identical docs have identical signatures, hamming 0") {
     val sigs = Dedup.simhashSignatures(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(0L) == sigs(1L))
-    assert(sigs(0L).length == Dedup.SIMHASH_BITS)
-    assert(sigs(0L).forall(c => c == '0' || c == '1'))
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << Dedup.SIMHASH_BITS)))
     val pairs = Dedup.simhashPairs(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(pairs((0L, 1L)) == 0L)
