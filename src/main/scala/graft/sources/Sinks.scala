@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Result sinks mirroring the reference's export surface.
+  *
+  *  - O19 per-cluster CSV (`main/client/client.go:236-256`: one CSV per
+  *    cluster, rows `id, coord…`): `partitionBy(cluster_id)` — each
+  *    cluster becomes a partition directory, written in parallel by the
+  *    executors instead of the reference's single-threaded client loop.
+  *  - O3 dataset catalog listing (`main/client/client.go:151-170`).
+  *  - O20's chart payload is the sizes aggregate
+  *    ([[graft.kmeans.KMeansSteps.clusterSizes]]); rendering is
+  *    client-side in the reference (`plot/plotter.go`) and out of engine
+  *    scope.
+  */
+object Sinks {
+
+  /** O19 — per-cluster export: `out/cluster_id=<k>/part-*.csv`, rows
+    * `id, coord0, coord1, …` (the assignment DataFrame `(id, features,
+    * cluster_id)` flattened to scalar columns; CSV has no arrays). */
+  def writeClustersCsv(assigned: DataFrame, d: Int, out: String): Unit = {
+    val coords = (0 until d).map(i => col("features").getItem(i).as(s"c$i"))
+    assigned.select(col("cluster_id") +: col("id") +: coords: _*)
+      .write.mode("overwrite")
+      .partitionBy("cluster_id")
+      .option("header", "true")
+      .csv(out)
+  }
+
+  /** Same export as parquet — the scale-appropriate format (columnar,
+    * typed, splittable); partition pruning makes per-cluster reads free. */
+  def writeClustersParquet(assigned: DataFrame, out: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(out)
+
+  /** O3 — catalog listing: the datasets (tables) available under an sf
+    * directory. */
+  def listDatasets(spark: SparkSession, sfDir: String): Seq[String] =
+    new java.io.File(sfDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet")).sorted.toSeq
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kmeans.RefKMeans
+
+/** Reference ingest/export surface: headerless-CSV points (O1/O2), the
+  * per-cluster sink (O19), catalog listing (O3). */
+class SourcesSinksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("csvPoints parses headerless numeric CSV with global row ids (O1/O2)") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/points.csv"),
+      "0.0,0.0\n0.0,1.0\n1.0,0.0\n10.0,10.0\n10.0,11.0\n11.0,10.0\n")
+    val pts = Tables.csvPoints(spark, s"$dir/points.csv")
+    assert(pts.count() == 6)
+    val row = pts.orderBy("id").head()
+    assert(row.getSeq[Double](1).length == 2)
+    // ids unique (fixes the reference's per-chunk id restart quirk)
+    assert(pts.select("id").distinct().count() == 6)
+  }
+
+  test("per-cluster sink writes one partition dir per cluster (O19) and round-trips") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(10.0, 10.0)), (4L, Seq(10.0, 11.0)), (5L, Seq(11.0, 10.0)))
+      .toDF("id", "features")
+    val res = RefKMeans.fit(pts, RefKMeans.Config(k = 2, firstId = Some(0L)))
+    val assigned = pts.join(RefKMeans.assign(pts, res.centroids), "id")
+    val out = Files.createTempDirectory("graft_sink").toString
+
+    Sinks.writeClustersCsv(assigned, d = 2, out = s"$out/csv")
+    val dirs = new java.io.File(s"$out/csv").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("cluster_id=0", "cluster_id=1"))
+    val back = spark.read.option("header", "true").csv(s"$out/csv")
+    assert(back.count() == 6)
+
+    Sinks.writeClustersParquet(assigned, s"$out/pq")
+    val pq = spark.read.parquet(s"$out/pq")
+    assert(pq.filter(col("cluster_id") === 1).count() == 3)
+  }
+
+  test("catalog listing enumerates the sf tables (O3)") {
+    val ds = Sinks.listDatasets(spark, "/root/testdata/sf0.001")
+    assert(ds.contains("lineitem") && ds.contains("embeddings") && ds.size == 10)
+  }
+}
