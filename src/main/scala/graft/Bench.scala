@@ -11,6 +11,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup so the first measured query isn't charged for
+    // JVM cold start (runs a scan + a vector kernel once)
+    try {
+      graft.sources.Tables.points(spark, sfDir)
+        .select(org.apache.spark.sql.functions.sum(
+          graft.functions.VectorOps.dot(
+            org.apache.spark.sql.functions.col("features"),
+            org.apache.spark.sql.functions.col("features")))).count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    } catch { case _: Throwable => }
     // deterministic run order; clear leaked caches between queries so a
     // branched pipeline's persist() doesn't tax its successors
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -53,6 +53,7 @@ object SparkEntry {
     "distinct_agg" -> ((s, dir) => Relational.distinctAgg(s, dir)),
     "approx_distinct" -> ((s, dir) => Relational.approxDistinct(s, dir)),
     "scalar_funcs" -> ((s, dir) => Relational.scalarFuncs(s, dir)),
+    "quantiles" -> ((s, dir) => Relational.quantiles(s, dir)),
     "asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,6 +233,12 @@ object SparkEntry {
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "quantiles" ->
+      """WITH q AS (SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(generate_subscripts(qs, 1) - 1 AS BIGINT) AS q_idx,
+        |       round(unnest(qs), 6) AS q
+        |FROM q ORDER BY l_returnflag, q_idx""".stripMargin,
     "asof_join" ->
       """WITH r AS (SELECT o_custkey % 10 AS key, o_orderdate AS ts, min(o_orderkey) AS o_orderkey
         |           FROM orders GROUP BY 1, 2),
@@ -266,12 +273,15 @@ object SparkEntry {
     s"len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(ws)}, t)))"
   private val wordHashSql: String = HashOps.wordHashSql
 
-  /** Shared fragments: distinct word-3-gram shingle rows / double vectors. */
+  /** Shared fragments: distinct word-3-gram shingle rows (keyed by their
+    * 60-bit md5 hash, mirroring Dedup.shingleRows) / double vectors. */
   private val SHROWS =
-    """d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |s0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs FROM d),
-      |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s0)""".stripMargin
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |s0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs FROM d),
+       |shs AS (SELECT doc_id, unnest(shs) AS sh FROM s0),
+       |sh AS (SELECT doc_id, ${HashOps.wordHashSqlN(15)} AS shh
+       |       FROM (SELECT doc_id, md5(sh) AS m FROM shs))""".stripMargin
   private val COSP =
     "p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
   private def cosSql(a: String, b: String): String =
@@ -283,11 +293,11 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_ngram" ->
       s"""WITH $SHROWS,
-         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
-         |shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |rare AS (SELECT shh FROM sh GROUP BY shh HAVING count(*) <= 50),
+         |shr AS (SELECT s.doc_id, s.shh FROM sh s JOIN rare USING (shh)),
          |sz AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-         |       FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       FROM shr a JOIN shr b ON a.shh = b.shh AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
          |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
@@ -295,11 +305,14 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $SHROWS,
-         |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS h
+         |mh AS (SELECT doc_id, j,
+         |              min(((2 * j + 1) * (shh % ${Dedup.MINHASH_P})
+         |                   + (j * ${Dedup.MINHASH_B}) % ${Dedup.MINHASH_P}) % ${Dedup.MINHASH_P}) AS h
          |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.MINHASH_PERMS - 1})) AS j) g
          |       GROUP BY doc_id, j),
          |bk AS (SELECT doc_id, CAST(floor(j / 2.0) AS BIGINT) AS band,
-         |              min(CASE WHEN j % 2 = 0 THEN h END) || min(CASE WHEN j % 2 = 1 THEN h END) AS key
+         |              min(CASE WHEN j % 2 = 0 THEN h END) * ${Dedup.MINHASH_P}
+         |                + min(CASE WHEN j % 2 = 1 THEN h END) AS key
          |       FROM mh GROUP BY doc_id, band),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
@@ -307,7 +320,7 @@ object SparkEntry {
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |ov AS (SELECT c.doc_a, c.doc_b, count(*) AS c FROM cand c
          |       JOIN sh x ON x.doc_id = c.doc_a
-         |       JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |       JOIN sh y ON y.doc_id = c.doc_b AND y.shh = x.shh
          |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
          |FROM ov JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id

@@ -35,10 +35,15 @@ object Dedup {
     array_distinct(when(size(t) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
-  /** (doc_id, sh) — exploded distinct shingles. */
+  /** (doc_id, shh) — exploded distinct shingles, keyed by their 60-bit
+    * md5-derived hash: ONE md5 per (doc, shingle) feeds every dedup
+    * operator, downstream joins shuffle 8-byte longs instead of shingle
+    * strings, and the oracle derives the identical keys (so even a hash
+    * collision — P ≈ n²/2⁶¹ — reproduces exactly on both sides). */
   private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), HashOps.wordHashN(col("sh"), 15).as("shh"))
 
   // ---------------------------------------------------------------- exact
 
@@ -61,12 +66,12 @@ object Dedup {
       threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
     val sh = shingleRows(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("sh")
-    val shr = sh.join(rare, "sh")
+    val rare = sh.groupBy("shh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shh")
+    val shr = sh.join(rare, "shh")
     val sz = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = shr.as("a").join(shr.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     val j = (col("c") * lit(1.0)) / (col("na") + col("nb") - col("c"))
@@ -82,26 +87,30 @@ object Dedup {
 
   val MINHASH_PERMS = 16
   val MINHASH_BANDS = 8 // 2 rows per band
+  val MINHASH_P = 1000000007L
+  val MINHASH_B = 2654435761L // Knuth multiplicative constant for offsets
 
-  /** MinHash + LSH near-dup: 16 deterministic permutations (min of
-    * md5(j || ':' || shingle) per j — lexicographic min of fixed-width
-    * hex = numeric min), banded 8×2; docs sharing a band key become
-    * candidates; candidates are verified with exact shingle Jaccard.
-    * Fully deterministic → oracle-reproducible including recall misses. */
+  /** MinHash + LSH near-dup: 16 deterministic permutations over the
+    * 60-bit shingle hash — h_j = ((2j+1)·(shh mod P) + j·B mod P) mod P,
+    * one md5 per shingle total (a md5-per-permutation formulation costs
+    * 16× the hashing — measured) — banded 8×2; docs sharing a band key
+    * become candidates; candidates are verified with exact shingle
+    * Jaccard. Fully deterministic → oracle-reproducible including
+    * recall misses. */
   def minhashLSH(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingleRows(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = sh
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"), pmod(col("shh"), lit(MINHASH_P)).as("hm"),
         explode(sequence(lit(0), lit(MINHASH_PERMS - 1))).as("j"))
       .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit(":"), col("sh")).cast("binary")).as("h"))
+        pmod((col("j") * 2 + 1) * col("hm") + pmod(col("j") * MINHASH_B, lit(MINHASH_P)),
+          lit(MINHASH_P)).as("h"))
       .groupBy("doc_id", "j").agg(min("h").as("h"))
     val bk = mh
       .groupBy(col("doc_id"), floor(col("j") / 2.0).cast("long").as("band"))
-      .agg(concat(
-        min(when(col("j") % 2 === 0, col("h"))),
+      .agg((min(when(col("j") % 2 === 0, col("h"))) * MINHASH_P +
         min(when(col("j") % 2 === 1, col("h")))).as("key"))
     val bkP = bk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bkP.as("a").join(bkP.as("b"),
@@ -117,9 +126,9 @@ object Dedup {
   private def verifyJaccard(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ov = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh2")), "doc_b")
-      .filter(col("sh") === col("sh2"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shh").as("shh2")), "doc_b")
+      .filter(col("shh") === col("shh2"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     val j = (col("c") * lit(1.0)) / (col("na") + col("nb") - col("c"))
     ov

@@ -154,6 +154,19 @@ object Relational {
       floor(col("l_extendedprice")).cast("long").as("price_floor"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Exact continuous quantiles (25/50/75th percentile of quantity per
+    * returnflag) — `percentile` sorts within the aggregate; the
+    * long-format output keeps the compare scalar. */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("q_idx", "q")))
+      .select(col("l_returnflag"), col("q_idx").cast("long").as("q_idx"),
+        round(col("q"), 6).as("q"))
+      .orderBy("l_returnflag", "q_idx")
+
   /** As-of (backward) join: for every event, the most recent order (by
     * o_orderdate ≤ event ts) within the same hash key. Spark lacks a
     * native as-of join; this is the scalable union+window formulation:
