@@ -54,6 +54,8 @@ object SparkEntry {
     "approx_distinct" -> ((s, dir) => Relational.approxDistinct(s, dir)),
     "scalar_funcs" -> ((s, dir) => Relational.scalarFuncs(s, dir)),
     "quantiles" -> ((s, dir) => Relational.quantiles(s, dir)),
+    "pivot_agg" -> ((s, dir) => Relational.pivotAgg(s, dir)),
+    "scalar_subquery" -> ((s, dir) => Relational.scalarSubquery(s, dir)),
     "asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -76,7 +78,11 @@ object SparkEntry {
     "text_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
-    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)))
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocab(s, dir)
+        .select(col("w"), col("df"), col("cf"))),
+    "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(s, dir)))
 
   private def kmeansQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1/O2 — scan + typed projection
@@ -233,6 +239,21 @@ object SparkEntry {
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "pivot_agg" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(",\n  ")
+      s"""SELECT user_id % 10 AS user_decile,
+         |  $cols
+         |FROM events GROUP BY user_decile ORDER BY user_decile""".stripMargin
+    },
+    "scalar_subquery" ->
+      """SELECT o_orderkey
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders o2
+        |                      WHERE o2.o_orderpriority = o.o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
     "quantiles" ->
       """WITH q AS (SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
         |           FROM lineitem GROUP BY l_returnflag)
@@ -425,7 +446,16 @@ object SparkEntry {
            |             ((hw % ${TextAnalysis.FP_MOD}) * ((i * 31 + 7) % ${TextAnalysis.FP_MOD})) % ${TextAnalysis.FP_MOD} AS term
            |      FROM h)
            |SELECT doc_id, CAST(sum(term) % ${TextAnalysis.FP_MOD} AS BIGINT) AS fingerprint
-           |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+           |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_vocab" ->
+        """SELECT w, count(DISTINCT doc_id) AS df, count(*) AS cf
+          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          |GROUP BY w ORDER BY cf DESC, w LIMIT 100""".stripMargin,
+      "sample_docs" ->
+        s"""SELECT doc_id FROM (
+           |  SELECT doc_id, ${HashOps.wordHashSqlN(15)} AS hk
+           |  FROM (SELECT doc_id, md5(text) AS m FROM documents))
+           |WHERE hk % 100 < 10 ORDER BY doc_id""".stripMargin)
   }
 
   private def kmeansOracle: Map[String, String] = Map(

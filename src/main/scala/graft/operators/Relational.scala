@@ -154,6 +154,32 @@ object Relational {
       floor(col("l_extendedprice")).cast("long").as("price_floor"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Pivot: event counts per user-decile × event type (type values
+    * pinned so the output schema is static — the scalable form; dynamic
+    * pivot needs a driver-side distinct first). */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .groupBy((col("user_id") % 10).as("user_decile"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_decile")
+  }
+
+  /** Correlated scalar subquery via the SQL surface: orders priced above
+    * their priority's average (the subquery decorrelates to a join +
+    * aggregate under Catalyst). */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders o2
+        |                      WHERE o2.o_orderpriority = o.o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Exact continuous quantiles (25/50/75th percentile of quantity per
     * returnflag) — `percentile` sorts within the aggregate; the
     * long-format output keeps the compare scalar. */

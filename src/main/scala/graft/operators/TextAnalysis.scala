@@ -95,6 +95,32 @@ object TextAnalysis {
         .cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------------- corpus statistics
+
+  /** Corpus vocabulary statistics: per token, document frequency and
+    * collection frequency — the df table every dedup/quality pipeline
+    * needs. One explode + one hash aggregate (map-side partials); top-100
+    * by cf with lexicographic tie-break keeps the result bounded. */
+  def vocab(spark: SparkSession, sfDir: String, topN: Int = 100): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), asc("w"))
+      .limit(topN)
+
+  /** Deterministic hash sampling: keep documents whose md5-derived
+    * 60-bit key falls in the lowest `pct` percent of the hash space —
+    * reproducible across engines and runs, no RNG state. The standard
+    * way to cut a stable sample of a 100 TB corpus. */
+  def hashSample(spark: SparkSession, sfDir: String, pct: Int = 10): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.HashOps.wordHashN(col("text"), 15).as("hk"))
+      .filter(pmod(col("hk"), lit(100L)) < pct)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
   // ----------------------------------------------------------- fingerprint
 
   val FP_MOD = 1000000007L
