@@ -155,17 +155,8 @@ object Dedup {
     * the token hashing per bit: lambda HOFs are excluded from
     * subexpression elimination — 10× slower, measured.) */
   def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val hws = transform(split(col("text"), " "),
-      w => HashOps.wordHashN(w, SIMHASH_BITS / 4))
-    val zero = array(Seq.fill(SIMHASH_BITS)(lit(0L)): _*)
-    val bitSums = aggregate(hws, zero, (acc, h) =>
-      transform(sequence(lit(0), lit(SIMHASH_BITS - 1)), b =>
-        element_at(acc, b + 1) +
-          (call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1)))
-    val powers = array((0 until SIMHASH_BITS).map(b => lit(1L << b)): _*)
-    val sig = aggregate(
-      zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val sig = column(graft.plans.SimHash60(expression(split(col("text"), " "))))
     Tables(spark, sfDir, "documents").select(col("doc_id"), sig.as("sig"))
   }
 
