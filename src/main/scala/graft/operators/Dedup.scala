@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashOps
+import graft.plans.MinHashSig
 import graft.functions.VectorOps
 import graft.sources.Tables
 
@@ -35,15 +36,24 @@ object Dedup {
     array_distinct(when(size(t) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
-  /** (doc_id, shh) — exploded distinct shingles, keyed by their 60-bit
-    * md5-derived hash: ONE md5 per (doc, shingle) feeds every dedup
-    * operator, downstream joins shuffle 8-byte longs instead of shingle
-    * strings, and the oracle derives the identical keys (so even a hash
-    * collision — P ≈ n²/2⁶¹ — reproduces exactly on both sides). */
-  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
+  /** (doc_id, hsh ARRAY<BIGINT>) — per-doc distinct shingles keyed by
+    * their 60-bit md5-derived hash: ONE md5 per (doc, shingle) feeds
+    * every dedup operator, downstream joins shuffle 8-byte longs instead
+    * of shingle strings, and the oracle derives the identical keys (so
+    * even a hash collision — P ≈ n²/2⁶¹ — reproduces exactly on both
+    * sides). */
+  private def hashedShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), HashOps.wordHashN(col("sh"), 15).as("shh"))
+      .select(col("doc_id"),
+        column(graft.plans.HashedShingles(
+          expression(split(col("text"), " ")), 3)).as("hsh"))
+  }
+
+  /** (doc_id, shh) — exploded form of [[hashedShingles]]. */
+  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
+    hashedShingles(spark, sfDir)
+      .select(col("doc_id"), explode(col("hsh")).as("shh"))
 
   // ---------------------------------------------------------------- exact
 
@@ -99,19 +109,22 @@ object Dedup {
     * recall misses. */
   def minhashLSH(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(spark, sfDir)
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    // ONE md5 sweep: the hashed-shingle base feeds both the signature
+    // kernel and the verification rows
+    val base = hashedShingles(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = sh
-      .select(col("doc_id"), pmod(col("shh"), lit(MINHASH_P)).as("hm"),
-        explode(sequence(lit(0), lit(MINHASH_PERMS - 1))).as("j"))
-      .select(col("doc_id"), col("j"),
-        pmod((col("j") * 2 + 1) * col("hm") + pmod(col("j") * MINHASH_B, lit(MINHASH_P)),
-          lit(MINHASH_P)).as("h"))
-      .groupBy("doc_id", "j").agg(min("h").as("h"))
-    val bk = mh
-      .groupBy(col("doc_id"), floor(col("j") / 2.0).cast("long").as("band"))
-      .agg((min(when(col("j") % 2 === 0, col("h"))) * MINHASH_P +
-        min(when(col("j") % 2 === 1, col("h")))).as("key"))
+    val sh = base.select(col("doc_id"), explode(col("hsh")).as("shh"))
+    // signature = narrow one-pass kernel over the per-doc hash array
+    // (no explode, no shuffle); NULL = too short for 3-grams → dropped
+    val sig = base
+      .select(col("doc_id"), column(MinHashSig(
+        expression(col("hsh")), MINHASH_PERMS, MINHASH_P, MINHASH_B)).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bk = sig.select(col("doc_id"),
+      posexplode(array((0 until MINHASH_BANDS).map(b =>
+        element_at(col("sig"), 2 * b + 1) * MINHASH_P +
+          element_at(col("sig"), 2 * b + 2)): _*)).as(Seq("band", "key")))
     val bkP = bk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bkP.as("a").join(bkP.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
