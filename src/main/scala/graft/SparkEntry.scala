@@ -127,6 +127,12 @@ object SparkEntry {
     "kmeans_fit" -> ((s, dir) =>
       RefKMeans.fitSizes(s, Tables.points(s, dir),
         RefKMeans.Config(k = 8, firstId = Some(0L)))
+        .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))),
+    // relational → vector path end-to-end: fit over standardized
+    // lineitem numerics (N = full lineitem, d = 4) — the bigger-N fit
+    "kmeans_fit_lineitem" -> ((s, dir) =>
+      RefKMeans.fitSizes(s, Tables.lineitemPointsStd(s, dir),
+        RefKMeans.Config(k = 5, seed = 42L, maxIter = 20))
         .select(col("cluster_id").cast("long").as("cluster_id"), col("n")))
   )
 

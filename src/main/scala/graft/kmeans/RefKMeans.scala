@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorOps._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+import graft.plans.{MinSqDistToCentroids, NearestCentroidId}
 
 /** Reference-parity distributed K-Means: maximin ("farthest point")
   * seeding + Lloyd iterations, re-expressed Spark-first.
@@ -58,6 +61,16 @@ object RefKMeans {
     (r.getLong(0), r.getSeq[Double](1).toArray)
   }
 
+  /** Iteration-stable kernels: centroids ride as an object reference so
+    * every Lloyd/seeding round reuses the same compiled plan (literal
+    * centroids would recompile codegen each round — see
+    * [[graft.plans.CentroidKernel]]). Same argmin/tie-break/FP semantics
+    * as the literal form used by the oracle-checked step queries. */
+  private def nearestCidRef(features: Column, cs: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidId(ColumnBridge.expression(features), cs))
+  private def minSqDistRef(features: Column, cs: Array[Array[Double]]): Column =
+    ColumnBridge.column(MinSqDistToCentroids(ColumnBridge.expression(features), cs))
+
   /** Maximin seeding (`master.go:157-190`). k driver-coordinated jobs,
     * each a narrow scan + top-1 (TakeOrderedAndProject = per-partition
     * top-1 partials, the reference's `initCombine` `worker.go:95-101`). */
@@ -72,10 +85,9 @@ object RefKMeans {
     }
     val cents = scala.collection.mutable.ArrayBuffer(first)
     while (cents.length < cfg.k) {
-      val cs = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
       val far = points
         .select(col("id"), col("features"),
-          nearest(col("features"), cs).getField("sqdist").as("sq"))
+          minSqDistRef(col("features"), cents.toArray).as("sq"))
         .orderBy(desc("sq"), asc("id")).limit(1)
         .select(col("id"), col("features"))
       cents += collectPoint(far)._2
@@ -95,11 +107,10 @@ object RefKMeans {
       var converged = false
 
       while (!converged && iter < cfg.maxIter) {
-        val cs = cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
         val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
         // One job: argmin map → partial/final hash agg → k rows collected.
         val rows = points
-          .select(nearestCid(col("features"), cs).as("cid"), col("features"))
+          .select(nearestCidRef(col("features"), cents).as("cid"), col("features"))
           .groupBy("cid")
           .agg(aggs.head, aggs.tail: _*)
           .collect()

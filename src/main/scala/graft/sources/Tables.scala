@@ -63,6 +63,26 @@ object Tables {
       array(col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax")).cast("array<double>").as("features"))
 
+  /** [[lineitemPoints]] z-score standardized per dimension (mean/std are
+    * one tiny aggregate collected driver-side, then a narrow literal
+    * projection). Unstandardized lineitem numerics span 6 orders of
+    * magnitude (price ~1e5 vs discount ~1e-1), which makes a
+    * mean-displacement convergence threshold meaningless. */
+  def lineitemPointsStd(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = lineitemPoints(spark, sfDir)
+    val d = 4
+    val aggs = (0 until d).flatMap(i => Seq(
+      avg(col("features").getItem(i)).as(s"m$i"),
+      stddev_pop(col("features").getItem(i)).as(s"s$i")))
+    val r = pts.agg(aggs.head, aggs.tail: _*).head()
+    val proj = array((0 until d).map { i =>
+      val m = r.getDouble(2 * i)
+      val s = math.max(r.getDouble(2 * i + 1), 1e-12)
+      (col("features").getItem(i) - lit(m)) / lit(s)
+    }: _*)
+    pts.select(col("id"), proj.as("features"))
+  }
+
   /** Reference-native ingest: headerless CSV of floats, ordinal row id
     * (`utils/utils.go:21-42` — but with globally-unique ids, fixing the
     * 100k-chunk id-restart quirk of `client.go:61-63`). */

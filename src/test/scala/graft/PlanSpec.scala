@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale-posture properties from
+  * PERF.md, asserted so a refactor can't silently regress them. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  test("scans are column-pruned (ingest reads only vec_id + embedding)") {
+    val p = plan("ingest_embeddings")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
+
+  test("q1 aggregate scan prunes to the referenced columns only") {
+    val p = plan("q1_agg")
+    assert(!p.contains("l_orderkey"), "q1 must not read join keys it doesn't use")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("assignment is a narrow map: no aggregate or join, single sort exchange") {
+    val p = plan("kmeans_assign")
+    assert(!p.contains("Join"), "assignment must not join — centroids are literals")
+    assert(!p.contains("HashAggregate"), "assignment must not aggregate")
+    assert(p.count(_ == '\n') > 0 &&
+      "Exchange".r.findAllIn(p).length <= 2, s"unexpected exchanges:\n$p")
+  }
+
+  test("star join broadcasts the dimension side") {
+    val p = plan("join_mkt")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("farthest-point is a partial top-1 (TakeOrderedAndProject)") {
+    val p = plan("kmeans_farthest")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("filters push down to the parquet scan") {
+    val p = plan("join_mkt")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+  }
+}
