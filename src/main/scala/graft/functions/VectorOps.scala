@@ -68,6 +68,19 @@ object VectorOps {
   def minDist(features: Column, cs: Seq[(Int, Array[Double])]): Column =
     sqrt(nearest(features, cs).getField("sqdist"))
 
+  /** [[nearestCid]] as a native kernel ([[graft.plans.NearestCentroidId]]):
+    * bit-identical argmin/tie-break/FP semantics, but centroids ride as an
+    * object reference — stable plan shape across Lloyd iterations and no
+    * per-centroid struct allocation per row. Centroid ids must be the
+    * array positions 0..k-1 (the [[graft.kmeans.KMeansSteps.centroids]]
+    * convention). */
+  def nearestCidK(features: Column, cs: Array[Array[Double]]): Column =
+    column(graft.plans.NearestCentroidId(expression(features), cs))
+
+  /** [[minDist]] as a native kernel ([[graft.plans.MinSqDistToCentroids]]). */
+  def minDistK(features: Column, cs: Array[Array[Double]]): Column =
+    sqrt(column(graft.plans.MinSqDistToCentroids(expression(features), cs)))
+
   /** Contiguous-bucket projection of a d-dim vector to `nBuckets` dims by
     * averaging each slice — the reference's deterministic `reshape`
     * (`plot/plotter.go:114-137`). Pure array expressions, per-row, no

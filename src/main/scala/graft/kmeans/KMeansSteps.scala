@@ -37,13 +37,17 @@ object KMeansSteps {
   private def pts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.points(spark, sfDir)
 
+  /** Centroid coordinate arrays in cid order (cid == array position). */
+  private def centArr(cs: Seq[(Int, Array[Double])]): Array[Array[Double]] =
+    cs.sortBy(_._1).map(_._2).toArray
+
   /** O7 — min distance of every point to the centroid set
     * (`main/worker/worker.go:232-245`). */
   def minDistances(spark: SparkSession, sfDir: String): DataFrame = {
-    val cs = centroids(spark, sfDir)
+    val cs = centArr(centroids(spark, sfDir))
     pts(spark, sfDir)
       .select(col("id").as("vec_id"),
-        round(minDist(col("features"), cs), 6).as("min_dist"))
+        round(minDistK(col("features"), cs), 6).as("min_dist"))
       .orderBy("vec_id")
   }
 
@@ -53,9 +57,9 @@ object KMeansSteps {
     * per-partition top-1 then global top-1 — Spark's TakeOrderedAndProject
     * does the map-side combine the reference hand-rolls in `initCombine`. */
   def farthestPoint(spark: SparkSession, sfDir: String): DataFrame = {
-    val cs = centroids(spark, sfDir)
+    val cs = centArr(centroids(spark, sfDir))
     pts(spark, sfDir)
-      .select(col("id").as("vec_id"), minDist(col("features"), cs).as("md"))
+      .select(col("id").as("vec_id"), minDistK(col("features"), cs).as("md"))
       .orderBy(desc("md"), asc("vec_id")).limit(1)
       .select(col("vec_id"), round(col("md"), 6).as("min_dist"))
   }
@@ -63,10 +67,10 @@ object KMeansSteps {
   /** O11 — E-step assignment: nearest centroid per point
     * (`main/worker/worker.go:248-268,288-304`). Narrow map, no shuffle. */
   def assignment(spark: SparkSession, sfDir: String): DataFrame = {
-    val cs = centroids(spark, sfDir)
+    val cs = centArr(centroids(spark, sfDir))
     pts(spark, sfDir)
       .select(col("id").as("vec_id"),
-        nearestCid(col("features"), cs).as("cluster_id"))
+        nearestCidK(col("features"), cs).as("cluster_id"))
       .orderBy("vec_id")
   }
 
@@ -90,7 +94,7 @@ object KMeansSteps {
     val d = cs.head._2.length
     val assigned = assigned0.getOrElse {
       pts(spark, sfDir).select(
-        nearestCid(col("features"), cs).as("cluster_id"), col("features"))
+        nearestCidK(col("features"), centArr(cs)).as("cluster_id"), col("features"))
     }
     val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
     assigned.groupBy("cluster_id")
@@ -109,7 +113,7 @@ object KMeansSteps {
     val cs = centroids(spark, sfDir)
     val d = cs.head._2.length
     val assigned = pts(spark, sfDir).select(
-      nearestCid(col("features"), cs).as("cluster_id"), col("features"))
+      nearestCidK(col("features"), centArr(cs)).as("cluster_id"), col("features"))
     val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
     val newLong = assigned.groupBy("cluster_id")
       .agg(aggs.head, aggs.tail: _*)

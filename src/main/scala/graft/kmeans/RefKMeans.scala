@@ -5,9 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorOps._
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.ColumnBridge
-import graft.plans.{MinSqDistToCentroids, NearestCentroidId}
 
 /** Reference-parity distributed K-Means: maximin ("farthest point")
   * seeding + Lloyd iterations, re-expressed Spark-first.
@@ -61,16 +58,6 @@ object RefKMeans {
     (r.getLong(0), r.getSeq[Double](1).toArray)
   }
 
-  /** Iteration-stable kernels: centroids ride as an object reference so
-    * every Lloyd/seeding round reuses the same compiled plan (literal
-    * centroids would recompile codegen each round — see
-    * [[graft.plans.CentroidKernel]]). Same argmin/tie-break/FP semantics
-    * as the literal form used by the oracle-checked step queries. */
-  private def nearestCidRef(features: Column, cs: Array[Array[Double]]): Column =
-    ColumnBridge.column(NearestCentroidId(ColumnBridge.expression(features), cs))
-  private def minSqDistRef(features: Column, cs: Array[Array[Double]]): Column =
-    ColumnBridge.column(MinSqDistToCentroids(ColumnBridge.expression(features), cs))
-
   /** Maximin seeding (`master.go:157-190`). k driver-coordinated jobs,
     * each a narrow scan + top-1 (TakeOrderedAndProject = per-partition
     * top-1 partials, the reference's `initCombine` `worker.go:95-101`). */
@@ -87,7 +74,7 @@ object RefKMeans {
     while (cents.length < cfg.k) {
       val far = points
         .select(col("id"), col("features"),
-          minSqDistRef(col("features"), cents.toArray).as("sq"))
+          minDistK(col("features"), cents.toArray).as("sq"))
         .orderBy(desc("sq"), asc("id")).limit(1)
         .select(col("id"), col("features"))
       cents += collectPoint(far)._2
@@ -110,7 +97,7 @@ object RefKMeans {
         val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
         // One job: argmin map → partial/final hash agg → k rows collected.
         val rows = points
-          .select(nearestCidRef(col("features"), cents).as("cid"), col("features"))
+          .select(nearestCidK(col("features"), cents).as("cid"), col("features"))
           .groupBy("cid")
           .agg(aggs.head, aggs.tail: _*)
           .collect()
@@ -141,7 +128,7 @@ object RefKMeans {
     * reference's every-iteration member materialization, SURVEY.md §4). */
   def assign(points: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame =
     points.select(col("id"),
-      nearestCid(col("features"), centroids.toSeq).as("cluster_id"))
+      nearestCidK(col("features"), centroids.sortBy(_._1).map(_._2)).as("cluster_id"))
 
   /** Fit + summarize: (cluster_id, n, centroid-as-long-format rows are in
     * [[centroidsDF]]); this is the client's result summary

@@ -56,7 +56,7 @@ object Similarity {
     val cs = KMeansSteps.centroids(spark, sfDir) // nlist = 8 literal centroids
     val p = points(spark, sfDir)
     val bucketed = p.select(col("vec_id"), col("v"), col("nrm"),
-      nearestCid(col("v"), cs).as("bucket"))
+      nearestCidK(col("v"), cs.sortBy(_._1).map(_._2).toArray).as("bucket"))
     // per-query probed buckets: nprobe nearest centroids (dist, cid order)
     val q = p.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
