@@ -56,7 +56,9 @@ object SparkEntry {
     "quantiles" -> ((s, dir) => Relational.quantiles(s, dir)),
     "pivot_agg" -> ((s, dir) => Relational.pivotAgg(s, dir)),
     "scalar_subquery" -> ((s, dir) => Relational.scalarSubquery(s, dir)),
-    "asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)))
+    "asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)),
+    "cube_agg" -> ((s, dir) => Relational.cubeAgg(s, dir)),
+    "range_join" -> ((s, dir) => Relational.rangeJoin(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
@@ -72,7 +74,8 @@ object SparkEntry {
 
   private def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
-    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)))
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)))
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -272,7 +275,24 @@ object SparkEntry {
         |     l AS (SELECT user_id % 10 AS key, ts, event_id FROM events)
         |SELECT l.event_id, coalesce(r.o_orderkey, -1) AS o_orderkey
         |FROM l ASOF LEFT JOIN r ON l.key = r.key AND r.ts <= l.ts
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "cube_agg" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+         |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+         |       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS price_cents,
+         |       count(*) AS n
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "range_join" ->
+      """WITH o AS (SELECT o_custkey % 10 AS key, o_orderkey,
+        |                  epoch_us(o_orderdate) AS start_us FROM orders),
+        |     e AS (SELECT event_id, user_id % 10 AS key, epoch_us(ts) AS ts_us FROM events)
+        |SELECT e.event_id, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(coalesce(min(o.o_orderkey), -1) AS BIGINT) AS first_orderkey
+        |FROM e LEFT JOIN o ON e.key = o.key
+        |                  AND e.ts_us >= o.start_us
+        |                  AND e.ts_us < o.start_us + 604800000000
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)
 
   private def eventOracle: Map[String, String] = Map(
     "events_hourly" ->
@@ -408,6 +428,31 @@ object SparkEntry {
          |             FROM q CROSS JOIN cents c) WHERE rn <= 2),
          |s AS (SELECT pr.q_id, b.vec_id AS n_id, ${cosSql("pr.qv", "b.v")} AS cos
          |      FROM bkt b JOIN probes pr ON b.bucket = pr.bucket AND b.vec_id <> pr.q_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $COSP,
+         |pl0 AS (SELECT g.p, h.i, md5('plane_' || g.p || ':' || h.i) AS m
+         |        FROM (SELECT unnest(generate_series(0, ${Similarity.LSH_PLANES - 1})) AS p) g
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) h),
+         |plw AS (SELECT p, i,
+         |               (CAST((${HashOps.wordHashSqlN(15)}) % 2001 AS BIGINT) - 1000) / 1000.0 AS wgt
+         |        FROM pl0),
+         |pl AS (SELECT p, list(wgt ORDER BY i) AS plv FROM plw GROUP BY p),
+         |bits AS (SELECT e.vec_id, pl.p,
+         |                CASE WHEN list_inner_product(e.v, pl.plv) >= 0 THEN 1 ELSE 0 END AS bit
+         |         FROM p e CROSS JOIN pl),
+         |bk AS (SELECT vec_id, CAST(p // ${Similarity.LSH_BAND_BITS} AS BIGINT) AS band,
+         |              CAST(sum(bit << (p % ${Similarity.LSH_BAND_BITS})) AS BIGINT) AS key
+         |       FROM bits GROUP BY vec_id, band),
+         |qb AS (SELECT vec_id AS q_id, band, key FROM bk WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id
+         |         FROM bk b JOIN qb ON b.band = qb.band AND b.key = qb.key
+         |                           AND b.vec_id <> qb.q_id),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
+         |s AS (SELECT c.q_id, c.n_id, ${cosSql("q.qv", "n.v")} AS cos
+         |      FROM cand c JOIN q ON c.q_id = q.q_id JOIN p n ON c.n_id = n.vec_id)
          |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
          |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin)

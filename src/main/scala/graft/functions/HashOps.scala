@@ -28,6 +28,20 @@ object HashOps {
   /** 32-bit hash of a string: first 8 md5 nibbles, big-endian. */
   def wordHash(w: Column): Column = wordHashN(w, 8)
 
+  /** Driver-side Scala twin of [[wordHashN]] — same md5-nibble arithmetic,
+    * for deriving deterministic constants (e.g. LSH hyperplane weights)
+    * that a DuckDB oracle reproduces from the same strings. */
+  def wordHashNScala(w: String, nNibbles: Int): Long = {
+    require(nNibbles <= 15, "16 nibbles would overflow the int64 sign bit")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (1 to nNibbles).map { j =>
+      val c = hex.charAt(j - 1)
+      val v = if (c <= '9') c - '0' else c - 'a' + 10
+      v.toLong << (4 * (nNibbles - j))
+    }.sum
+  }
+
   /** DuckDB SQL for [[wordHashN]], over a column `m` holding `md5(w)`. */
   def wordHashSqlN(nNibbles: Int): String =
     (1 to nNibbles).map(j =>

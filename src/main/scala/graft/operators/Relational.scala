@@ -100,6 +100,54 @@ object Relational {
         col("qty_cents"), col("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** CUBE grouping sets over orders (status × priority): all four
+    * grouping combinations in ONE pass — Catalyst expands the cube into a
+    * single Expand + hash aggregate, so the fact table is read once, not
+    * four times. NULL group markers surfaced as 'ALL' (null-free compare). */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(cents(col("o_totalprice"))).as("price_cents"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("price_cents"), col("n"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Interval (range) join: every event matched to the orders of the same
+    * hash key whose 7-day window [o_orderdate, o_orderdate+7d) contains
+    * the event.
+    *
+    * Scalable formulation: both sides are binned to the interval width, the
+    * right side is replicated to the (at most 2) bins its window overlaps,
+    * and the join becomes an EQUI-join on (key, bin) + a residual range
+    * filter — a normal shuffled hash join that partitions cleanly at any
+    * scale, instead of the non-equi cross-product-per-key Spark would
+    * otherwise plan (BroadcastNestedLoopJoin). Bin width == interval width
+    * bounds replication at 2× and makes candidate sets minimal. */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val winUs = 7L * 24 * 3600 * 1000000 // 7 days in microseconds
+    val o = Tables(spark, sfDir, "orders")
+      .select((col("o_custkey") % 10).as("key"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"))
+      .withColumn("bin", explode(array(
+        (col("start_us") / winUs).cast("long"),
+        (col("start_us") / winUs).cast("long") + 1)))
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), (col("user_id") % 10).as("ekey"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("ebin", (col("ts_us") / winUs).cast("long"))
+    // equi-keys (key, bin) drive the shuffle; the range is a residual
+    // predicate on the same join, so unmatched events still survive
+    e.join(o, col("ekey") === col("key") && col("ebin") === col("bin") &&
+        col("ts_us") >= col("start_us") && col("ts_us") < col("start_us") + winUs,
+        "left")
+      .groupBy("event_id")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(min("o_orderkey"), lit(-1L)).as("first_orderkey"))
+      .orderBy("event_id")
+  }
+
   /** Set operators: INTERSECT / EXCEPT / UNION over customer-key sets
     * (open orders vs big-ticket orders), tagged into one result. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {

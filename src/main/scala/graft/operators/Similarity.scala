@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashOps
 import graft.functions.VectorOps._
 import graft.kmeans.KMeansSteps
 import graft.sources.Tables
@@ -71,6 +72,71 @@ object Similarity {
     val scored = bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Hyperplane count / band layout for [[lshTopK]] — 16 sign bits in 4
+    * bands of 4: a candidate is any corpus vector sharing ≥1 band with
+    * the query. */
+  val LSH_PLANES = 16
+  val LSH_BAND_BITS = 4
+  val LSH_BANDS: Int = LSH_PLANES / LSH_BAND_BITS
+
+  /** Deterministic pseudo-random hyperplanes: weight(p,i) derives from
+    * md5("plane_p:i") via the shared nibble hash, so the DuckDB oracle
+    * regenerates the identical planes (and hence identical sign bits —
+    * the dot is the same sequential fold on both engines). Uniform in
+    * [-1, 1] at 1/1000 resolution. */
+  def lshPlanes(d: Int): Array[Array[Double]] =
+    Array.tabulate(LSH_PLANES)(p => Array.tabulate(d)(i =>
+      (HashOps.wordHashNScala(s"plane_$p:$i", 15) % 2001 - 1000) / 1000.0))
+
+  /** Random-hyperplane (SimHash-for-cosine) LSH top-k: each vector gets a
+    * 16-bit sign signature against literal hyperplanes (narrow map — the
+    * planes ride in the plan like centroid literals), banded 4×4 into
+    * (band, key) buckets; candidates = bucket collisions with the query,
+    * deduped, then exact-cosine reranked. Complements [[ivfTopK]]: no
+    * training pass, recall tunable by band shape alone. At 100 TB the
+    * corpus is written bucketed by (band 0 key) so probes prune partitions. */
+  def lshTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val p = points(spark, sfDir)
+    val d = 64
+    val planes = lshPlanes(d)
+    // band keys: array of BANDS ints, bit j of band b = sign of dot with
+    // plane 4b+j (>= 0 → 1). One expression tree, constant-folded planes.
+    val bandKeys = array((0 until LSH_BANDS).map { b =>
+      (0 until LSH_BAND_BITS).map { j =>
+        val plane = array(planes(b * LSH_BAND_BITS + j).map(lit(_)): _*)
+        when(dot(col("v"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val bucketed = p
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(bandKeys).as(Seq("band", "key")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("band").cast("long").as("band"), col("key"))
+    val qb = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("band").as("qband"), col("key").as("qkey"))
+    // distinct candidate pairs BEFORE scoring: a pair colliding in m bands
+    // must score once, and the dedup shuffles only (q_id, n_id) ids
+    val cand = bucketed.select(col("vec_id"), col("band"), col("key"))
+      .join(broadcast(qb),
+        col("band") === col("qband") && col("key") === col("qkey") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = cand
+      .join(p.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))

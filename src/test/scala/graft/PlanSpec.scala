@@ -54,4 +54,21 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("join_mkt")
     assert(p.contains("PushedFilters: [IsNotNull"), p)
   }
+
+  test("range join is a binned equi-join, not a nested-loop cross product") {
+    val p = plan("range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval join must bin to equi-keys, not NLJ:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cube expands once: a single Expand feeding one aggregate pass") {
+    val p = plan("cube_agg")
+    assert("Expand".r.findAllIn(p).length >= 1 && p.contains("HashAggregate"), p)
+  }
+
+  test("LSH probe broadcasts the query buckets against the corpus") {
+    val p = plan("ann_lsh_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
