@@ -63,7 +63,8 @@ object SparkEntry {
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
-    "events_props" -> ((s, dir) => Events.propsAgg(s, dir)))
+    "events_props" -> ((s, dir) => Events.propsAgg(s, dir)),
+    "events_funnel" -> ((s, dir) => Events.funnel(s, dir)))
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -312,7 +313,17 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id AS v_user, epoch_us(ts) AS v_us, event_id AS view_id
+        |           FROM events WHERE event_type = 'view'),
+        |     p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_us, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, CAST(count(v.view_id) AS BIGINT) AS n_views,
+        |       CAST(coalesce(min(v.view_id), -1) AS BIGINT) AS first_view_id
+        |FROM p LEFT JOIN v ON p.p_user = v.v_user
+        |                  AND v.v_us <= p.p_us AND v.v_us > p.p_us - 1800000000
+        |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin)
 
   // DuckDB lexicon/list literals generated from the same Scala constants.
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")

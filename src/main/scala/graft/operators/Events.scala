@@ -46,6 +46,28 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Funnel / attribution join: for every purchase event, the same-user
+    * view events in the preceding 30 minutes (count + first view id).
+    * Equi-join on user_id carries the shuffle; the time bound is a
+    * residual predicate — the batch twin of the watermarked stream-stream
+    * join in [[graft.streaming.EventStream.funnelJoin]]. */
+  def funnel(spark: SparkSession, sfDir: String, windowMinutes: Int = 30): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    val e = Tables.events(spark, sfDir)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"),
+        col("event_id").as("view_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("purchase_id"))
+    p.join(v, col("p_user") === col("v_user") &&
+        col("v_us") <= col("p_us") && col("v_us") > col("p_us") - winUs, "left")
+      .groupBy("purchase_id")
+      .agg(count(col("view_id")).as("n_views"),
+        coalesce(min("view_id"), lit(-1L)).as("first_view_id"))
+      .orderBy("purchase_id")
+  }
+
   /** Semi-structured props extraction (regex — engine-portable, no JSON
     * extension dependency) + aggregation per event type. */
   def propsAgg(spark: SparkSession, sfDir: String): DataFrame =

@@ -34,6 +34,18 @@ object Sinks {
   def writeClustersParquet(assigned: DataFrame, out: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(out)
 
+  /** JSON-lines export (arrays serialize natively, unlike CSV) —
+    * interchange format for downstream non-columnar consumers. Same
+    * per-cluster partition layout as the CSV sink. */
+  def writeClustersJson(assigned: DataFrame, out: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cluster_id").json(out)
+
+  /** JSON-lines ingest with explicit schema (schema inference needs an
+    * extra pass over the data — never at scale). */
+  def readJson(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** O3 — catalog listing: the datasets (tables) available under an sf
     * directory. */
   def listDatasets(spark: SparkSession, sfDir: String): Seq[String] =

@@ -47,6 +47,29 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("hour_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream funnel join: purchases matched to the same user's view
+    * events of the preceding `windowMinutes`. Both sides carry watermarks
+    * and the join condition bounds v_ts to a window around p_ts, so each
+    * side's buffered state is evictable once the other side's watermark
+    * passes — bounded state, the streaming twin of
+    * [[graft.operators.Events.funnel]]. Inner join: pairs emit as soon as
+    * both events have arrived (no watermark wait). */
+  def funnelJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("view_id"))
+  }
+
   // ------------------------------------------------------------ sessions
 
   case class Ev(user_id: Long, ts: java.time.Instant, value: Double) {

@@ -52,6 +52,21 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(pq.filter(col("cluster_id") === 1).count() == 3)
   }
 
+  test("JSON sink round-trips arrays with an explicit read schema") {
+    import spark.implicits._
+    val pts = Seq((0L, Seq(0.0, 1.5), 0), (1L, Seq(2.0, 3.0), 1))
+      .toDF("id", "features", "cluster_id")
+    val out = Files.createTempDirectory("graft_json").toString
+    Sinks.writeClustersJson(pts, s"$out/js")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val back = Sinks.readJson(spark, schema, s"$out/js")
+    assert(back.count() == 2)
+    assert(back.filter(col("id") === 0).head().getSeq[Double](1) == Seq(0.0, 1.5))
+  }
+
   test("catalog listing enumerates the sf tables (O3)") {
     val ds = Sinks.listDatasets(spark, "/root/testdata/sf0.001")
     assert(ds.contains("lineitem") && ds.contains("embeddings") && ds.size == 10)

@@ -70,6 +70,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.size >= want.size - 5)
   }
 
+  test("stream-stream funnel join emits exactly the batch join pairs") {
+    runToCompletion(EventStream.funnelJoin(EventStream.readEvents(spark, dir)), "funnel")
+    val got = spark.table("funnel")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference: the same inner pairs from the oracle-checked twin's
+    // pre-aggregation join
+    val e = graft.sources.Tables.events(spark, sf)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"),
+        col("event_id").as("view_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("purchase_id"))
+    val want = p.join(v, col("p_user") === col("v_user") &&
+        col("v_us") <= col("p_us") && col("v_us") > col("p_us") - 1800000000L)
+      .select("purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "test data must contain view→purchase pairs")
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
   test("stateful sessionization matches the batch sessionizer") {
     runToCompletion(EventStream.sessionize(spark, EventStream.readEvents(spark, dir)).toDF(), "sessions")
     val got = spark.table("sessions")
