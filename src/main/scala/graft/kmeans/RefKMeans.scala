@@ -93,14 +93,26 @@ object RefKMeans {
       var delta = Double.MaxValue
       var converged = false
 
+      // ONE Dataset reused for every iteration: the kernel holds the
+      // centroid arrays by reference, so copying new values into them and
+      // re-collecting re-executes the SAME analyzed+codegen'd plan — no
+      // per-iteration Catalyst analysis. Each job serializes the holder's
+      // current contents to the tasks (the per-iteration broadcast of
+      // `master.go:313-333`).
+      val holder: Array[Array[Double]] = cents.map(_.clone())
+      val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
+      val iterDF = points
+        .select(nearestCidK(col("features"), holder).as("cid"), col("features"))
+        .groupBy("cid")
+        .agg(aggs.head, aggs.tail: _*)
+
       while (!converged && iter < cfg.maxIter) {
-        val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
+        var ci = 0
+        while (ci < cfg.k) {
+          System.arraycopy(cents(ci), 0, holder(ci), 0, d); ci += 1
+        }
         // One job: argmin map → partial/final hash agg → k rows collected.
-        val rows = points
-          .select(nearestCidK(col("features"), cents).as("cid"), col("features"))
-          .groupBy("cid")
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
+        val rows = iterDF.collect()
         val byCid = rows.map { r =>
           val cid = r.getInt(0)
           val n = r.getLong(1)
