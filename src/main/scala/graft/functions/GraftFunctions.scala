@@ -25,11 +25,15 @@ object GraftFunctions {
     "vec_sqdist" -> (es => SquaredDistance(es(0), es(1))),
     "vec_dist" -> (es => Sqrt(SquaredDistance(es(0), es(1)))))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // typed-Aggregator extension point (partial-aggregating UDAF)
+    spark.udf.register("vec_mean",
+      org.apache.spark.sql.functions.udaf(VectorMeanAgg))
+  }
 }
 
 /** `spark.sql.extensions` entry point injecting the vector functions. */

@@ -46,6 +46,17 @@ object Sinks {
       path: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Bucketed table write — the co-located-join layout for 100 TB facts:
+    * both join sides bucketed by the join key into the same bucket count
+    * hash-place matching keys in matching files, so the join runs with NO
+    * shuffle exchange (each task zips bucket i ⋈ bucket i). The physical
+    * contract Spark gives for pre-partitioned storage. */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** O3 — catalog listing: the datasets (tables) available under an sf
     * directory. */
   def listDatasets(spark: SparkSession, sfDir: String): Seq[String] =

@@ -70,6 +70,15 @@ object EventStream {
       .select(col("purchase_id"), col("view_id"))
   }
 
+  /** Streaming exact dedup by event_id: state holds one key per event id
+    * inside the watermark horizon and is evicted as event time advances —
+    * the streaming twin of batch `dropDuplicates` (at-least-once transport
+    * upstream becomes exactly-once downstream). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ------------------------------------------------------------ sessions
 
   case class Ev(user_id: Long, ts: java.time.Instant, value: Double) {

@@ -24,6 +24,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 5.0)
   }
 
+  test("vec_mean UDAF partial-aggregates to the per-dimension mean") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .repartition(4) // force partial buffers to merge across partitions
+    e.createOrReplaceTempView("vm_vecs")
+    val got = spark.sql(
+      "SELECT label, vec_mean(v) AS m FROM vm_vecs GROUP BY label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val want = e.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        (0 until 64).map(i => sum(col("v").getItem(i)).as(s"s$i")): _*)
+      .collect().map { r =>
+        r.getInt(0) -> (0 until 64).map(i => r.getDouble(2 + i) / r.getLong(1))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet; i <- 0 until 64)
+      assert(math.abs(got(k)(i) - want(k)(i)) < 1e-12, s"label $k dim $i")
+  }
+
   test("kernels match the HOF-equivalent on table data") {
     import org.apache.spark.sql.functions._
     GraftFunctions.register(spark)

@@ -16,6 +16,8 @@ class SourcesSinksSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
 
   test("csvPoints parses headerless numeric CSV with global row ids (O1/O2)") {
@@ -65,6 +67,39 @@ class SourcesSinksSpec extends AnyFunSuite {
     val back = Sinks.readJson(spark, schema, s"$out/js")
     assert(back.count() == 2)
     assert(back.filter(col("id") === 0).head().getSeq[Double](1) == Seq(0.0, 1.5))
+  }
+
+  test("bucketed tables join with no shuffle exchange (co-located join)") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    // the shared test session may use any warehouse dir — clear both the
+    // catalog entries and any orphaned managed-table locations
+    val wh = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("orders_bkt", "lineitem_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+    Sinks.writeBucketed(o, "o_orderkey", 4, "orders_bkt")
+    Sinks.writeBucketed(li, "l_orderkey", 4, "lineitem_bkt")
+    // disable broadcast: at real scale neither side fits; the point is
+    // that the bucketed layout replaces the shuffle exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed-bucketed equi-join must not shuffle:\n" + plan)
+      assert(joined.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("catalog listing enumerates the sf tables (O3)") {

@@ -92,6 +92,20 @@ class EventStreamSpec extends AnyFunSuite {
       s"stream≠batch: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
   }
 
+  test("streaming dedup collapses replayed micro-batches to distinct events") {
+    // a dir where the same events file arrives twice (at-least-once replay)
+    val d2 = Files.createTempDirectory("graft_dedup").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$d2/a_events.parquet"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$d2/b_replay.parquet"))
+    runToCompletion(
+      EventStream.dedupEvents(EventStream.readEvents(spark, d2))
+        .select("event_id"), "dedup")
+    val got = spark.table("dedup").count()
+    val want = spark.read.schema(EventStream.rawSchema)
+      .parquet(s"$sf/events.parquet").select("event_id").distinct().count()
+    assert(got == want, s"deduped stream: $got vs distinct batch: $want")
+  }
+
   test("stateful sessionization matches the batch sessionizer") {
     runToCompletion(EventStream.sessionize(spark, EventStream.readEvents(spark, dir)).toDF(), "sessions")
     val got = spark.table("sessions")
