@@ -58,7 +58,11 @@ object SparkEntry {
     "scalar_subquery" -> ((s, dir) => Relational.scalarSubquery(s, dir)),
     "asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)),
     "cube_agg" -> ((s, dir) => Relational.cubeAgg(s, dir)),
-    "range_join" -> ((s, dir) => Relational.rangeJoin(s, dir)))
+    "range_join" -> ((s, dir) => Relational.rangeJoin(s, dir)),
+    "window_funcs" -> ((s, dir) => Relational.windowFuncs(s, dir)),
+    "set_ops_all" -> ((s, dir) => Relational.setOpsAll(s, dir)),
+    "json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
+    "array_funcs" -> ((s, dir) => Relational.arrayFuncs(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
@@ -293,7 +297,49 @@ object SparkEntry {
         |FROM e LEFT JOIN o ON e.key = o.key
         |                  AND e.ts_us >= o.start_us
         |                  AND e.ts_us < o.start_us + 604800000000
-        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    "window_funcs" ->
+      s"""WITH t AS (SELECT o_orderpriority, o_orderkey,
+         |             ${centsSql("o_totalprice")} AS price_cents FROM orders),
+         |w AS (SELECT *,
+         |  CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+         |  round(percent_rank() OVER win, 6) AS pct_rank,
+         |  round(cume_dist() OVER win, 6) AS cume,
+         |  first_value(o_orderkey) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest,
+         |  last_value(o_orderkey) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS dearest
+         |  FROM t
+         |  WINDOW win AS (PARTITION BY o_orderpriority ORDER BY price_cents, o_orderkey))
+         |SELECT o_orderpriority, o_orderkey, price_cents, quartile, pct_rank, cume, cheapest, dearest
+         |FROM w WHERE o_orderkey % 100 = 0
+         |ORDER BY o_orderpriority, price_cents, o_orderkey""".stripMargin,
+    "set_ops_all" ->
+      """WITH a AS (SELECT o_custkey % 100 AS k FROM orders WHERE o_orderstatus = 'O'),
+        |     b AS (SELECT o_custkey % 100 AS k FROM orders WHERE o_totalprice > 150000.0),
+        |     u AS (SELECT 'intersect_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |           UNION ALL
+        |           SELECT 'except_all', k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        |           UNION ALL
+        |           SELECT 'union_all', k FROM (SELECT k FROM a UNION ALL SELECT k FROM b))
+        |SELECT op, k, count(*) AS n FROM u GROUP BY op, k ORDER BY op, k""".stripMargin,
+    "json_props" ->
+      """SELECT event_type, CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type, k_mod
+        |ORDER BY event_type, k_mod""".stripMargin,
+    "array_funcs" ->
+      """WITH t AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |             [CAST(round(l_quantity * 100, 0) AS BIGINT),
+        |              CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+        |              CAST(round(l_discount * 100, 0) AS BIGINT),
+        |              CAST(round(l_tax * 100, 0) AS BIGINT)] AS v FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       array_to_string(list_sort(v), '_') AS sorted_str,
+        |       array_to_string(v[2:3], '_') AS mid_str,
+        |       CAST(list_contains(v, 0) AS BIGINT) AS has_zero,
+        |       v[-1] AS last_el,
+        |       CAST(len(v) AS BIGINT) AS n_el
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
   private def eventOracle: Map[String, String] = Map(
     "events_hourly" ->

@@ -148,6 +148,70 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Distribution/navigation window functions beyond [[topkWindow]]'s
+    * ranking set: ntile, percent_rank, cume_dist, and first/last value
+    * over an explicit ROWS frame, per order-priority partition. One
+    * shuffle keyed by the partition column. */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(asc("price_cents"), asc("o_orderkey"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("cheapest", first("o_orderkey").over(frame))
+      .withColumn("dearest", last("o_orderkey").over(frame))
+      .filter(col("o_orderkey") % 100 === 0) // thin the compare surface
+      .orderBy("o_orderpriority", "price_cents", "o_orderkey")
+  }
+
+  /** ALL-variants of the set operators (bag semantics: duplicates kept /
+    * subtracted with multiplicity) — counts per key keep the compare
+    * compact. */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val a = o.filter(col("o_orderstatus") === "O").select((col("o_custkey") % 100).as("k"))
+    val b = o.filter(col("o_totalprice") > 150000.0).select((col("o_custkey") % 100).as("k"))
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .unionByName(a.unionAll(b).withColumn("op", lit("union_all")))
+      .groupBy("op", "k").agg(count(lit(1)).as("n"))
+      .orderBy("op", "k")
+  }
+
+  /** Typed JSON extraction over the events props column (`from_json` with
+    * an explicit schema — schema'd parse once, not per-path regex).
+    * Narrow projection + aggregate. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type", "k_mod")
+  }
+
+  /** Array-function breadth over the lineitem vector: sort, slice,
+    * contains, sequence, element access — all list ops with exact DuckDB
+    * twins. */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        array(cents(col("l_quantity")), cents(col("l_extendedprice")),
+          cents(col("l_discount")), cents(col("l_tax"))).as("v"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        concat_ws("_", array_sort(col("v")).cast("array<string>")).as("sorted_str"),
+        concat_ws("_", slice(col("v"), 2, 2).cast("array<string>")).as("mid_str"),
+        array_contains(col("v"), lit(0L)).cast("long").as("has_zero"),
+        element_at(col("v"), -1).as("last_el"),
+        size(col("v")).cast("long").as("n_el"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Set operators: INTERSECT / EXCEPT / UNION over customer-key sets
     * (open orders vs big-ticket orders), tagged into one result. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
