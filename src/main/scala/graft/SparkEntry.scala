@@ -62,7 +62,8 @@ object SparkEntry {
     "window_funcs" -> ((s, dir) => Relational.windowFuncs(s, dir)),
     "set_ops_all" -> ((s, dir) => Relational.setOpsAll(s, dir)),
     "json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
-    "array_funcs" -> ((s, dir) => Relational.arrayFuncs(s, dir)))
+    "array_funcs" -> ((s, dir) => Relational.arrayFuncs(s, dir)),
+    "date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
@@ -75,7 +76,8 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLSH(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
-    "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)))
+    "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)),
+    "dedup_components" -> ((s, dir) => Dedup.components(s, dir)))
 
   private def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
@@ -90,6 +92,7 @@ object SparkEntry {
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.vocab(s, dir)
         .select(col("w"), col("df"), col("cf"))),
+    "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(s, dir)),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(s, dir)))
 
   private def kmeansQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -327,6 +330,18 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events GROUP BY event_type, k_mod
         |ORDER BY event_type, k_mod""".stripMargin,
+    "date_funcs" ->
+      """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(d AS VARCHAR) AS d_str,
+        |  CAST(d + INTERVAL 7 DAY AS VARCHAR)[1:10] AS next_week,
+        |  CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT) AS days_since,
+        |  CAST(isodow(d) AS BIGINT) AS isodow,
+        |  CAST(weekofyear(d) AS BIGINT) AS iso_week,
+        |  CAST(quarter(d) AS BIGINT) AS qtr,
+        |  CAST(last_day(d) AS VARCHAR) AS month_end,
+        |  CAST(date_trunc('week', d) AS VARCHAR)[1:10] AS week_start
+        |FROM t ORDER BY o_orderkey""".stripMargin,
     "array_funcs" ->
       """WITH t AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |             [CAST(round(l_quantity * 100, 0) AS BIGINT),
@@ -391,6 +406,31 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
+  /** MinHash LSH pair CTEs (after SHROWS): end in
+    * `res(doc_a, doc_b, jaccard)` — shared by the pair query and the
+    * connected-components oracle. */
+  private val MINHASH_CTES =
+    s"""mh AS (SELECT doc_id, j,
+       |              min(((2 * j + 1) * (shh % ${Dedup.MINHASH_P})
+       |                   + (j * ${Dedup.MINHASH_B}) % ${Dedup.MINHASH_P}) % ${Dedup.MINHASH_P}) AS h
+       |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.MINHASH_PERMS - 1})) AS j) g
+       |       GROUP BY doc_id, j),
+       |bk AS (SELECT doc_id, CAST(floor(j / 2.0) AS BIGINT) AS band,
+       |              min(CASE WHEN j % 2 = 0 THEN h END) * ${Dedup.MINHASH_P}
+       |                + min(CASE WHEN j % 2 = 1 THEN h END) AS key
+       |       FROM mh GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+       |                            AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ov AS (SELECT c.doc_a, c.doc_b, count(*) AS c FROM cand c
+       |       JOIN sh x ON x.doc_id = c.doc_a
+       |       JOIN sh y ON y.doc_id = c.doc_b AND y.shh = x.shh
+       |       GROUP BY 1, 2),
+       |res AS (SELECT doc_a, doc_b, c * 1.0 / (x.n + y.n - c) AS jaccard
+       |        FROM ov JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |        WHERE c * 1.0 / (x.n + y.n - c) >= 0.5)""".stripMargin
+
   private def dedupOracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
@@ -409,27 +449,18 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $SHROWS,
-         |mh AS (SELECT doc_id, j,
-         |              min(((2 * j + 1) * (shh % ${Dedup.MINHASH_P})
-         |                   + (j * ${Dedup.MINHASH_B}) % ${Dedup.MINHASH_P}) % ${Dedup.MINHASH_P}) AS h
-         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.MINHASH_PERMS - 1})) AS j) g
-         |       GROUP BY doc_id, j),
-         |bk AS (SELECT doc_id, CAST(floor(j / 2.0) AS BIGINT) AS band,
-         |              min(CASE WHEN j % 2 = 0 THEN h END) * ${Dedup.MINHASH_P}
-         |                + min(CASE WHEN j % 2 = 1 THEN h END) AS key
-         |       FROM mh GROUP BY doc_id, band),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
-         |                            AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |ov AS (SELECT c.doc_a, c.doc_b, count(*) AS c FROM cand c
-         |       JOIN sh x ON x.doc_id = c.doc_a
-         |       JOIN sh y ON y.doc_id = c.doc_b AND y.shh = x.shh
-         |       GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
-         |FROM ov JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-         |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |$MINHASH_CTES
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM res ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $SHROWS,
+         |$MINHASH_CTES,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM res
+         |          UNION SELECT doc_b, doc_a FROM res),
+         |walk(a, b) AS (SELECT a, b FROM edges
+         |               UNION SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a)
+         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+         |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |h AS (SELECT doc_id, ${HashOps.wordHashSqlN(Dedup.SIMHASH_BITS / 4)} AS hw
@@ -559,6 +590,19 @@ object SparkEntry {
         """SELECT w, count(DISTINCT doc_id) AS df, count(*) AS cf
           |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
           |GROUP BY w ORDER BY cf DESC, w LIMIT 100""".stripMargin,
+      "text_tfidf" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+          |df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          |s AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+          |             CAST(tf.tf AS DOUBLE) * n.n / df.df AS score
+          |      FROM tf JOIN df USING (w) CROSS JOIN n),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank
+          |      FROM s)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, w, CAST(tf AS BIGINT) AS tf,
+          |       CAST(df AS BIGINT) AS df, round(score, 6) AS score
+          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
       "sample_docs" ->
         s"""SELECT doc_id FROM (
            |  SELECT doc_id, ${HashOps.wordHashSqlN(15)} AS hk

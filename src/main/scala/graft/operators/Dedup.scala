@@ -134,6 +134,42 @@ object Dedup {
     verifyJaccard(sh, cand, threshold)
   }
 
+  /** Duplicate-cluster resolution: connected components over the near-dup
+    * pair graph ([[minhashLSH]] edges), labeling every involved document
+    * with the minimum doc_id of its component — the canonical
+    * representative each non-canonical doc collapses into.
+    *
+    * Iterative min-label propagation (the scalable formulation: each
+    * round is one join + one aggregate shuffled on ids; rounds =
+    * component diameter, tiny for dedup clusters). The driver sees only
+    * a scalar change-count per round — nothing O(N). */
+  def components(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = minhashLSH(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("component")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id")).agg(min("component").as("nbr"))
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.select(col("doc_id"), col("component").as("old")), "doc_id")
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.orderBy("doc_id")
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the full
     * distinct shingle sets. */
   private def verifyJaccard(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {

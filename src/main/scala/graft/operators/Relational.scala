@@ -196,6 +196,23 @@ object Relational {
       .orderBy("event_type", "k_mod")
   }
 
+  /** Date/time-function breadth over order dates: arithmetic, diffs,
+    * calendar fields, boundary snapping — engine-portable semantics only
+    * (ISO weeks; weekday pinned to ISO Monday=1 on both sides). */
+  def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .select(col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("d_str"),
+        date_format(date_add(col("d"), 7), "yyyy-MM-dd").as("next_week"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).cast("long").as("days_since"),
+        (weekday(col("d")) + 1).cast("long").as("isodow"),
+        weekofyear(col("d")).cast("long").as("iso_week"),
+        quarter(col("d")).cast("long").as("qtr"),
+        date_format(last_day(col("d")), "yyyy-MM-dd").as("month_end"),
+        date_format(trunc(col("d"), "week"), "yyyy-MM-dd").as("week_start"))
+      .orderBy("o_orderkey")
+
   /** Array-function breadth over the lineitem vector: sort, slice,
     * contains, sequence, element access — all list ops with exact DuckDB
     * twins. */

@@ -109,6 +109,29 @@ object TextAnalysis {
       .orderBy(desc("cf"), asc("w"))
       .limit(topN)
 
+  /** TF-IDF top-k terms per document. idf is the rational N/df (NOT
+    * log-scaled: ln is libm-dependent and not bit-portable across
+    * engines — FIXTURES.md §C; the induced ranking is identical for
+    * fixed N). Two hash aggregates (doc-term tf, corpus df), one join
+    * shuffled on the term, one per-doc top-k window. At scale the df
+    * table is vocabulary-sized → broadcastable. */
+  def tfidfTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val n = Tables(spark, sfDir, "documents").count()
+    val win = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
+    tf.join(df, "w")
+      .withColumn("score", col("tf") * lit(n.toDouble) / col("df"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Deterministic hash sampling: keep documents whose md5-derived
     * 60-bit key falls in the lowest `pct` percent of the hash space —
     * reproducible across engines and runs, no RNG state. The standard
