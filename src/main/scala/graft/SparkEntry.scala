@@ -63,7 +63,9 @@ object SparkEntry {
     "set_ops_all" -> ((s, dir) => Relational.setOpsAll(s, dir)),
     "json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
     "array_funcs" -> ((s, dir) => Relational.arrayFuncs(s, dir)),
-    "date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)))
+    "date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)),
+    "string_funcs" -> ((s, dir) => Relational.stringFuncs(s, dir)),
+    "join_geo" -> ((s, dir) => Relational.joinGeo(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
@@ -330,6 +332,24 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events GROUP BY event_type, k_mod
         |ORDER BY event_type, k_mod""".stripMargin,
+    "string_funcs" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  reverse(p_name) AS name_rev,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        |  substring(p_name, 1, 5) AS name5,
+        |  translate(p_type, 'ae', '43') AS type_l33t,
+        |  repeat(p_brand, 2) AS brand2,
+        |  CAST(length(trim(p_name)) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "join_geo" ->
+      s"""SELECT r_name, n_name, count(*) AS n_suppliers,
+         |       CAST(sum(${centsSql("s_acctbal")}) AS BIGINT) AS acctbal_cents
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "date_funcs" ->
       """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
         |SELECT o_orderkey,

@@ -196,6 +196,37 @@ object Relational {
       .orderBy("event_type", "k_mod")
   }
 
+  /** String-function breadth over part names: padding, reversal,
+    * replacement, search, slicing, character translation — everything
+    * with identical semantics in the DuckDB twin. */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        reverse(col("p_name")).as("name_rev"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        translate(col("p_type"), "ae", "43").as("type_l33t"),
+        repeat(col("p_brand"), 2).as("brand2"),
+        length(trim(col("p_name"))).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  /** Geography rollup: supplier → nation → region chain (two broadcast
+    * dims — the canonical snowflake pattern: each hop is a tiny
+    * broadcast, the fact never shuffles). */
+  def joinGeo(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables(spark, sfDir, "supplier")
+    val n = Tables(spark, sfDir, "nation")
+    val r = Tables(spark, sfDir, "region")
+    s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(cents(col("s_acctbal"))).as("acctbal_cents"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** Date/time-function breadth over order dates: arithmetic, diffs,
     * calendar fields, boundary snapping — engine-portable semantics only
     * (ISO weeks; weekday pinned to ISO Monday=1 on both sides). */
