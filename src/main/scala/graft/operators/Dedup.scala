@@ -145,7 +145,12 @@ object Dedup {
     * a scalar change-count per round — nothing O(N). */
   def components(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // persist the pair list itself: the symmetrizing union below has two
+    // branches, and an unpersisted lineage would run the whole LSH
+    // pipeline once per branch (lambda-HOF plans don't CSE across
+    // branches — PERF.md rule 6)
     val pairs = minhashLSH(spark, sfDir).select("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
