@@ -95,6 +95,7 @@ object SparkEntry {
       TextAnalysis.vocab(s, dir)
         .select(col("w"), col("df"), col("cf"))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(s, dir)),
+    "sketch_cms" -> ((s, dir) => TextAnalysis.cmsEstimates(s, dir)),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(s, dir)))
 
   private def kmeansQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -623,6 +624,23 @@ object SparkEntry {
           |SELECT doc_id, CAST(rank AS BIGINT) AS rank, w, CAST(tf AS BIGINT) AS tf,
           |       CAST(df AS BIGINT) AS df, round(score, 6) AS score
           |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+      "sketch_cms" -> {
+        val W = TextAnalysis.CMS_WIDTH
+        val D = TextAnalysis.CMS_DEPTH
+        s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |dj AS (SELECT unnest(generate_series(0, ${D - 1})) AS j),
+           |r0 AS (SELECT w, j, md5(j || ':' || w) AS m FROM tok CROSS JOIN dj),
+           |r1 AS (SELECT w, j, (${HashOps.wordHashSqlN(15)}) % $W AS bucket FROM r0),
+           |sketch AS (SELECT j, bucket, count(*) AS c FROM r1 GROUP BY j, bucket),
+           |top AS (SELECT w, count(*) AS true_cf FROM tok GROUP BY w
+           |        ORDER BY true_cf DESC, w LIMIT 20),
+           |p0 AS (SELECT t.w, t.true_cf, d.j, md5(d.j || ':' || t.w) AS m
+           |       FROM top t CROSS JOIN dj d),
+           |p1 AS (SELECT w, true_cf, j, (${HashOps.wordHashSqlN(15)}) % $W AS bucket FROM p0)
+           |SELECT p.w, CAST(p.true_cf AS BIGINT) AS true_cf, CAST(min(s.c) AS BIGINT) AS est_cf
+           |FROM p1 p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+           |GROUP BY p.w, p.true_cf ORDER BY true_cf DESC, w""".stripMargin
+      },
       "sample_docs" ->
         s"""SELECT doc_id FROM (
            |  SELECT doc_id, ${HashOps.wordHashSqlN(15)} AS hk

@@ -132,6 +132,37 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Count-min sketch point estimates, checked against truth. The sketch
+    * is fully deterministic (md5-derived row hashes), so unlike HLL it is
+    * oracle-reproducible: DEPTH×WIDTH counters build in one aggregate
+    * pass (fixed memory at any corpus size, mergeable across partitions
+    * — the reason to sketch at 100 TB); the estimate for a term is the
+    * min across rows of its bucket counts, always ≥ the true count.
+    * Output: top-20 vocabulary terms with true vs estimated frequency. */
+  val CMS_DEPTH = 3
+  val CMS_WIDTH = 1024
+  def cmsEstimates(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame = {
+    import graft.functions.HashOps
+    val tok = Tables(spark, sfDir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+    // one sketch row per depth j: bucket = md5(j:w) folded to WIDTH
+    val rows = tok.select(col("w"),
+        posexplode(array((0 until CMS_DEPTH).map(j =>
+          pmod(HashOps.wordHashN(concat(lit(s"$j:"), col("w")), 15),
+            lit(CMS_WIDTH.toLong))): _*)).as(Seq("j", "bucket")))
+    val sketch = rows.groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+    // point queries: top-N true frequencies, estimate = min over rows
+    val top = tok.groupBy("w").agg(count(lit(1)).as("true_cf"))
+      .orderBy(desc("true_cf"), asc("w")).limit(topN)
+    val probes = top.select(col("w"), col("true_cf"),
+      posexplode(array((0 until CMS_DEPTH).map(j =>
+        pmod(HashOps.wordHashN(concat(lit(s"$j:"), col("w")), 15),
+          lit(CMS_WIDTH.toLong))): _*)).as(Seq("j", "bucket")))
+    probes.join(sketch, Seq("j", "bucket"))
+      .groupBy("w", "true_cf").agg(min("c").as("est_cf"))
+      .orderBy(desc("true_cf"), asc("w"))
+  }
+
   /** Deterministic hash sampling: keep documents whose md5-derived
     * 60-bit key falls in the lowest `pct` percent of the hash space —
     * reproducible across engines and runs, no RNG state. The standard

@@ -71,4 +71,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("ann_lsh_topk")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("snowflake geo join broadcasts both dimension hops") {
+    val p = plan("join_geo")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "supplier->nation->region must be two broadcast joins:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
