@@ -157,19 +157,22 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var cached = labels // the persisted frame currently backing `labels`
     var changed = 1L
     while (changed > 0) {
       val viaNeighbor = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("component")), "doc_b")
         .groupBy(col("doc_a").as("doc_id")).agg(min("component").as("nbr"))
+      // change detection rides in the same pass — one job per round
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
+          (coalesce(col("nbr"), col("component")) < col("component")).as("chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.select(col("doc_id"), col("component").as("old")), "doc_id")
-        .filter(col("component") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("component"))
     }
     edges.unpersist()
     labels.orderBy("doc_id")

@@ -143,22 +143,24 @@ object TextAnalysis {
   val CMS_WIDTH = 1024
   def cmsEstimates(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame = {
     import graft.functions.HashOps
-    val tok = Tables(spark, sfDir, "documents")
+    // aggregate to per-word counts FIRST: the md5 bucket hashing then
+    // touches each distinct word once (vocabulary-sized), not every
+    // token occurrence × DEPTH — counts are identical because the
+    // sketch increments commute. Persisted: buckets/top both branch
+    // from it.
+    val wcf = Tables(spark, sfDir, "documents")
       .select(explode(tokens(col("text"))).as("w"))
-    // one sketch row per depth j: bucket = md5(j:w) folded to WIDTH
-    val rows = tok.select(col("w"),
+      .groupBy("w").agg(count(lit(1)).as("cf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def buckets(df: DataFrame): DataFrame =
+      df.select(df.columns.map(col) :+
         posexplode(array((0 until CMS_DEPTH).map(j =>
           pmod(HashOps.wordHashN(concat(lit(s"$j:"), col("w")), 15),
-            lit(CMS_WIDTH.toLong))): _*)).as(Seq("j", "bucket")))
-    val sketch = rows.groupBy("j", "bucket").agg(count(lit(1)).as("c"))
-    // point queries: top-N true frequencies, estimate = min over rows
-    val top = tok.groupBy("w").agg(count(lit(1)).as("true_cf"))
+            lit(CMS_WIDTH.toLong))): _*)).as(Seq("j", "bucket")): _*)
+    val sketch = buckets(wcf).groupBy("j", "bucket").agg(sum("cf").as("c"))
+    val top = wcf.select(col("w"), col("cf").as("true_cf"))
       .orderBy(desc("true_cf"), asc("w")).limit(topN)
-    val probes = top.select(col("w"), col("true_cf"),
-      posexplode(array((0 until CMS_DEPTH).map(j =>
-        pmod(HashOps.wordHashN(concat(lit(s"$j:"), col("w")), 15),
-          lit(CMS_WIDTH.toLong))): _*)).as(Seq("j", "bucket")))
-    probes.join(sketch, Seq("j", "bucket"))
+    buckets(top).join(sketch, Seq("j", "bucket"))
       .groupBy("w", "true_cf").agg(min("c").as("est_cf"))
       .orderBy(desc("true_cf"), asc("w"))
   }
