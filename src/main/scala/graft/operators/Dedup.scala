@@ -143,6 +143,12 @@ object Dedup {
     * round is one join + one aggregate shuffled on ids; rounds =
     * component diameter, tiny for dedup clusters). The driver sees only
     * a scalar change-count per round — nothing O(N). */
+  /** Edge-count threshold below which [[components]] solves the graph
+    * driver-side (union-find over a collected edge list — the same
+    * small-side economics as a broadcast join). Above it, the
+    * distributed min-label propagation runs. 1M edges ≈ 16 MB. */
+  val COMPONENTS_LOCAL_EDGES = 1000000L
+
   def components(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // persist the pair list itself: the symmetrizing union below has two
@@ -151,6 +157,13 @@ object Dedup {
     // branches — PERF.md rule 6)
     val pairs = minhashLSH(spark, sfDir).select("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (pairs.count() <= COMPONENTS_LOCAL_EDGES) componentsLocal(spark, pairs)
+    else componentsDistributed(spark, pairs)
+  }
+
+  /** Distributed min-label propagation over (doc_a, doc_b) pairs. */
+  def componentsDistributed(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -176,6 +189,30 @@ object Dedup {
     }
     edges.unpersist()
     labels.orderBy("doc_id")
+  }
+
+  /** Driver union-find over a small collected edge list; min doc_id per
+    * component (path-compressed, union-by-min keeps the canonical id). */
+  private def componentsLocal(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min: the smaller id stays the root
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    spark.createDataFrame(rows).toDF("doc_id", "component")
+      .orderBy("doc_id")
   }
 
   /** Exact-Jaccard verification of candidate pairs against the full

@@ -60,6 +60,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((0L, 1L)) == 1.0) // identical docs always share every band
   }
 
+  test("distributed label propagation matches union-find on a known graph") {
+    import spark.implicits._
+    // two chains (7-5-3-1, 2-4) and a singleton edge 10-20:
+    // components {1,3,5,7}→1, {2,4}→2, {10,20}→10
+    val pairs = Seq((5L, 7L), (3L, 5L), (1L, 3L), (2L, 4L), (10L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.componentsDistributed(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L,
+      2L -> 2L, 4L -> 2L, 10L -> 10L, 20L -> 10L))
+  }
+
   test("simhash: identical docs have identical signatures, hamming 0") {
     val sigs = Dedup.simhashSignatures(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
