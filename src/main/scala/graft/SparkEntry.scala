@@ -40,6 +40,7 @@ object SparkEntry {
           col("dim").cast("long").as("dim"), round(col("f"), 6).as("f"))
         .orderBy("doc_id", "dim")),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    "multimodal_resize" -> ((s, dir) => Multimodal.resizeMeta(s, dir)),
     // MLlib k-means|| path (probabilistic seeding — never the oracle)
     "kmeans_mllib" -> ((s, dir) => MLlibKMeans.fitSizes(s, dir)))
 
@@ -175,6 +176,18 @@ object SparkEntry {
       relationalOracle ++ eventOracle ++ multimodalOracle
 
   private def multimodalOracle: Map[String, String] = Map(
+    "multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        |  CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS width,
+        |  CAST(64 + (doc_id % 5) * 16 AS BIGINT) AS height
+        |  FROM documents),
+        |r AS (SELECT *, greatest(width, height) AS mx FROM m)
+        |SELECT doc_id, mime, width, height,
+        |       CAST((width * 128) // mx AS BIGINT) AS out_w,
+        |       CAST((height * 128) // mx AS BIGINT) AS out_h,
+        |       CAST(((width * 128) // mx) * ((height * 128) // mx) * 3 AS BIGINT) AS out_bytes
+        |FROM r ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,

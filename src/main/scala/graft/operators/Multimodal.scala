@@ -75,6 +75,22 @@ object Multimodal {
       }
   }
 
+  /** Resize planning: aspect-preserving fit of every media item into a
+    * target box, all in exact integer math (floor((dim·target)/max-dim))
+    * so the oracle reproduces it bit-for-bit. The pixel work itself would
+    * ride the same mapPartitions contract as [[extractFeatures]]; the
+    * plan — dims in, dims + output buffer size out, no shuffle — is the
+    * real operator surface. */
+  def resizeMeta(spark: SparkSession, sfDir: String, target: Int = 128): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        greatest(col("width"), col("height")).as("m"))
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        (col("width") * target / col("m")).cast("long").as("out_w"),
+        (col("height") * target / col("m")).cast("long").as("out_h"))
+      .withColumn("out_bytes", (col("out_w") * col("out_h") * 3).cast("long"))
+      .orderBy("doc_id")
+
   /** Frame sampling: n evenly-spaced byte-range "frames" per media blob
     * (a real video op would seek keyframes; the slicing contract and the
     * exploded output shape are identical). */
