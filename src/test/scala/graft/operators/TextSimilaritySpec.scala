@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the text-analysis and similarity operators —
+  * properties the DuckDB hash-compare can't express (it only proves
+  * engine agreement, not algorithmic soundness). */
+class TextSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("count-min estimates are always >= the true frequency") {
+    val rows = TextAnalysis.cmsEstimates(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS under-counted ${r.getString(0)}: est ${r.getLong(2)} < true ${r.getLong(1)}")
+    }
+  }
+
+  test("tf-idf ranks are contiguous 1..k per document with positive scores") {
+    val byDoc = TextAnalysis.tfidfTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length),
+        s"doc $doc ranks not contiguous")
+      assert(rs.forall(_.getDouble(5) > 0))
+    }
+  }
+
+  test("every ANN variant returns contiguous ranks, bounded cosines, no self-matches") {
+    for (df <- Seq(Similarity.bruteTopK(spark, sf), Similarity.ivfTopK(spark, sf),
+        Similarity.lshTopK(spark, sf))) {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+        assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length), s"query $q")
+        rs.foreach { r =>
+          assert(r.getLong(2) != q, s"query $q returned itself")
+          assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("brute-force top-1 is the ceiling: no ANN variant beats it") {
+    val best = Similarity.bruteTopK(spark, sf).filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    for (df <- Seq(Similarity.ivfTopK(spark, sf), Similarity.lshTopK(spark, sf))) {
+      df.filter(col("rank") === 1).collect().foreach { r =>
+        assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-9,
+          s"approximate variant exceeded the exact optimum for query ${r.getLong(0)}")
+      }
+    }
+  }
+}
