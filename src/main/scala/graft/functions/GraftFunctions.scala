@@ -36,13 +36,16 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point injecting the vector functions. */
+/** `spark.sql.extensions` entry point injecting the vector functions and
+  * the HOF→kernel rewrite rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.plans.VectorExpressions", name),
         builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.NativeKernelRule)
+  }
 }

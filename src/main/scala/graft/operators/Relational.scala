@@ -130,21 +130,17 @@ object Relational {
     val o = Tables(spark, sfDir, "orders")
       .select((col("o_custkey") % 10).as("key"), col("o_orderkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"))
-      .withColumn("bin", explode(array(
-        (col("start_us") / winUs).cast("long"),
-        (col("start_us") / winUs).cast("long") + 1)))
     val e = Tables.events(spark, sfDir)
-      .select(col("event_id"), (col("user_id") % 10).as("ekey"),
+      .select(col("event_id"), (col("user_id") % 10).as("key"),
         unix_micros(col("ts")).as("ts_us"))
-      .withColumn("ebin", (col("ts_us") / winUs).cast("long"))
-    // equi-keys (key, bin) drive the shuffle; the range is a residual
-    // predicate on the same join, so unmatched events still survive
-    e.join(o, col("ekey") === col("key") && col("ebin") === col("bin") &&
-        col("ts_us") >= col("start_us") && col("ts_us") < col("start_us") + winUs,
-        "left")
+    val matched = Joins.interval(e, o, winUs)
       .groupBy("event_id")
-      .agg(count(col("o_orderkey")).as("n_orders"),
-        coalesce(min("o_orderkey"), lit(-1L)).as("first_orderkey"))
+      .agg(count(col("o_orderkey")).as("n"), min("o_orderkey").as("mn"))
+    // left-outer against the full event list: unmatched events keep 0/-1
+    e.select("event_id").join(matched, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("mn"), lit(-1L)).as("first_orderkey"))
       .orderBy("event_id")
   }
 
@@ -367,15 +363,8 @@ object Relational {
       .groupBy("key", "ts").agg(min("o_orderkey").as("o_orderkey"))
     val l = Tables.events(spark, sfDir)
       .select((col("user_id") % 10).as("key"), col("ts"), col("event_id"))
-    val u = r.select(col("key"), col("ts"), lit(null).cast("long").as("event_id"),
-        col("o_orderkey"), lit(0).as("side"))
-      .unionByName(l.select(col("key"), col("ts"), col("event_id"),
-        lit(null).cast("long").as("o_orderkey"), lit(1).as("side")))
-    val w = Window.partitionBy("key").orderBy(asc("ts"), asc("side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("matched", last(col("o_orderkey"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
-      .select(col("event_id"), coalesce(col("matched"), lit(-1L)).as("o_orderkey"))
+    Joins.asof(l, r, "o_orderkey")
+      .select(col("event_id"), coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"))
       .orderBy("event_id")
   }
 }
