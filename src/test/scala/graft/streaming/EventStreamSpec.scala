@@ -92,6 +92,39 @@ class EventStreamSpec extends AnyFunSuite {
       s"stream≠batch: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
   }
 
+  test("restart from checkpoint resumes exactly-once: no reprocessing, no loss") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val out = Files.createTempDirectory("graft_ckpt_out").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$src/a_events.parquet"))
+    def run(): Unit = {
+      val q = EventStream.readEvents(spark, src)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run() // phase 1: file A fully processed, offsets committed
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // phase 2: a new file arrives while the query is DOWN (written as a
+    // plain parquet FILE like a real ingest drop, not a directory)
+    val stage = Files.createTempDirectory("graft_ckpt_stage").toString
+    Seq((8000000L, 1893456000000000000L, SENTINEL_USER, "late", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(s"$src/b_more.parquet"))
+    run() // restart from the same checkpoint
+    val back = spark.read.parquet(out)
+    assert(back.count() == n1 + 1, "restart must process exactly the new file")
+    assert(back.select("event_id").distinct().count() == n1 + 1,
+      "restart must not duplicate already-committed events")
+  }
+
   test("streaming dedup collapses replayed micro-batches to distinct events") {
     // a dir where the same events file arrives twice (at-least-once replay)
     val d2 = Files.createTempDirectory("graft_dedup").toString
