@@ -76,13 +76,22 @@ object Dedup {
       threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
     val sh = shingleRows(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sh.groupBy("shh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shh")
-    val shr = sh.join(rare, "shh")
-    val sz = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = shr.as("a").join(shr.as("b"),
-        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // posting-list pair generation: ONE groupBy(shh) builds each rare
+    // shingle's (sorted, ≤maxDf) doc list, and ordered pairs expand as a
+    // narrow per-group loop — replaces a 2-sided self-join shuffle of all
+    // shingle rows, and the df cap bounds each group's fan-out at
+    // maxDf·(maxDf−1)/2. Same pair multiset as the join formulation.
+    val lists = sh.groupBy("shh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+    val sz = sh.join(lists.select(col("shh")), "shh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairExpr = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+        struct(x.as("doc_a"), y.as("doc_b")))))
+    val pairs = lists
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     val j = (col("c") * lit(1.0)) / (col("na") + col("nb") - col("c"))
     pairs
