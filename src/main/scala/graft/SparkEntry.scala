@@ -66,7 +66,9 @@ object SparkEntry {
     "array_funcs" -> ((s, dir) => Relational.arrayFuncs(s, dir)),
     "date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)),
     "string_funcs" -> ((s, dir) => Relational.stringFuncs(s, dir)),
-    "join_geo" -> ((s, dir) => Relational.joinGeo(s, dir)))
+    "join_geo" -> ((s, dir) => Relational.joinGeo(s, dir)),
+    "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
+    "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
@@ -346,6 +348,21 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events GROUP BY event_type, k_mod
         |ORDER BY event_type, k_mod""".stripMargin,
+    "grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+         |       CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_cents,
+         |       count(*) AS n
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(stddev_pop(l_quantity), 6) AS qty_sd,
+        |  round(var_pop(l_discount), 6) AS disc_var,
+        |  round(avg(l_tax), 6) AS tax_mean,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "string_funcs" ->
       """SELECT p_partkey,
         |  lpad(p_brand, 12, '*') AS brand_pad,

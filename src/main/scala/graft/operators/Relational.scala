@@ -114,6 +114,35 @@ object Relational {
         col("price_cents"), col("n"))
       .orderBy("o_orderstatus", "o_orderpriority")
 
+  /** Explicit GROUPING SETS — the two single-column marginals in one
+    * pass, a shape neither rollup nor cube produces alone. */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_cents"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("qty_cents"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Statistical aggregates: correlation and population stddev/variance
+    * per group. Normalized (corr) or small-magnitude (stddev of O(10)
+    * values) outputs keep round(6) safe against partition-order
+    * summation drift. */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(stddev_pop(col("l_quantity")), 6).as("qty_sd"),
+        round(var_pop(col("l_discount")), 6).as("disc_var"),
+        round(avg(col("l_tax")), 6).as("tax_mean"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Interval (range) join: every event matched to the orders of the same
     * hash key whose 7-day window [o_orderdate, o_orderdate+7d) contains
     * the event.
