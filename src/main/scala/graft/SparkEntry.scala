@@ -68,7 +68,8 @@ object SparkEntry {
     "string_funcs" -> ((s, dir) => Relational.stringFuncs(s, dir)),
     "join_geo" -> ((s, dir) => Relational.joinGeo(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
-    "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)))
+    "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
+    "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
@@ -87,6 +88,7 @@ object SparkEntry {
   private def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)))
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,6 +350,12 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events GROUP BY event_type, k_mod
         |ORDER BY event_type, k_mod""".stripMargin,
+    "join_theta" ->
+      """SELECT p_brand, count(*) AS n_matches,
+        |       count(DISTINCT s_suppkey) AS n_suppliers
+        |FROM part JOIN supplier
+        |  ON s_acctbal >= p_retailprice * 0.5 AND s_acctbal < p_retailprice * 1.5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "grouping_sets" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
          |       coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -114,6 +114,24 @@ object Relational {
         col("price_cents"), col("n"))
       .orderBy("o_orderstatus", "o_orderpriority")
 
+  /** Theta (non-equi) join: parts matched to suppliers whose balance
+    * falls inside a price band — no equi-key exists, so the right plan
+    * for a SMALL right side is an explicit broadcast nested loop (each
+    * task scans its part rows against the in-memory supplier list;
+    * no shuffle). For two large sides, banding (see [[rangeJoin]]) is
+    * the escape hatch. */
+  def joinTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables(spark, sfDir, "part")
+    val s = Tables(spark, sfDir, "supplier")
+    p.join(broadcast(s),
+        col("s_acctbal") >= col("p_retailprice") * 0.5 &&
+          col("s_acctbal") < col("p_retailprice") * 1.5)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("p_brand")
+  }
+
   /** Explicit GROUPING SETS — the two single-column marginals in one
     * pass, a shape neither rollup nor cube produces alone. */
   def groupingSets(spark: SparkSession, sfDir: String): DataFrame =

@@ -53,8 +53,24 @@ object Similarity {
     * corpus is written bucket-partitioned so a probe is a partition-pruned
     * scan of nprobe/nlist of the data. */
   def ivfTopK(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val cs = KMeansSteps.centroids(spark, sfDir) // nlist = 8 literal centroids
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(spark, sfDir, KMeansSteps.centroids(spark, sfDir), nQueries, k, nprobe)
+
+  /** IVF with a TRAINED coarse quantizer: the production pipeline — fit
+    * k-means on (a sample of) the corpus, then bucket + probe against the
+    * learned centroids. Deterministic under the fixed seed but iterative,
+    * so rows-only at the gate ([[ivfTopK]]'s fixed-centroid variant is the
+    * oracle-checked twin of the same probe machinery). */
+  def ivfTrainedTopK(spark: SparkSession, sfDir: String,
+      nlist: Int = 8, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val pts = Tables.points(spark, sfDir)
+    val res = graft.kmeans.RefKMeans.fit(pts,
+      graft.kmeans.RefKMeans.Config(k = nlist, seed = 7L))
+    ivfTopKWith(spark, sfDir, res.centroids.toSeq, nQueries, k, nprobe)
+  }
+
+  private def ivfTopKWith(spark: SparkSession, sfDir: String,
+      cs: Seq[(Int, Array[Double])], nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val p = points(spark, sfDir)
     val bucketed = p.select(col("vec_id"), col("v"), col("nrm"),
       nearestCidK(col("v"), cs.sortBy(_._1).map(_._2).toArray).as("bucket"))
