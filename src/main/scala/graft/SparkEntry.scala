@@ -142,6 +142,8 @@ object SparkEntry {
         .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("value"))),
     // O22 — intra-set cohesion (avg point-to-set distance)
     "kmeans_avg_distance" -> ((s, dir) => KMeansSteps.avgDistance(s, dir)),
+    // cluster-quality evaluation (centroid-based silhouette)
+    "kmeans_silhouette" -> ((s, dir) => KMeansSteps.silhouette(s, dir)),
     // M3 — full iterative fit (not SQL-expressible; rows-only check)
     "kmeans_fit" -> ((s, dir) =>
       RefKMeans.fitSizes(s, Tables.points(s, dir),
@@ -733,6 +735,19 @@ object SparkEntry {
          |SELECT vec_id, CAST(CASE WHEN dim < 32 THEN 0 ELSE 1 END AS BIGINT) AS bucket,
          |       round(sum(x) / count(*), 6) AS value
          |FROM l GROUP BY vec_id, 2 ORDER BY vec_id, bucket""".stripMargin,
+    "kmeans_silhouette" ->
+      s"""WITH $PTS, $CENTS,
+         |d AS (SELECT p.vec_id, c.cid, list_distance(p.v, c.c) AS dist
+         |      FROM pts p CROSS JOIN cents c),
+         |r AS (SELECT vec_id, cid, dist,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |      FROM d),
+         |ab AS (SELECT a.vec_id, a.cid AS cluster_id, a.dist AS a, b.dist AS b
+         |       FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+         |       round(avg((b - a) / greatest(a, b)), 6) AS avg_silhouette,
+         |       count(*) AS n
+         |FROM ab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "kmeans_avg_distance" ->
       """WITH pts AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pair AS (SELECT a.label, a.vec_id, list_distance(a.v, b.v) AS d

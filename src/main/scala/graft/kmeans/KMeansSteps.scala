@@ -129,6 +129,29 @@ object KMeansSteps {
       .agg(round(avg("disp"), 6).as("delta"))
   }
 
+  /** Simplified (centroid-based) silhouette per cluster: for each point,
+    * a = distance to its own (nearest) centroid, b = distance to the
+    * second-nearest; s = (b − a) / max(a, b). One narrow map over the
+    * literal centroid set + one k-row aggregate — the cluster-quality
+    * metric the reference never computes but any fit evaluation needs.
+    * Exact: distances fold sequentially, ties pick the lowest cid. */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = centroids(spark, sfDir)
+    val dists = array_sort(transform(centroidsLit(cs), c =>
+      struct(dist(col("features"), c.getField("c")).as("d"),
+        c.getField("cid").as("cid"))))
+    pts(spark, sfDir)
+      .select(
+        element_at(dists, 1).getField("cid").as("cluster_id"),
+        element_at(dists, 1).getField("d").as("a"),
+        element_at(dists, 2).getField("d").as("b"))
+      .select(col("cluster_id"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(round(avg("s"), 6).as("avg_silhouette"), count(lit(1)).as("n"))
+      .orderBy("cluster_id")
+  }
+
   /** O21 — 2-D reshape projection of every embedding
     * (`plot/plotter.go:114-137`): dims split into 2 contiguous buckets,
     * each averaged. Long format (vec_id, bucket, value). */

@@ -46,6 +46,17 @@ object Sinks {
       path: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Date-partitioned event export: `out/event_date=YYYY-MM-DD/...` —
+    * the standard time-partitioned lake layout. Date-bounded readers
+    * prune partitions at planning time (PartitionFilters in the scan),
+    * so a day query over a year of data touches 1/365th of the files. */
+  def writeEventsByDate(events: DataFrame, out: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(out)
+
   /** Bucketed table write — the co-located-join layout for 100 TB facts:
     * both join sides bucketed by the join key into the same bucket count
     * hash-place matching keys in matching files, so the join runs with NO

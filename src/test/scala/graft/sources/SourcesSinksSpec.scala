@@ -102,6 +102,23 @@ class SourcesSinksSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("date-partitioned export prunes partitions on a date predicate") {
+    val spark2 = spark
+    spark2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = graft.sources.Tables.events(spark2, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("graft_part").toString + "/ev"
+    Sinks.writeEventsByDate(events, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_date="))
+    assert(dirs.length > 1, "export must create one dir per event date")
+    val oneDay = dirs.head.stripPrefix("event_date=")
+    val q = spark2.read.parquet(out).filter(col("event_date") === oneDay)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
+      "date predicate must prune at planning time:\n" + plan)
+    assert(q.count() > 0 && q.count() < events.count())
+  }
+
   test("catalog listing enumerates the sf tables (O3)") {
     val ds = Sinks.listDatasets(spark, "/root/testdata/sf0.001")
     assert(ds.contains("lineitem") && ds.contains("embeddings") && ds.size == 10)
