@@ -69,7 +69,9 @@ object SparkEntry {
     "join_geo" -> ((s, dir) => Relational.joinGeo(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
-    "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)))
+    "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)),
+    "map_funcs" -> ((s, dir) => Relational.mapFuncs(s, dir)),
+    "approx_quantiles" -> ((s, dir) => Relational.approxQuantiles(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
@@ -142,8 +144,9 @@ object SparkEntry {
         .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("value"))),
     // O22 — intra-set cohesion (avg point-to-set distance)
     "kmeans_avg_distance" -> ((s, dir) => KMeansSteps.avgDistance(s, dir)),
-    // cluster-quality evaluation (centroid-based silhouette)
+    // cluster-quality evaluation (centroid-based silhouette, WCSS/elbow)
     "kmeans_silhouette" -> ((s, dir) => KMeansSteps.silhouette(s, dir)),
+    "kmeans_wcss" -> ((s, dir) => KMeansSteps.wcss(s, dir)),
     // M3 — full iterative fit (not SQL-expressible; rows-only check)
     "kmeans_fit" -> ((s, dir) =>
       RefKMeans.fitSizes(s, Tables.points(s, dir),
@@ -352,6 +355,15 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events GROUP BY event_type, k_mod
         |ORDER BY event_type, k_mod""".stripMargin,
+    "map_funcs" ->
+      s"""WITH t AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |             MAP {'q': ${centsSql("l_quantity")}, 'p': ${centsSql("l_extendedprice")}} AS m
+         |           FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |       m['q'][1] AS q_val, m['p'][1] AS p_val,
+         |       CAST(cardinality(m) AS BIGINT) AS n_entries,
+         |       array_to_string(map_keys(m), ',') AS keys_str
+         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "join_theta" ->
       """SELECT p_brand, count(*) AS n_matches,
         |       count(DISTINCT s_suppkey) AS n_suppliers
@@ -735,6 +747,17 @@ object SparkEntry {
          |SELECT vec_id, CAST(CASE WHEN dim < 32 THEN 0 ELSE 1 END AS BIGINT) AS bucket,
          |       round(sum(x) / count(*), 6) AS value
          |FROM l GROUP BY vec_id, 2 ORDER BY vec_id, bucket""".stripMargin,
+    "kmeans_wcss" ->
+      s"""WITH $PTS, $CENTS,
+         |d AS (SELECT p.vec_id, c.cid, list_distance(p.v, c.c) AS dist
+         |      FROM pts p CROSS JOIN cents c),
+         |a AS (SELECT vec_id, cid, dist FROM (
+         |        SELECT vec_id, cid, dist,
+         |               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM d) WHERE rn = 1)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id,
+         |       round(sum(dist * dist), 6) AS wcss, count(*) AS n
+         |FROM a GROUP BY cid ORDER BY cluster_id""".stripMargin,
     "kmeans_silhouette" ->
       s"""WITH $PTS, $CENTS,
          |d AS (SELECT p.vec_id, c.cid, list_distance(p.v, c.c) AS dist

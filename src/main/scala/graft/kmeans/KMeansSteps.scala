@@ -129,6 +129,21 @@ object KMeansSteps {
       .agg(round(avg("disp"), 6).as("delta"))
   }
 
+  /** Within-cluster sum of squares per cluster (the elbow-curve metric):
+    * squared distance of every point to its assigned centroid, aggregated
+    * per cluster. Distances square the sqrt'd kernel value so both
+    * engines perform identical rounding steps. */
+  def wcss(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = centArr(centroids(spark, sfDir))
+    val md = minDistK(col("features"), cs)
+    pts(spark, sfDir)
+      .select(nearestCidK(col("features"), cs).as("cluster_id"),
+        (md * md).as("sq"))
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(round(sum("sq"), 6).as("wcss"), count(lit(1)).as("n"))
+      .orderBy("cluster_id")
+  }
+
   /** Simplified (centroid-based) silhouette per cluster: for each point,
     * a = distance to its own (nearest) centroid, b = distance to the
     * second-nearest; s = (b − a) / max(a, b). One narrow map over the

@@ -287,6 +287,35 @@ object Relational {
         date_format(trunc(col("d"), "week"), "yyyy-MM-dd").as("week_start"))
       .orderBy("o_orderkey")
 
+  /** Map-type functions: construction, lookup, keys, cardinality — the
+    * MapType surface with exact DuckDB MAP twins. */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        map_from_arrays(
+          array(lit("q"), lit("p")),
+          array(cents(col("l_quantity")), cents(col("l_extendedprice")))).as("m"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(col("m"), "q").as("q_val"),
+        element_at(col("m"), "p").as("p_val"),
+        size(col("m")).cast("long").as("n_entries"),
+        array_join(map_keys(col("m")), ",").as("keys_str"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Approximate quantiles (Greenwald-Khanna sketch): the one-pass
+    * fixed-memory path for percentiles over 100 TB — mergeable partials,
+    * bounded error. Sketch internals differ across engines, so rows-only
+    * (exact [[quantiles]] is the oracle-checked twin). */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("q_idx", "q")))
+      .select(col("l_returnflag"), col("q_idx").cast("long").as("q_idx"),
+        round(col("q"), 6).as("q"))
+      .orderBy("l_returnflag", "q_idx")
+
   /** Array-function breadth over the lineitem vector: sort, slice,
     * contains, sequence, element access — all list ops with exact DuckDB
     * twins. */
