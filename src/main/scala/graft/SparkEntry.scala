@@ -77,7 +77,8 @@ object SparkEntry {
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
     "events_props" -> ((s, dir) => Events.propsAgg(s, dir)),
-    "events_funnel" -> ((s, dir) => Events.funnel(s, dir)))
+    "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
+    "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)))
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -448,6 +449,13 @@ object SparkEntry {
         |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_sliding" ->
+      """WITH w AS (SELECT event_type, value,
+        |             unnest([epoch_us(date_trunc('hour', ts)),
+        |                     epoch_us(date_trunc('hour', ts)) - 3600000000]) AS win_us
+        |           FROM events)
+        |SELECT win_us, event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM w GROUP BY win_us, event_type ORDER BY win_us, event_type""".stripMargin,
     "events_funnel" ->
       """WITH v AS (SELECT user_id AS v_user, epoch_us(ts) AS v_us, event_id AS view_id
         |           FROM events WHERE event_type = 'view'),

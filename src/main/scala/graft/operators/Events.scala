@@ -24,6 +24,17 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("hour_us", "event_type")
 
+  /** Sliding event-time windows (2 h length, 1 h slide): every event
+    * contributes to exactly 2 overlapping windows — Spark expands the
+    * windows in a narrow projection before one hash aggregate. */
+  def slidingAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        unix_micros(window(col("ts"), "2 hours", "1 hour").getField("start")).as("win_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("win_us", "event_type")
+
   /** Gap-based sessionization (gap > 30 min): per-user lag + running
     * boundary count — one shuffle keyed by user, sort within partition.
     * This is the batch twin of the stateful streaming sessionizer. */
