@@ -71,7 +71,9 @@ object SparkEntry {
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)),
     "map_funcs" -> ((s, dir) => Relational.mapFuncs(s, dir)),
-    "approx_quantiles" -> ((s, dir) => Relational.approxQuantiles(s, dir)))
+    "approx_quantiles" -> ((s, dir) => Relational.approxQuantiles(s, dir)),
+    "cross_join" -> ((s, dir) => Relational.crossJoin(s, dir)),
+    "null_semantics" -> ((s, dir) => Relational.nullSemantics(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
@@ -86,7 +88,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLSH(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)),
-    "dedup_components" -> ((s, dir) => Dedup.components(s, dir)))
+    "dedup_components" -> ((s, dir) => Dedup.components(s, dir)),
+    "dedup_edit" -> ((s, dir) => Dedup.editDistancePairs(s, dir)))
 
   private def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
@@ -356,6 +359,16 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events GROUP BY event_type, k_mod
         |ORDER BY event_type, k_mod""".stripMargin,
+    "cross_join" ->
+      """SELECT r_name, n_name,
+        |       CAST(r_regionkey = n_regionkey AS BIGINT) AS is_home
+        |FROM region CROSS JOIN nation ORDER BY r_name, n_name""".stripMargin,
+    "null_semantics" ->
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        |  CAST(nullif(o_orderstatus, 'O') IS NULL AS BIGINT) AS was_open,
+        |  CAST(nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS BIGINT) AS nullsafe_is_f
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "map_funcs" ->
       s"""WITH t AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          |             MAP {'q': ${centsSql("l_quantity")}, 'p': ${centsSql("l_extendedprice")}} AS m
@@ -533,6 +546,15 @@ object SparkEntry {
          |$MINHASH_CTES
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
          |FROM res ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_edit" ->
+      s"""WITH $SHROWS,
+         |$MINHASH_CTES
+         |SELECT r.doc_a, r.doc_b,
+         |       CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+         |FROM res r JOIN documents x ON r.doc_a = x.doc_id
+         |           JOIN documents y ON r.doc_b = y.doc_id
+         |WHERE levenshtein(x.text, y.text) <= 50
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $SHROWS,
          |$MINHASH_CTES,

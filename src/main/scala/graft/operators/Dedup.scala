@@ -152,6 +152,23 @@ object Dedup {
     * round is one join + one aggregate shuffled on ids; rounds =
     * component diameter, tiny for dedup clusters). The driver sees only
     * a scalar change-count per round — nothing O(N). */
+  /** Edit-distance verification of the LSH candidates: exact Levenshtein
+    * over the candidate pairs' texts — the integer-exact fuzzy-match
+    * refinement (O(len²) per pair, so ONLY ever after candidate pruning;
+    * running it all-pairs would be quadratic in the corpus). */
+  def editDistancePairs(spark: SparkSession, sfDir: String,
+      maxDist: Int = 50): DataFrame = {
+    val pairs = minhashLSH(spark, sfDir).select("doc_a", "doc_b")
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Edge-count threshold below which [[components]] solves the graph
     * driver-side (union-find over a collected edge list — the same
     * small-side economics as a broadcast join). Above it, the

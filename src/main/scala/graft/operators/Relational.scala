@@ -114,6 +114,27 @@ object Relational {
         col("price_cents"), col("n"))
       .orderBy("o_orderstatus", "o_orderpriority")
 
+  /** Explicit cartesian product of two tiny dims — the one join shape
+    * where a cross product is the intended plan (materializing a
+    * dimension grid). Never for two large sides. */
+  def crossJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "region").crossJoin(Tables(spark, sfDir, "nation"))
+      .select(col("r_name"), col("n_name"),
+        (col("r_regionkey") === col("n_regionkey")).cast("long").as("is_home"))
+      .orderBy("r_name", "n_name")
+
+  /** NULL-semantics functions: nullif / coalesce / null-safe equality —
+    * the three-valued-logic surface, exercised on synthesized nulls. */
+  def nullSemantics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"))
+      .select(col("o_orderkey"),
+        coalesce(col("status_or_null"), lit("OPEN")).as("status_filled"),
+        col("status_or_null").isNull.cast("long").as("was_open"),
+        (col("status_or_null") <=> lit("F")).cast("long").as("nullsafe_is_f"))
+      .orderBy("o_orderkey")
+
   /** Theta (non-equi) join: parts matched to suppliers whose balance
     * falls inside a price band — no equi-key exists, so the right plan
     * for a SMALL right side is an explicit broadcast nested loop (each
