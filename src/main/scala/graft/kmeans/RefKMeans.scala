@@ -70,16 +70,25 @@ object RefKMeans {
         collectPoint(points
           .orderBy(xxhash64(col("id"), lit(cfg.seed)), col("id")).limit(1))._2
     }
-    val cents = scala.collection.mutable.ArrayBuffer(first)
-    while (cents.length < cfg.k) {
-      val far = points
-        .select(col("id"), col("features"),
-          minDistK(col("features"), cents.toArray).as("sq"))
-        .orderBy(desc("sq"), asc("id")).limit(1)
-        .select(col("id"), col("features"))
-      cents += collectPoint(far)._2
+    // ONE reused plan for all k−1 rounds: unfound slots hold sentinel
+    // centroids at Double.MaxValue — their squared distance overflows to
+    // +∞ and never wins the min, so filling slots in place is exactly
+    // the growing-set semantics (same analyzed plan + codegen each round,
+    // like the Lloyd loop below).
+    val d = first.length
+    val holder = Array.fill(cfg.k)(Array.fill(d)(Double.MaxValue))
+    holder(0) = first.clone()
+    val far = points
+      .select(col("id"), col("features"),
+        minDistK(col("features"), holder).as("sq"))
+      .orderBy(desc("sq"), asc("id")).limit(1)
+      .select(col("id"), col("features"))
+    var found = 1
+    while (found < cfg.k) {
+      holder(found) = collectPoint(far)._2
+      found += 1
     }
-    cents.toArray
+    holder
   }
 
   /** Full fit: seeding + Lloyd loop. `points` must have columns
