@@ -139,6 +139,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got == want, s"deduped stream: $got vs distinct batch: $want")
   }
 
+  test("streaming k-means refines deterministically across micro-batches") {
+    import org.apache.spark.sql.types._
+    val d = 64
+    val srcDir = Files.createTempDirectory("graft_skm").toString
+    // two micro-batches: embeddings split by parity of vec_id
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("features"))
+    emb.filter(col("id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b0")
+    emb.filter(col("id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b1")
+    def run(): (Array[Array[Double]], Long) = {
+      val model = new graft.streaming.StreamingKMeans(k = 4, d = d)
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("features", ArrayType(DoubleType))))
+      val q = model.fitStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir + "/*")).start()
+      q.processAllAvailable(); q.stop()
+      val sizes = model.transform(emb).groupBy("cluster_id").count()
+      (model.centroids, sizes.agg(sum("count")).head().getLong(0))
+    }
+    val (c1, n1) = run()
+    val (c2, n2) = run()
+    assert(c1.length == 4 && n1 == emb.count() && n2 == n1)
+    // same file order → identical model (deterministic update)
+    for (i <- c1.indices; j <- 0 until d) assert(c1(i)(j) == c2(i)(j))
+  }
+
   test("stateful sessionization matches the batch sessionizer") {
     runToCompletion(EventStream.sessionize(spark, EventStream.readEvents(spark, dir)).toDF(), "sessions")
     val got = spark.table("sessions")
