@@ -73,7 +73,10 @@ object SparkEntry {
     "map_funcs" -> ((s, dir) => Relational.mapFuncs(s, dir)),
     "approx_quantiles" -> ((s, dir) => Relational.approxQuantiles(s, dir)),
     "cross_join" -> ((s, dir) => Relational.crossJoin(s, dir)),
-    "null_semantics" -> ((s, dir) => Relational.nullSemantics(s, dir)))
+    "null_semantics" -> ((s, dir) => Relational.nullSemantics(s, dir)),
+    "explode_outer" -> ((s, dir) => Relational.explodeOuter(s, dir)),
+    "regexp_funcs" -> ((s, dir) => Relational.regexpFuncs(s, dir)),
+    "time_rollup" -> ((s, dir) => Relational.timeRollup(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
@@ -359,6 +362,32 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events GROUP BY event_type, k_mod
         |ORDER BY event_type, k_mod""".stripMargin,
+    "explode_outer" ->
+      """WITH t AS (SELECT o_orderkey,
+        |             string_split_regex(o_orderpriority, '[- ]')[3:] AS l3 FROM orders),
+        |e AS (SELECT o_orderkey,
+        |             CASE WHEN len(l3) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l3 END AS le
+        |      FROM t),
+        |u AS (SELECT o_orderkey, unnest(le) AS w,
+        |             generate_subscripts(le, 1) - 1 AS p FROM e)
+        |SELECT o_orderkey,
+        |       CAST(coalesce(CASE WHEN w IS NULL THEN NULL ELSE p END, -1) AS BIGINT) AS pos,
+        |       coalesce(w, '-') AS word
+        |FROM u ORDER BY o_orderkey, pos""".stripMargin,
+    "regexp_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '([A-Z]+)', 1) AS first_upper,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  CAST(regexp_matches(p_type, '[0-9]') AS BIGINT) AS has_digit,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "time_rollup" ->
+      s"""SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS y,
+         |       coalesce(CAST(month(o_orderdate) AS BIGINT), -1) AS m,
+         |       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS price_cents,
+         |       count(*) AS n
+         |FROM orders GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+         |ORDER BY y, m""".stripMargin,
     "cross_join" ->
       """SELECT r_name, n_name,
         |       CAST(r_regionkey = n_regionkey AS BIGINT) AS is_home

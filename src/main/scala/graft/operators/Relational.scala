@@ -114,6 +114,44 @@ object Relational {
         col("price_cents"), col("n"))
       .orderBy("o_orderstatus", "o_orderpriority")
 
+  /** Lateral explode with outer semantics: each order key expands to its
+    * priority's words; orders whose priority has no second word still
+    * survive (null row) — `posexplode_outer`, the UDTF-shaped surface. */
+  def explodeOuter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        posexplode_outer(slice(split(col("o_orderpriority"), "[- ]"), 3, 10))
+          .as(Seq("pos", "word")))
+      .select(col("o_orderkey"),
+        coalesce(col("pos").cast("long"), lit(-1L)).as("pos"),
+        coalesce(col("word"), lit("-")).as("word"))
+      .orderBy("o_orderkey", "pos")
+
+  /** Regex-function breadth: extract, global replace, match test, and
+    * count of matches — identical char-class semantics across engines. */
+  def regexpFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_upper"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_type").rlike("[0-9]").cast("long").as("has_digit"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"))
+      .orderBy("p_partkey")
+
+  /** Calendar rollup (year → month) of order revenue: the standard
+    * time-hierarchy report — one Expand + aggregate pass. */
+  def timeRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        cents(col("o_totalprice")).as("pc"))
+      .rollup(col("y"), col("m"))
+      .agg(sum(col("pc")).as("price_cents"), count(lit(1)).as("n"))
+      .select(coalesce(col("y"), lit(-1L)).as("y"),
+        coalesce(col("m"), lit(-1L)).as("m"),
+        col("price_cents"), col("n"))
+      .orderBy("y", "m")
+
   /** Explicit cartesian product of two tiny dims — the one join shape
     * where a cross product is the intended plan (materializing a
     * dimension grid). Never for two large sides. */
