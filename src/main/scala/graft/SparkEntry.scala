@@ -76,7 +76,9 @@ object SparkEntry {
     "null_semantics" -> ((s, dir) => Relational.nullSemantics(s, dir)),
     "explode_outer" -> ((s, dir) => Relational.explodeOuter(s, dir)),
     "regexp_funcs" -> ((s, dir) => Relational.regexpFuncs(s, dir)),
-    "time_rollup" -> ((s, dir) => Relational.timeRollup(s, dir)))
+    "time_rollup" -> ((s, dir) => Relational.timeRollup(s, dir)),
+    "hof_funcs" -> ((s, dir) => Relational.hofFuncs(s, dir)),
+    "date_spine" -> ((s, dir) => Relational.dateSpine(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
@@ -362,6 +364,25 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events GROUP BY event_type, k_mod
         |ORDER BY event_type, k_mod""".stripMargin,
+    "hof_funcs" ->
+      s"""WITH t AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |             [${centsSql("l_quantity")}, ${centsSql("l_extendedprice")},
+         |              ${centsSql("l_discount")}, ${centsSql("l_tax")}] AS v FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST(list_sum(list_transform(v, x -> x * 2)) AS BIGINT) AS doubled_sum,
+         |  CAST(len(list_filter(v, x -> x > 1000)) AS BIGINT) AS n_over,
+         |  CAST(len(list_filter(v, x -> x = 0)) > 0 AS BIGINT) AS any_zero,
+         |  CAST(len(list_filter(v, x -> x < 0)) = 0 AS BIGINT) AS all_nonneg
+         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "date_spine" ->
+      """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |           FROM orders WHERE o_orderkey % 1000 = 0),
+        |s AS (SELECT o_orderkey, unnest(generate_series(d, d + 5, INTERVAL 1 DAY)) AS day,
+        |             generate_subscripts(generate_series(d, d + 5, INTERVAL 1 DAY), 1) - 1 AS i
+        |      FROM t)
+        |SELECT o_orderkey, CAST(i AS BIGINT) AS i,
+        |       strftime(day, '%Y-%m-%d') AS day_str
+        |FROM s ORDER BY o_orderkey, i""".stripMargin,
     "explode_outer" ->
       """WITH t AS (SELECT o_orderkey,
         |             string_split_regex(o_orderpriority, '[- ]')[3:] AS l3 FROM orders),

@@ -152,6 +152,34 @@ object Relational {
         col("price_cents"), col("n"))
       .orderBy("y", "m")
 
+  /** Higher-order array functions as user surface: transform / filter /
+    * exists / forall / aggregate over the integer-cents vector — all
+    * integer arithmetic, so exactly reproducible. */
+  def hofFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        array(cents(col("l_quantity")), cents(col("l_extendedprice")),
+          cents(col("l_discount")), cents(col("l_tax"))).as("v"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        aggregate(transform(col("v"), x => x * 2), lit(0L), (a, x) => a + x).as("doubled_sum"),
+        size(filter(col("v"), x => x > 1000L)).cast("long").as("n_over"),
+        exists(col("v"), x => x === 0L).cast("long").as("any_zero"),
+        forall(col("v"), x => x >= 0L).cast("long").as("all_nonneg"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Date spine: one row per day of each order's 6-day window —
+    * `sequence` + explode, the standard calendar-densification pattern
+    * (gap filling, as-of backfills). Thinned to every 1000th order. */
+  def dateSpine(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .select(col("o_orderkey"),
+        posexplode(sequence(col("d"), date_add(col("d"), 5))).as(Seq("i", "day")))
+      .select(col("o_orderkey"), col("i").cast("long").as("i"),
+        date_format(col("day"), "yyyy-MM-dd").as("day_str"))
+      .orderBy("o_orderkey", "i")
+
   /** Explicit cartesian product of two tiny dims — the one join shape
     * where a cross product is the intended plan (materializing a
     * dimension grid). Never for two large sides. */
