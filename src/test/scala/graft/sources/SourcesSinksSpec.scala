@@ -119,6 +119,32 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(q.count() > 0 && q.count() < events.count())
   }
 
+  test("schema evolution: mergeSchema unions parquet files with differing columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evo").toString
+    Seq((1L, 10.0)).toDF("id", "x").write.parquet(s"$dir/v1")
+    Seq((2L, "b")).toDF("id", "y").write.parquet(s"$dir/v2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+    assert(merged.columns.sorted.toSeq == Seq("id", "x", "y"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("id") === 2).head().isNullAt(merged.columns.indexOf("x")))
+  }
+
+  test("cached tables serve scans from memory (InMemoryTableScan)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    df.createOrReplaceTempView("orders_cache_t")
+    spark.catalog.cacheTable("orders_cache_t")
+    try {
+      val q = spark.table("orders_cache_t").groupBy("o_orderstatus").count()
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage")
+          || plan.contains("InMemoryRelation"),
+        "cached scan missing from plan:\n" + plan)
+    } finally spark.catalog.uncacheTable("orders_cache_t")
+  }
+
   test("catalog listing enumerates the sf tables (O3)") {
     val ds = Sinks.listDatasets(spark, "/root/testdata/sf0.001")
     assert(ds.contains("lineitem") && ds.contains("embeddings") && ds.size == 10)
