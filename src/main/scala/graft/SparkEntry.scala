@@ -156,6 +156,8 @@ object SparkEntry {
     // cluster-quality evaluation (centroid-based silhouette, WCSS/elbow)
     "kmeans_silhouette" -> ((s, dir) => KMeansSteps.silhouette(s, dir)),
     "kmeans_wcss" -> ((s, dir) => KMeansSteps.wcss(s, dir)),
+    // O20/O21 — the scatter chart's data payload
+    "kmeans_scatter_data" -> ((s, dir) => KMeansSteps.scatterData(s, dir)),
     // M3 — full iterative fit (not SQL-expressible; rows-only check)
     "kmeans_fit" -> ((s, dir) =>
       RefKMeans.fitSizes(s, Tables.points(s, dir),
@@ -827,6 +829,28 @@ object SparkEntry {
          |SELECT vec_id, CAST(CASE WHEN dim < 32 THEN 0 ELSE 1 END AS BIGINT) AS bucket,
          |       round(sum(x) / count(*), 6) AS value
          |FROM l GROUP BY vec_id, 2 ORDER BY vec_id, bucket""".stripMargin,
+    "kmeans_scatter_data" ->
+      s"""WITH $PTS, $CENTS, $ASSIGN,
+         |l AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM pts),
+         |r2 AS (SELECT vec_id, CASE WHEN dim < 32 THEN 0 ELSE 1 END AS b,
+         |              sum(x) / count(*) AS val
+         |       FROM l GROUP BY vec_id, b),
+         |pxy AS (SELECT vec_id, min(CASE WHEN b = 0 THEN val END) AS x,
+         |               min(CASE WHEN b = 1 THEN val END) AS y
+         |        FROM r2 GROUP BY vec_id),
+         |pout AS (SELECT CAST(a.cid AS BIGINT) AS cluster_id, p.vec_id,
+         |                round(p.x, 6) AS x, round(p.y, 6) AS y
+         |         FROM pxy p JOIN a USING (vec_id)),
+         |cl AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM cents),
+         |cr AS (SELECT cid, CASE WHEN dim < 32 THEN 0 ELSE 1 END AS b,
+         |              sum(x) / count(*) AS val
+         |       FROM cl GROUP BY cid, b),
+         |cout AS (SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(-1 AS BIGINT) AS vec_id,
+         |                round(min(CASE WHEN b = 0 THEN val END), 6) AS x,
+         |                round(min(CASE WHEN b = 1 THEN val END), 6) AS y
+         |         FROM cr GROUP BY cid)
+         |SELECT * FROM (SELECT * FROM pout UNION ALL SELECT * FROM cout)
+         |ORDER BY cluster_id, vec_id""".stripMargin,
     "kmeans_wcss" ->
       s"""WITH $PTS, $CENTS,
          |d AS (SELECT p.vec_id, c.cid, list_distance(p.v, c.c) AS dist

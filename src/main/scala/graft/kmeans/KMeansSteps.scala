@@ -179,6 +179,32 @@ object KMeansSteps {
       .orderBy("vec_id", "bucket")
   }
 
+  /** The scatter-plot payload (`plot/plotter.go:16-81`): every point as
+    * (cluster_id, vec_id, 2-D reshape) plus each centroid reshaped the
+    * same way under vec_id = −1 — the exact data series the reference
+    * renders; rendering itself stays client-side. */
+  def scatterData(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = centroids(spark, sfDir)
+    val d = 64
+    val ptsXY = pts(spark, sfDir)
+      .select(nearestCidK(col("features"), centArr(cs)).cast("long").as("cluster_id"),
+        col("id").as("vec_id"), reshape(col("features"), d, 2).as("r"))
+      .select(col("cluster_id"), col("vec_id"),
+        round(element_at(col("r"), 1), 6).as("x"),
+        round(element_at(col("r"), 2), 6).as("y"))
+    // centroid rows run through the SAME reshape expression as the
+    // points (identical fold + rounding semantics)
+    val centXY = spark
+      .createDataFrame(cs.map { case (cid, v) => (cid.toLong, v.toSeq) })
+      .toDF("cluster_id", "features")
+      .select(col("cluster_id"), lit(-1L).as("vec_id"),
+        reshape(col("features"), d, 2).as("r"))
+      .select(col("cluster_id"), col("vec_id"),
+        round(element_at(col("r"), 1), 6).as("x"),
+        round(element_at(col("r"), 2), 6).as("y"))
+    ptsXY.unionByName(centXY).orderBy("cluster_id", "vec_id")
+  }
+
   /** O22 — intra-set cohesion: per label, the mean over points of the mean
     * distance to all *other* points of the label, skipping zero distances
     * (`utils/utils.go:57-86`). Self-join keyed by label — co-partitioned
