@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 import graft.kmeans.{KMeansSteps, MLlibKMeans, RefKMeans}
 import graft.functions.HashOps
-import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md §C.
@@ -85,7 +85,8 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
     "events_props" -> ((s, dir) => Events.propsAgg(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
-    "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)))
+    "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)),
+    "ts_motif" -> ((s, dir) => TimeSeries.motifTopK(s, dir)))
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -514,6 +515,28 @@ object SparkEntry {
         |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_motif" ->
+      s"""WITH w0 AS (SELECT user_id, event_id, ts, value,
+         |              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                ROWS BETWEEN CURRENT ROW AND ${TimeSeries.WIN - 1} FOLLOWING) AS win,
+         |              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS start_seq
+         |            FROM events),
+         |f AS (SELECT user_id, start_seq, win FROM w0 WHERE len(win) = ${TimeSeries.WIN}),
+         |zz AS (SELECT user_id, start_seq,
+         |              list_transform(win, x -> (x - m) / greatest(sd, 1e-12)) AS zw
+         |       FROM (SELECT *, list_sum(win) / ${TimeSeries.WIN} AS m,
+         |                    sqrt(list_sum(list_transform(win,
+         |                      x -> (x - list_sum(win) / ${TimeSeries.WIN})
+         |                         * (x - list_sum(win) / ${TimeSeries.WIN}))) / ${TimeSeries.WIN}) AS sd
+         |             FROM f)),
+         |qsel AS (SELECT user_id AS qu, start_seq AS qs, zw AS qw FROM zz
+         |         ORDER BY user_id, start_seq LIMIT 1)
+         |SELECT z.user_id, z.start_seq,
+         |       round(list_distance(z.zw, q.qw), 6) AS dist
+         |FROM zz z CROSS JOIN qsel q
+         |WHERE NOT (z.user_id = q.qu AND z.start_seq = q.qs)
+         |ORDER BY list_distance(z.zw, q.qw), z.user_id, z.start_seq
+         |LIMIT 10""".stripMargin,
     "events_sliding" ->
       """WITH w AS (SELECT event_type, value,
         |             unnest([epoch_us(date_trunc('hour', ts)),

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** Time-series subsequence similarity search over the per-user event
+  * value series — the UCR-suite query shape (z-normalized Euclidean
+  * distance between fixed-length sliding windows; cf. the distributed
+  * data-series search literature in PAPERS.md).
+  *
+  * Scale shape: windows materialize per user with ONE window function
+  * (shuffle keyed by user); the z-normalization is a per-row expression;
+  * the 1-vs-all scan is a narrow map against the broadcast (literal)
+  * query window — no pairwise blow-up. A full all-pairs motif search
+  * would LSH-bucket the z-normalized windows exactly like
+  * [[Dedup.simhashPairs]] buckets signatures.
+  */
+object TimeSeries {
+
+  val WIN = 8
+
+  /** All full-length z-normalized windows: (user_id, start_seq, zw). */
+  private[operators] def zWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val mean = aggregate(col("win"), lit(0.0), (a, x) => a + x) / WIN
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("win", collect_list("value").over(byUser.rowsBetween(0, WIN - 1)))
+      .withColumn("start_seq", row_number().over(byUser).cast("long"))
+      .filter(size(col("win")) === WIN)
+      .withColumn("m", mean)
+      .withColumn("sd", sqrt(
+        aggregate(transform(col("win"), x => (x - col("m")) * (x - col("m"))),
+          lit(0.0), (a, x) => a + x) / WIN))
+      .select(col("user_id"), col("start_seq"),
+        transform(col("win"), x => (x - col("m")) / greatest(col("sd"), lit(1e-12)))
+          .as("zw"))
+  }
+
+  /** Top-k nearest windows to the corpus's first window (lowest user id,
+    * first position) under z-normalized Euclidean distance. */
+  def motifTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val z = zWindows(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qRow = z.orderBy("user_id", "start_seq").head()
+    val (qUser, qStart) = (qRow.getLong(0), qRow.getLong(1))
+    val qLit = array(qRow.getSeq[Double](2).map(lit(_)): _*)
+    z.filter(!(col("user_id") === qUser && col("start_seq") === qStart))
+      .select(col("user_id"), col("start_seq"),
+        VectorOps.dist(col("zw"), qLit).as("d"))
+      .orderBy(asc("d"), asc("user_id"), asc("start_seq"))
+      .limit(k)
+      .select(col("user_id"), col("start_seq"), round(col("d"), 6).as("dist"))
+  }
+}
