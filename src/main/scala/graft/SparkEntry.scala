@@ -86,7 +86,8 @@ object SparkEntry {
     "events_props" -> ((s, dir) => Events.propsAgg(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
     "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)),
-    "ts_motif" -> ((s, dir) => TimeSeries.motifTopK(s, dir)))
+    "ts_motif" -> ((s, dir) => TimeSeries.motifTopK(s, dir)),
+    "ts_cluster" -> ((s, dir) => TimeSeries.shapeClusters(s, dir)))
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),

@@ -41,6 +41,20 @@ object TimeSeries {
           .as("zw"))
   }
 
+  /** Shape clustering of the series corpus: the reference k-means fit
+    * over all z-normalized windows (cf. distributed trajectory clustering,
+    * PAPERS.md) — windows become (id, features) points, so the whole
+    * RefKMeans machinery (plan-reuse, empty-cluster carry) applies
+    * unchanged. Iterative → rows-only at the gate. */
+  def shapeClusters(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame = {
+    val pts = zWindows(spark, sfDir)
+      .select((col("user_id") * 1000000L + col("start_seq")).as("id"),
+        col("zw").as("features"))
+    graft.kmeans.RefKMeans.fitSizes(spark, pts,
+        graft.kmeans.RefKMeans.Config(k = k, seed = 11L))
+      .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))
+  }
+
   /** Top-k nearest windows to the corpus's first window (lowest user id,
     * first position) under z-normalized Euclidean distance. */
   def motifTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
