@@ -46,12 +46,16 @@ object TimeSeries {
     * PAPERS.md) — windows become (id, features) points, so the whole
     * RefKMeans machinery (plan-reuse, empty-cluster carry) applies
     * unchanged. Iterative → rows-only at the gate. */
-  def shapeClusters(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame = {
+  def shapeClusters(spark: SparkSession, sfDir: String, k: Int = 4,
+      stride: Int = 4): DataFrame = {
+    // stride the window starts: fully-overlapping subsequences are
+    // near-duplicates that quadruple the fit for no clustering signal
     val pts = zWindows(spark, sfDir)
+      .filter(col("start_seq") % stride === 1)
       .select((col("user_id") * 1000000L + col("start_seq")).as("id"),
         col("zw").as("features"))
     graft.kmeans.RefKMeans.fitSizes(spark, pts,
-        graft.kmeans.RefKMeans.Config(k = k, seed = 11L))
+        graft.kmeans.RefKMeans.Config(k = k, seed = 11L, maxIter = 25))
       .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))
   }
 
