@@ -30,7 +30,9 @@ object MLlibKMeans {
     * [[RefKMeans.fitSizes]]. */
   def fitSizes(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
     val pts = graft.sources.Tables.points(spark, sfDir)
-    fitPredictions(spark, pts, k)
+    // tol-based early stop usually fires well before this cap; the cap
+    // only bounds the pathological case
+    fitPredictions(spark, pts, k, maxIter = 30)
       .groupBy("cluster_id").agg(count(lit(1)).as("n"))
       .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))
       .orderBy("cluster_id")

@@ -63,9 +63,11 @@ object Similarity {
     * oracle-checked twin of the same probe machinery). */
   def ivfTrainedTopK(spark: SparkSession, sfDir: String,
       nlist: Int = 8, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    // a coarse quantizer needs rough cell boundaries, not convergence —
+    // a tight iteration cap is standard IVF training practice
     val pts = Tables.points(spark, sfDir)
     val res = graft.kmeans.RefKMeans.fit(pts,
-      graft.kmeans.RefKMeans.Config(k = nlist, seed = 7L))
+      graft.kmeans.RefKMeans.Config(k = nlist, seed = 7L, maxIter = 10))
     ivfTopKWith(spark, sfDir, res.centroids.toSeq, nQueries, k, nprobe)
   }
 
