@@ -114,6 +114,7 @@ object SparkEntry {
         .select(col("w"), col("df"), col("cf"))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(s, dir)),
     "sketch_cms" -> ((s, dir) => TextAnalysis.cmsEstimates(s, dir)),
+    "text_chargrams" -> ((s, dir) => TextAnalysis.charTrigrams(s, dir)),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(s, dir)))
 
   private def kmeansQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -782,6 +783,14 @@ object SparkEntry {
           |SELECT doc_id, CAST(rank AS BIGINT) AS rank, w, CAST(tf AS BIGINT) AS tf,
           |       CAST(df AS BIGINT) AS df, round(score, 6) AS score
           |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+      "text_chargrams" ->
+        """WITH g AS (SELECT unnest(CASE WHEN length(text) >= 3
+          |             THEN list_transform(generate_series(1, length(text) - 2),
+          |                                 i -> substring(text, i, 3))
+          |             ELSE [] END) AS g
+          |           FROM documents)
+          |SELECT g, count(*) AS cf FROM g GROUP BY g
+          |ORDER BY cf DESC, g LIMIT 30""".stripMargin,
       "sketch_cms" -> {
         val W = TextAnalysis.CMS_WIDTH
         val D = TextAnalysis.CMS_DEPTH

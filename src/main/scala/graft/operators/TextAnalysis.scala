@@ -109,6 +109,23 @@ object TextAnalysis {
       .orderBy(desc("cf"), asc("w"))
       .limit(topN)
 
+  /** Corpus character-trigram profile: the language-ID building block
+    * (char n-gram distributions) as a first-class query — top-N trigrams
+    * by frequency. One narrow explode of per-row substrings + one hash
+    * aggregate; no tokenizer dependence. Short texts guard to an empty
+    * list (Spark `sequence` DESCENDS when stop < start). */
+  def charTrigrams(spark: SparkSession, sfDir: String, topN: Int = 30): DataFrame = {
+    val grams = when(length(col("text")) >= 3,
+      transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    Tables(spark, sfDir, "documents")
+      .select(explode(grams).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), asc("g"))
+      .limit(topN)
+  }
+
   /** TF-IDF top-k terms per document. idf is the rational N/df (NOT
     * log-scaled: ln is libm-dependent and not bit-portable across
     * engines — FIXTURES.md §C; the induced ranking is identical for
