@@ -25,15 +25,23 @@ object Bench {
     // branched pipeline's persist() doesn't tax its successors
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+        false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> dt
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // a crashed query must be visible in the JSON, not silently folded
+    // into the total as its time-to-failure
+    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,12 +55,22 @@ object Joins {
     * equi-join on (key, bin) with the range as residual predicate —
     * replication bounded at 2×, partitions cleanly at any scale. */
   def interval(left: DataFrame, right: DataFrame, lenUs: Long): DataFrame = {
+    // exact integer FLOOR division: (x - pmod(x, len)) div len. Column
+    // '/' would roundtrip through double (loses precision past 2^53) and
+    // cast('long') truncates toward zero, so a negative point and its
+    // containing window could bin non-adjacently and silently drop the
+    // match. pmod is nonnegative, so the numerator is the floor multiple
+    // and the IntegralDivide stays in 64-bit integer arithmetic.
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def floorBin(c: Column): Column = column(IntegralDivide(
+      expression((c - pmod(c, lit(lenUs))).cast("long")),
+      expression(lit(lenUs)))).cast("long")
     val r = right
       .withColumn("_bin", explode(array(
-        (col("start_us") / lenUs).cast("long"),
-        (col("start_us") / lenUs).cast("long") + 1)))
+        floorBin(col("start_us")), floorBin(col("start_us")) + 1)))
       .withColumnRenamed("key", "_rkey")
-    val l = left.withColumn("_lbin", (col("ts_us") / lenUs).cast("long"))
+    val l = left.withColumn("_lbin", floorBin(col("ts_us")))
     l.join(r, col("key") === col("_rkey") && col("_lbin") === col("_bin") &&
         col("ts_us") >= col("start_us") && col("ts_us") < col("start_us") + lenUs)
       .drop("_rkey", "_bin", "_lbin")

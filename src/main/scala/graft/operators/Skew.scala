@@ -19,17 +19,21 @@ object Skew {
     * identical to `left.join(right, key)` — only the shuffle layout
     * changes: a key holding p% of the rows caps a task at p/salts%.
     *
-    * The salt is drawn from a hash of the left row's partition/offset —
-    * deterministic enough to be stable within a job, irrelevant to the
-    * result. Replication multiplies the right side's shuffle volume by
-    * `salts`: use for genuinely skewed fact⋈fact joins where the right
-    * side is the smaller (but non-broadcastable) relation.
+    * The salt is a deterministic hash of the WHOLE left row (all columns),
+    * never of partition ids or ingest offsets: task recomputation after a
+    * fetch failure must re-derive identical salts or the shuffle becomes
+    * indeterminate (SPARK-23207 class — modern Spark aborts such stages
+    * rather than corrupt, but the job still dies). Identical duplicate
+    * rows share a salt, which is correct (they carry identical join
+    * results) and still splits a hot KEY as long as its rows differ in
+    * any other column. Replication multiplies the right side's shuffle
+    * volume by `salts`: use for genuinely skewed fact⋈fact joins where
+    * the right side is the smaller (but non-broadcastable) relation.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
     val l = left.withColumn("_salt",
-      pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()),
-        lit(salts)))
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val r = right.withColumn("_salt",
       explode(array((0 until salts).map(lit(_)): _*)))
     l.join(r, l("_salt") === r("_salt") && l(key) === r(key))

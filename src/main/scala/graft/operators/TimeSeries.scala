@@ -50,9 +50,18 @@ object TimeSeries {
       stride: Int = 4): DataFrame = {
     // stride the window starts: fully-overlapping subsequences are
     // near-duplicates that quadruple the fit for no clustering signal
+    // composite point id = user_id << 40 | start_seq: 2^40 window starts
+    // per user before aliasing (vs 10^6 with a decimal multiplier, which
+    // a 100TB user stream could overflow into a neighbor's id space and
+    // silently corrupt the fit's firstId tie-breaks). Guarded, not
+    // assumed: an out-of-range start_seq fails the job loudly.
     val pts = zWindows(spark, sfDir)
       .filter(col("start_seq") % stride === 1)
-      .select((col("user_id") * 1000000L + col("start_seq")).as("id"),
+      .select(
+        when(col("start_seq") < lit(1L << 40) && col("user_id") < lit(1L << 23),
+          shiftleft(col("user_id"), 40) + col("start_seq"))
+          .otherwise(raise_error(lit("shapeClusters: id space overflow")))
+          .as("id"),
         col("zw").as("features"))
     graft.kmeans.RefKMeans.fitSizes(spark, pts,
         graft.kmeans.RefKMeans.Config(k = k, seed = 11L, maxIter = 25))

@@ -15,12 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *   aggregate(zip_with(a, b, (x,y) -> x*y), 0.0D, (s,v) -> s+v)
   *     ==> vec_dot(a, b)               ([[DotProduct]])
   *
-  * Exact under the engine's data model (§1: dense fixed-dimension
-  * vectors): the kernels fold left-to-right like the HOF they replace,
-  * so results are bit-identical. (For ragged pairs the HOF yields NULL
-  * via zip_with padding while the kernels fold the common prefix — the
-  * rule therefore only fires on ARRAY<DOUBLE> inputs, the engine's
-  * vector columns, which are fixed-dimension by contract.)
+  * Exact on ANY input, not just the engine's vector columns: the kernels
+  * fold left-to-right like the HOF they replace (bit-identical sums) and
+  * reproduce the HOF's NULL semantics — ragged pairs and NULL elements
+  * both yield NULL ([[VectorFoldExpression]] guards at runtime; the
+  * per-element null test is compiled out when the schema proves
+  * `containsNull = false`). So the rewrite is semantics-preserving even
+  * for user queries over nullable arrays (ADVICE r2).
   *
   * Injected via `graft.functions.GraftExtensions`
   * (`spark.sql.extensions`) or ad hoc through

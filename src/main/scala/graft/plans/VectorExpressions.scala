@@ -24,6 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 abstract class VectorFoldExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // NULL semantics match the HOF fold exactly (so [[NativeKernelRule]]'s
+  // rewrite is provably semantics-preserving on ANY input, not just the
+  // engine's non-null fixed-dimension vectors): ragged lengths → NULL
+  // (zip_with pads the short side with null) and any NULL element → NULL
+  // (null poisons the arithmetic and the running sum). Hence nullable
+  // even over non-null inputs — raggedness is a runtime property.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
       case ArrayType(DoubleType, _) => true
@@ -39,13 +47,20 @@ abstract class VectorFoldExpression extends BinaryExpression {
   protected def summandJava(x: String, y: String): String
   protected def summand(x: Double, y: Double): Double
 
+  private def mayContainNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += summand(x.getDouble(i), y.getDouble(i))
       i += 1
     }
@@ -57,13 +72,24 @@ abstract class VectorFoldExpression extends BinaryExpression {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // per-element null test only when the schema can't rule nulls out —
+      // the engine's vector columns keep the branch-free tight loop
+      val nullGuard =
+        if (mayContainNullElems(left) || mayContainNullElems(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${summandJava(s"$a.getDouble($i)", s"$b.getDouble($i)")};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $s += ${summandJava(s"$a.getDouble($i)", s"$b.getDouble($i)")};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 }

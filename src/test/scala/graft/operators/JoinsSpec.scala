@@ -59,4 +59,22 @@ class JoinsSpec extends AnyFunSuite {
     } yield (lid, rid)).toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("Joins.interval handles negative timestamps (floor, not truncate, binning)") {
+    import spark.implicits._
+    val len = 100L
+    // center the time axis on zero so windows straddle the sign boundary
+    val lRows = mkLeft(300).map { case (k, ts, id) => (k, ts - 500L, id) }
+    val rRows = mkRight(200).map { case (k, s, id) => (k, s - 500L, id) }
+    val got = Joins.interval(
+        lRows.toDF("key", "ts_us", "lid"), rRows.toDF("key", "start_us", "rid"), len)
+      .select("lid", "rid")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for {
+      (lk, lts, lid) <- lRows
+      (rk, rs, rid) <- rRows
+      if lk == rk && lts >= rs && lts < rs + len
+    } yield (lid, rid)).toSet
+    assert(got == want && want.nonEmpty)
+  }
 }
