@@ -23,7 +23,11 @@ object Bench {
     } catch { case _: Throwable => }
     // deterministic run order; clear leaked caches between queries so a
     // branched pipeline's persist() doesn't tax its successors
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop subset filter (unset for the driver's full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>

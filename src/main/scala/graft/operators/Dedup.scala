@@ -74,17 +74,20 @@ object Dedup {
     * score is exactly reproducible. Output pairs with j ≥ threshold. */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
-    val sh = shingleRows(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // posting-list pair generation: ONE groupBy(shh) builds each rare
     // shingle's (sorted, ≤maxDf) doc list, and ordered pairs expand as a
     // narrow per-group loop — replaces a 2-sided self-join shuffle of all
     // shingle rows, and the df cap bounds each group's fan-out at
     // maxDf·(maxDf−1)/2. Same pair multiset as the join formulation.
-    val lists = sh.groupBy("shh")
+    // The shingle table is read ONCE: per-doc restricted set sizes come
+    // from re-exploding the compact posting lists (shingles are distinct
+    // per doc, so explode(ds) IS the kept (shh, doc) row set) instead of
+    // joining the full shingle table back against the kept keys.
+    val lists = shingleRows(spark, sfDir).groupBy("shh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDf)
-    val sz = sh.join(lists.select(col("shh")), "shh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = lists.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairExpr = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + 2, size(col("ds"))), y =>

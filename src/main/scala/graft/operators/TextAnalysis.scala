@@ -136,8 +136,14 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    // tf is distinct on (doc_id, w), so document frequency is a second
+    // tiny aggregate over tf — NOT a second tokenize+distinct pass over
+    // the corpus (tokenization is a lambda HOF: it never CSEs across
+    // plan branches, so the old tok.distinct() re-read every document).
+    // tf is persisted because both the join and df branch from it.
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val df = tok.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = Tables(spark, sfDir, "documents").count()
     val win = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
     tf.join(df, "w")
