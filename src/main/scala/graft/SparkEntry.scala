@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 import graft.kmeans.{KMeansSteps, MLlibKMeans, RefKMeans}
 import graft.functions.HashOps
-import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Events, Multimodal, Pipeline, Relational, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md §C.
@@ -27,7 +27,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     kmeansQueries ++ textQueries ++ dedupQueries ++ annQueries ++
-      relationalQueries ++ eventQueries ++ multimodalQueries
+      relationalQueries ++ eventQueries ++ multimodalQueries ++
+      pipelineQueries
 
   private def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
@@ -80,7 +81,13 @@ object SparkEntry {
     "hof_funcs" -> ((s, dir) => Relational.hofFuncs(s, dir)),
     "date_spine" -> ((s, dir) => Relational.dateSpine(s, dir)))
 
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> ((s, dir) => Pipeline.packSequences(s, dir)),
+    "text_pii_scrub" -> ((s, dir) => Pipeline.piiScrub(s, dir)),
+    "sample_stratified" -> ((s, dir) => Pipeline.stratifiedSample(s, dir)))
+
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> ((s, dir) => Events.retention(s, dir)),
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
     "events_props" -> ((s, dir) => Events.propsAgg(s, dir)),
@@ -196,7 +203,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     kmeansOracle ++ textOracle ++ dedupOracle ++ annOracle ++
-      relationalOracle ++ eventOracle ++ multimodalOracle
+      relationalOracle ++ eventOracle ++ multimodalOracle ++
+      pipelineOracle
 
   private def multimodalOracle: Map[String, String] = Map(
     "multimodal_resize" ->
@@ -498,7 +506,30 @@ object SparkEntry {
         |       CAST(len(v) AS BIGINT) AS n_el
         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
+  private def pipelineOracle: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT shard, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                              ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT shard, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY shard, seq""".stripMargin,
+    "text_pii_scrub" -> Pipeline.piiScrubOracle,
+    "sample_stratified" -> Pipeline.stratifiedSampleOracle)
+
   private def eventOracle: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort
+        |      FROM e)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |       CAST(d - cohort AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     "events_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
         |       count(*) AS n, round(sum(value), 6) AS sum_value

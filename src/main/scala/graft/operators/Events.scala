@@ -88,4 +88,24 @@ object Events {
       .groupBy("event_type")
       .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
+
+  /** Cohort retention: users grouped by first-seen day, distinct actives
+    * counted per (cohort, day offset) — the standard retention triangle.
+    *
+    * The cohort date comes from a min-over-user window, not a self-join:
+    * one shuffle keyed by user_id computes first-seen AND tags every
+    * event in the same pass (a groupBy+join formulation would shuffle
+    * the events twice). The distinct count then reduces to the small
+    * (cohort, offset, user) key space before the final aggregate. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("cohort", min("d").over(byUser))
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
 }

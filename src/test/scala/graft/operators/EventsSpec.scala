@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for batch event analytics on a synthetic mini events
+  * table (parquet-backed, same source path as production). */
+class EventsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_events").toString
+    def t(day: Int, h: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // user 1: joins day 1, returns days 2 and 4; user 2: joins day 2,
+    // returns day 4 (twice that day — distinct must count once);
+    // user 3: day 1 only
+    Seq(
+      (1L, t(1, 9), 1L, "view", 1.0, "{}"),
+      (2L, t(2, 9), 1L, "view", 1.0, "{}"),
+      (3L, t(4, 9), 1L, "view", 1.0, "{}"),
+      (4L, t(2, 10), 2L, "view", 1.0, "{}"),
+      (5L, t(4, 10), 2L, "view", 1.0, "{}"),
+      (6L, t(4, 11), 2L, "view", 1.0, "{}"),
+      (7L, t(1, 12), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("retention: cohort by first-seen day, distinct users per offset") {
+    val got = Events.retention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, // users 1 and 3 join day 1
+      ("2024-01-01", 1L) -> 1L, // user 1 back on day 2
+      ("2024-01-01", 3L) -> 1L, // user 1 back on day 4
+      ("2024-01-02", 0L) -> 1L, // user 2 joins day 2
+      ("2024-01-02", 2L) -> 1L  // user 2 back on day 4, counted once
+    ))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the training-data pipeline operators on a synthetic
+  * mini documents table (written as parquet so operators exercise the
+  * same source path). */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_pipeline").toString
+    // doc i has i+1 tokens; languages cycle through 5 values
+    val langs = Seq("en", "zh", "es", "de", "xx")
+    (0 until 40).map { i =>
+      (i.toLong, Seq.fill(i + 1)("w").mkString(" "), langs(i % 5), "s", (2 * i + 1).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("packSequences: per-shard greedy concat-split accounting") {
+    val rows = Pipeline.packSequences(spark, dir, budget = 10L, nShards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // brute-force re-derivation
+    val want = (0 until 40).map(i => (i.toLong % 4, i.toLong, (i + 1).toLong))
+      .groupBy(_._1).toSeq.flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).map { case (_, _, n) =>
+          val seq = cum / 10L; cum += n; (shard, seq) -> n
+        }
+      }.groupBy(_._1).map { case (k, vs) =>
+        k -> (vs.size.toLong, vs.map(_._2).sum)
+      }
+    assert(rows == want)
+    // every document's tokens are counted exactly once
+    assert(rows.values.map(_._2).sum == (1 to 40).map(_.toLong).sum)
+  }
+
+  test("piiScrub: counts match the planted contacts and redaction is total") {
+    val rows = Pipeline.piiScrub(spark, dir).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 3 != 0) 1L else 0L), s"emails doc $id")
+      assert(r.getLong(2) == (if (id % 2 == 0) 1L else 0L), s"phones doc $id")
+    }
+    // scrubbed text of a planted doc differs from the unplanted hash and
+    // contains no residual address (re-scrubbing is a fixpoint)
+    val again = Pipeline.piiScrub(spark, dir).collect()
+    assert(rows.map(_.getString(3)).toSeq == again.map(_.getString(3)).toSeq)
+  }
+
+  test("stratifiedSample: deterministic, respects per-language keep sets") {
+    val a = Pipeline.stratifiedSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = Pipeline.stratifiedSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    // membership is exactly the hash predicate, re-derived independently
+    val want = (0 until 40).filter { i =>
+      val hk = graft.functions.HashOps.wordHashNScala(s"strat:$i", 15) % 1000
+      val rate = Pipeline.StratPermille.toMap
+        .getOrElse(Seq("en", "zh", "es", "de", "xx")(i % 5), Pipeline.StratDefault)
+      hk < rate
+    }.map(_.toLong)
+    assert(a == want)
+  }
+}
