@@ -67,32 +67,56 @@ object Relational {
       .orderBy("c_nationkey", "grp")
   }
 
+  /** Group top-k pruning over an arbitrary DataFrame: keeps (at least)
+    * every row whose rank under `orderCols` within its `groupCols` group
+    * is ≤ k, WITHOUT shuffling the input — a per-partition k-bounded
+    * heap per group ([[graft.plans.PartialTopKExec]]), so only
+    * O(partitions · groups · k) rows survive into whatever exact
+    * ordering logic (window, orderBy) the caller runs next.
+    *
+    * `orderCols` should be a total order (include a unique tiebreaker)
+    * when downstream semantics are rank-sensitive. The strategy is
+    * self-registering via `spark.experimental.extraStrategies`. */
+  def topkPerGroup(df: DataFrame, groupCols: Seq[Column],
+      orderCols: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val order = orderCols.map(PlanBridge.expression(spark, _)).map {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    }
+    PlanBridge.ofRows(spark, graft.plans.TopKPerGroup(
+      groupCols.map(PlanBridge.expression(spark, _)), order, k,
+      df.queryExecution.analyzed))
+  }
+
   /** Window functions: per returnflag top-3 lineitems by price with
     * row_number + rank + lag + running cents sum.
     *
     * Two-phase top-k: the partition column has 3 distinct values, so a
     * single window would sort N/3 rows in each of 3 reducer tasks — the
     * plan that dies at 100 TB (and is the slow plan at sf0.1). Phase 1
-    * prunes to a per-(flag, salt) local top-k under a deterministic salt
-    * (hash of the unique row key — stable across task retries), phase 2
-    * runs the real window over salts·k rows per flag. Correct because the
-    * global top-k of a union is contained in the union of per-slice
-    * top-ks, and every window function here (rank/lag/running sum over
-    * rows ≤ current) only looks at rows ranked before the current row,
-    * all of which survive pruning. Salt width scales with the cluster. */
-  def topkWindow(spark: SparkSession, sfDir: String, salts: Int = 32): DataFrame = {
+    * is [[topkPerGroup]] — a shuffle-free per-partition bounded-heap
+    * prune down to partitions·3·3 rows — and phase 2 runs the real
+    * window over the remainder. Correct because a row with global rank
+    * ≤ 3 has rank ≤ 3 in every subset it belongs to, and every window
+    * function here (rank/lag/running sum over rows ≤ current) only
+    * looks at rows ranked before the current row, all of which survive
+    * pruning. */
+  def topkWindow(spark: SparkSession, sfDir: String): DataFrame = {
     // ordering key is the exact integer cents value (not the double) so
     // the oracle's ordering is bit-identical
     val ord = Seq(desc("price_cents"), asc("l_orderkey"), asc("l_linenumber"))
-    val local = Window.partitionBy(col("l_returnflag"), col("_salt")).orderBy(ord: _*)
     val w = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
-    Tables(spark, sfDir, "lineitem")
+    val base = Tables(spark, sfDir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"),
         col("l_linenumber").cast("long").as("l_linenumber"),
         cents(col("l_extendedprice")).as("price_cents"))
-      .withColumn("_salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
-      .withColumn("_lrn", row_number().over(local))
-      .filter(col("_lrn") <= 3).drop("_salt", "_lrn")
+    topkPerGroup(base, Seq(col("l_returnflag")), ord, 3)
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("rnk", rank().over(w).cast("long"))
       .withColumn("prev_price_cents", coalesce(lag("price_cents", 1).over(w), lit(-1L)))
