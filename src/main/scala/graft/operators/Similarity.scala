@@ -38,12 +38,7 @@ object Similarity {
     val scored = p.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("n_id"), round(col("cos"), 6).as("cos"))
-      .orderBy("q_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN: corpus is coarse-quantized to the literal centroid
@@ -91,12 +86,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("n_id"), round(col("cos"), 6).as("cos"))
-      .orderBy("q_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** Hyperplane count / band layout for [[lshTopK]] — 16 sign bits in 4
@@ -156,8 +146,19 @@ object Similarity {
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-    scored.withColumn("rank", row_number().over(w))
+    rankTopK(scored, k)
+  }
+
+  /** Shared exact finisher for the ANN variants: per-query cosine top-k.
+    * The scored relation is q×N-shaped (brute) or q×candidates (IVF/
+    * LSH) — [[Relational.topkPerGroup]] prunes it per input partition
+    * with bounded heaps BEFORE any exchange, so the window's shuffle
+    * carries only partitions·q·k rows regardless of corpus size. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val ord = Seq(desc("cos"), asc("n_id"))
+    val w = Window.partitionBy("q_id").orderBy(ord: _*)
+    Relational.topkPerGroup(scored, Seq(col("q_id")), ord, k)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("n_id"), round(col("cos"), 6).as("cos"))
