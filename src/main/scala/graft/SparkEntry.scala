@@ -82,6 +82,7 @@ object SparkEntry {
     "date_spine" -> ((s, dir) => Relational.dateSpine(s, dir)))
 
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(s, dir)),
     "pack_sequences" -> ((s, dir) => Pipeline.packSequences(s, dir)),
     "text_pii_scrub" -> ((s, dir) => Pipeline.piiScrub(s, dir)),
     "sample_stratified" -> ((s, dir) => Pipeline.stratifiedSample(s, dir)))
@@ -94,6 +95,7 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
     "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)),
     "ts_motif" -> ((s, dir) => TimeSeries.motifTopK(s, dir)),
+    "ts_fill" -> ((s, dir) => TimeSeries.resampleFill(s, dir)),
     "ts_cluster" -> ((s, dir) => TimeSeries.shapeClusters(s, dir)))
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -506,7 +508,42 @@ object SparkEntry {
         |       CAST(len(v) AS BIGINT) AS n_el
         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
-  private def pipelineOracle: Map[String, String] = Map(
+  private def pipelineOracle: Map[String, String] = {
+    val scoreCols = TextAnalysis.lexicons
+      .map { case (l, ws) => s"CAST(${hits(ws)} AS BIGINT) AS s_$l" }.mkString(", ")
+    val m = TextAnalysis.lexicons.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val caseChain = TextAnalysis.lexicons
+      .map { case (l, _) => s"WHEN s_$l = m AND m > 0 THEN '$l'" }.mkString(" ")
+    val lenOk = "(n_tok >= 20 AND n_tok <= 1000)"
+    val qOk = s"($lenOk AND score >= 0.5)"
+    val langOk = s"($qOk AND lp <> 'und')"
+    val ddOk = s"($langOk AND keeper = doc_id)"
+    def stageSel(i: Int, name: String, cond: String) =
+      s"""SELECT CAST($i AS BIGINT) AS stage, '$name' AS name,
+         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM c WHERE $cond HAVING count(*) > 0""".stripMargin
+    Map(
+    "clean_corpus" ->
+      s"""WITH s AS (SELECT doc_id, text,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(${hits(TextAnalysis.stopwords)} AS BIGINT) AS stop_hits,
+         |  CAST(length(text) AS BIGINT) AS n_char, $scoreCols
+         |  FROM documents),
+         |g AS (SELECT *, $m AS m,
+         |        round(least(1.0, n_tok / 100.0) * 0.4 + (1.0 - n_punct / n_char) * 0.3
+         |              + least(1.0, stop_hits * 5.0 / n_tok) * 0.3, 6) AS score
+         |      FROM s),
+         |c AS (SELECT doc_id, n_tok, score,
+         |             CASE $caseChain ELSE 'und' END AS lp,
+         |             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |      FROM g)
+         |${stageSel(1, "all", "TRUE")}
+         |UNION ALL ${stageSel(2, "length", lenOk)}
+         |UNION ALL ${stageSel(3, "quality", qOk)}
+         |UNION ALL ${stageSel(4, "language", langOk)}
+         |UNION ALL ${stageSel(5, "dedup", ddOk)}
+         |ORDER BY stage""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -520,8 +557,21 @@ object SparkEntry {
         |FROM c GROUP BY 1, 2 ORDER BY shard, seq""".stripMargin,
     "text_pii_scrub" -> Pipeline.piiScrubOracle,
     "sample_stratified" -> Pipeline.stratifiedSampleOracle)
+  }
 
   private def eventOracle: Map[String, String] = Map(
+    "ts_fill" ->
+      """WITH h AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |                  count(*) AS n, round(avg(value), 6) AS v
+        |           FROM events WHERE user_id < 5 GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1 FROM h GROUP BY 1),
+        |sp AS (SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hour_us FROM b),
+        |j AS (SELECT sp.user_id, sp.hour_us, h.n, h.v
+        |      FROM sp LEFT JOIN h ON sp.user_id = h.user_id AND sp.hour_us = h.hour_us)
+        |SELECT user_id, hour_us, CAST(coalesce(n, 0) AS BIGINT) AS n,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_us
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+        |FROM j ORDER BY user_id, hour_us""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
         |c AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort

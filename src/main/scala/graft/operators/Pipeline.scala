@@ -120,6 +120,43 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** C4-style cleaning funnel: the composite filter chain a real corpus
+    * runs before training — length window, heuristic quality threshold,
+    * language-ID confidence, exact-dedup survivorship — reported as a
+    * survival funnel (docs and tokens remaining after each cumulative
+    * stage).
+    *
+    * One pass computes every per-doc signal (narrow, codegen'd, reusing
+    * [[TextAnalysis]] kernels); the dedup survivor flag is a min-over
+    * md5(text) window (shuffle keyed by the 32-byte hash, never the
+    * body); the funnel itself is an explode of 5 stage structs + one
+    * hash aggregate. At 100 TB: one shuffle of (hash, id) pairs, one
+    * aggregate — everything else reads at scan speed. */
+  def cleanCorpus(spark: SparkSession, sfDir: String, minTok: Long = 20L,
+      maxTok: Long = 1000L, minScore: Double = 0.5): DataFrame = {
+    val byText = Window.partitionBy(md5(col("text").cast("binary")))
+    val d = Tables(spark, sfDir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      TextAnalysis.qualityScore(col("text")).as("score"),
+      TextAnalysis.langPred(col("text")).as("lp"),
+      min("doc_id").over(byText).as("keeper"))
+    val lenOk = col("n_tok") >= minTok && col("n_tok") <= maxTok
+    val qOk = lenOk && col("score") >= minScore
+    val langOk = qOk && col("lp") =!= "und"
+    val dedupOk = langOk && col("keeper") === col("doc_id")
+    val stages = array(Seq(
+      (1L, "all", lit(true)), (2L, "length", lenOk), (3L, "quality", qOk),
+      (4L, "language", langOk), (5L, "dedup", dedupOk)).map { case (i, n, c) =>
+      struct(lit(i).as("stage"), lit(n).as("name"), c.as("pass"))
+    }: _*)
+    d.select(explode(stages).as("s"), col("n_tok"))
+      .filter(col("s.pass"))
+      .groupBy(col("s.stage").as("stage"), col("s.name").as("name"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("stage")
+  }
+
   /** DuckDB twin of [[stratifiedSample]]. */
   def stratifiedSampleOracle: String = {
     val cases = StratPermille

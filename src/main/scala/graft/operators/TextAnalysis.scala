@@ -40,6 +40,29 @@ object TextAnalysis {
     size(filter(tokens(text), t => array_contains(lex, t))).cast("long")
   }
 
+  /** Predicted language of a text column — the [[langId]] argmax as a
+    * reusable narrow expression (lexicographic tie-break, 'und' when no
+    * lexicon hits). */
+  private[operators] def langPred(text: Column): Column = {
+    val scores = lexicons.map { case (l, ws) => (l, hitCount(text, ws)) }
+    val m = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, sc), els) =>
+      when(sc === m && m > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** The [[quality]] score as a reusable narrow expression (round-6, the
+    * oracle-exact form). */
+  private[operators] def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("long")
+    val nPunct = (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+      .cast("long")
+    val nChar = length(text).cast("long")
+    round(least(lit(1.0), nTok / 100.0) * 0.4
+      + (lit(1.0) - nPunct / nChar) * 0.3
+      + least(lit(1.0), hitCount(text, stopwords) * 5.0 / nTok) * 0.3, 6)
+  }
+
   /** N-gram/stopword-profile language ID: per-language marker-hit counts,
     * argmax with lexicographic tie-break, 'und' when no lexicon hits. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {

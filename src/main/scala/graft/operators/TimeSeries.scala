@@ -83,4 +83,34 @@ object TimeSeries {
       .limit(k)
       .select(col("user_id"), col("start_seq"), round(col("d"), 6).as("dist"))
   }
+
+  /** Hourly resample with gap fill: per-user hourly value series over
+    * each user's own active span, missing hours filled by
+    * last-observation-carried-forward. The canonical time-series
+    * regularization step before any window/motif analysis.
+    *
+    * Scale shape: the hourly pre-aggregate shrinks events to user×hours
+    * rows BEFORE any window work; the spine explode is bounded by each
+    * user's span; both the spine join and the fill window shuffle on
+    * user_id only. LOCF is a last(ignoreNulls) running window — no
+    * self-join, no driver loop. */
+  def resampleFill(spark: SparkSession, sfDir: String, nUsers: Int = 5): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val hourly = Tables.events(spark, sfDir)
+      .filter(col("user_id") < nUsers)
+      .groupBy(col("user_id"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("v"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(hourUs))).as("hour_us"))
+    val w = Window.partitionBy("user_id").orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hour_us"), "left")
+      .withColumn("v_fill", last("v", ignoreNulls = true).over(w))
+      .select(col("user_id"), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"), col("v_fill"))
+      .orderBy("user_id", "hour_us")
+  }
 }

@@ -46,6 +46,17 @@ object Sinks {
       path: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC export — the second columnar lake format (same partition-pruned
+    * layout as parquet; predicate pushdown + column pruning work the
+    * same way through Spark's ORC datasource). */
+  def writeClustersOrc(assigned: DataFrame, out: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cluster_id").orc(out)
+
+  /** ORC ingest with explicit schema. */
+  def readOrc(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Date-partitioned event export: `out/event_date=YYYY-MM-DD/...` —
     * the standard time-partitioned lake layout. Date-bounded readers
     * prune partitions at planning time (PartitionFilters in the scan),

@@ -49,4 +49,20 @@ class EventsSpec extends AnyFunSuite {
       ("2024-01-02", 2L) -> 1L  // user 2 back on day 4, counted once
     ))
   }
+
+  test("resampleFill: complete hourly spine per user, LOCF on gaps") {
+    val got = Events.retention(spark, dir) // force table written
+    assert(got.count() > 0)
+    val rows = graft.operators.TimeSeries.resampleFill(spark, dir, nUsers = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // user 1: events at day1 09h, day2 09h, day4 09h -> 73 consecutive hours
+    val u1 = rows.filter(_._1 == 1L)
+    assert(u1.length == 73)
+    assert(u1.map(_._2).toSeq == (u1.head._2 to u1.last._2 by 3600000000L).toSeq)
+    // gaps carry the last observation (all values are 1.0 here)
+    assert(u1.forall(_._4 == 1.0))
+    assert(u1.count(_._3 > 0) == 3 && u1.count(_._3 == 0) == 70)
+    // user 3: single event -> single-row series, no gaps
+    assert(rows.filter(_._1 == 3L).map(x => (x._3, x._4)).toSeq == Seq((1L, 1.0)))
+  }
 }

@@ -75,4 +75,27 @@ class PipelineSpec extends AnyFunSuite {
     }.map(_.toLong)
     assert(a == want)
   }
+
+  test("cleanCorpus: funnel stages drop the designed offenders cumulatively") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft_clean").toString
+    val good = "the quick fox and the lazy dog it is of to and the " * 3 // 36 tok, en
+    Seq(
+      (0L, good + "unique zero"),          // survives everything
+      (1L, "too short"),                   // dies at length (< 20 tokens)
+      (2L, ("zz yy " * 60).trim),          // 120 tok, no punct: quality 0.7
+                                           // but zero lexicon hits -> und,
+                                           // dies at language
+      (3L, good + "dup body"),             // dup pair, min id keeps
+      (4L, good + "dup body"),             // dies at dedup
+      (5L, ("xx! " * 25).trim))            // 25 tok all-punct no-stopword:
+                                           // score ~0.32, dies at quality
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val got = Pipeline.cleanCorpus(spark, d2, minTok = 20L, maxTok = 200L, minScore = 0.5)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("all" -> 6L, "length" -> 5L, "quality" -> 4L,
+      "language" -> 3L, "dedup" -> 2L))
+  }
 }

@@ -69,6 +69,28 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(back.filter(col("id") === 0).head().getSeq[Double](1) == Seq(0.0, 1.5))
   }
 
+  test("ORC sink round-trips with partition layout and filter pushdown") {
+    import spark.implicits._
+    val pts = Seq((0L, Seq(0.0, 1.5), 0), (1L, Seq(2.0, 3.0), 1))
+      .toDF("id", "features", "cluster_id")
+    val out = Files.createTempDirectory("graft_orc").toString
+    Sinks.writeClustersOrc(pts, s"$out/orc")
+    // one partition dir per cluster, like the parquet/csv sinks
+    val dirs = new java.io.File(s"$out/orc").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("cluster_id=0", "cluster_id=1"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val back = Sinks.readOrc(spark, schema, s"$out/orc")
+    assert(back.count() == 2)
+    assert(back.filter(col("id") === 0).head().getSeq[Double](1) == Seq(0.0, 1.5))
+    // predicate reaches the ORC scan (pushed filters in the plan text)
+    val plan = back.filter(col("id") === 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,1"), plan)
+  }
+
   test("bucketed tables join with no shuffle exchange (co-located join)") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
