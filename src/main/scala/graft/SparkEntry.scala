@@ -46,6 +46,18 @@ object SparkEntry {
     "kmeans_mllib" -> ((s, dir) => MLlibKMeans.fitSizes(s, dir)))
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // skew-salted fact⋈fact join — result identical to the plain join
+    // (the oracle is the plain join), only the shuffle layout changes
+    "join_skew" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+      val o = Tables(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_orderstatus"))
+      graft.operators.Skew.saltedJoin(li, o, "okey", salts = 4)
+        .groupBy("o_orderstatus")
+        .agg(sum("pc").as("price_cents"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
     "q1_agg" -> ((s, dir) => Relational.q1Agg(s, dir)),
     "join_mkt" -> ((s, dir) => Relational.joinMkt(s, dir)),
     "join_semi_anti" -> ((s, dir) => Relational.semiAnti(s, dir)),
@@ -233,6 +245,12 @@ object SparkEntry {
   private def centsSql(c: String): String = s"CAST(round($c * 100, 0) AS BIGINT)"
 
   private def relationalOracle: Map[String, String] = Map(
+    "join_skew" ->
+      s"""SELECT o_orderstatus,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,
+         |  count(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_cents,

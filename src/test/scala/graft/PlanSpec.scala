@@ -78,4 +78,36 @@ class PlanSpec extends AnyFunSuite {
       "supplier->nation->region must be two broadcast joins:\n" + p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the 100 TB shape: fact ⋈ dim with a selective dim predicate and no
+    // broadcast — Spark's runtime row-level filter should inject a bloom
+    // built from the dim keys and apply it to the fact scan side, so the
+    // fact shuffle carries only probable matches
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter in:\n$p")
+      assert(j.collect().map(_.getLong(1)).sum > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
