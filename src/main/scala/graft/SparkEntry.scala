@@ -58,6 +58,27 @@ object SparkEntry {
         .agg(sum("pc").as("price_cents"), count(lit(1)).as("n"))
         .orderBy("o_orderstatus")
     }),
+    // raw SQL entry point (§1.3 schema/SQL surface): same engine, text
+    // plan — TPC-H Q3 shape over temp views; Catalyst plans the joins
+    // (dim filter first, broadcast where small) exactly as the
+    // DataFrame surface would
+    "sql_q3" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""SELECT l_orderkey,
+              |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_c4,
+              |  date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+              |  o_orderpriority
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |              JOIN lineitem ON l_orderkey = o_orderkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < timestamp'1998-01-01 00:00:00'
+              |  AND l_shipdate > timestamp'1998-01-01 00:00:00'
+              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              |ORDER BY revenue_c4 DESC, l_orderkey
+              |LIMIT 10""".stripMargin)
+    }),
     "q1_agg" -> ((s, dir) => Relational.q1Agg(s, dir)),
     "join_mkt" -> ((s, dir) => Relational.joinMkt(s, dir)),
     "join_semi_anti" -> ((s, dir) => Relational.semiAnti(s, dir)),
@@ -245,6 +266,20 @@ object SparkEntry {
   private def centsSql(c: String): String = s"CAST(round($c * 100, 0) AS BIGINT)"
 
   private def relationalOracle: Map[String, String] = Map(
+    "sql_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_c4,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < timestamp '1998-01-01 00:00:00'
+        |  AND l_shipdate > timestamp '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_c4 DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
     "join_skew" ->
       s"""SELECT o_orderstatus,
          |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,

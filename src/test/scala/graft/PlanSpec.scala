@@ -110,4 +110,39 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying ~95% of the rows vs a tiny distinct right;
+      // payload varies per row so the hot shuffle partition can't
+      // compress away below the skew threshold
+      val l = (0 until 200000)
+        .map(i => ((if (i % 20 == 0) i % 7 else 0).toLong, i.toLong))
+        .toDF("k", "pay")
+      val r = (0 until 7).map(_.toLong).toDF("k")
+      val j = l.join(r, "k")
+      // execute THIS dataframe: AQE finalizes (and re-plans) the plan of
+      // the executed query, not of derived ones like count()
+      assert(j.collect().length == 200000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
