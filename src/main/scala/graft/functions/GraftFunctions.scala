@@ -36,8 +36,10 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point injecting the vector functions and
-  * the HOF→kernel rewrite rule. */
+/** `spark.sql.extensions` entry point injecting the vector functions,
+  * the HOF→kernel rewrite rule, and the [[graft.plans.TopKPerGroup]]
+  * planner strategy (Relational.topkPerGroup also self-registers the
+  * strategy via `spark.experimental` for extension-less sessions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
@@ -47,5 +49,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectOptimizerRule(_ => graft.plans.NativeKernelRule)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

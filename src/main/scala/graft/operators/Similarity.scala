@@ -164,4 +164,45 @@ object Similarity {
         col("n_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rank")
   }
+
+  /** Write the corpus in the IVF-bucketed lake layout: one partition
+    * directory per coarse cell (`bucket=<cid>/`), norms precomputed.
+    * This is the 100 TB layout [[ivfTopK]]'s Scaladoc promises: a probe
+    * touches nprobe/nlist of the data as a partition-pruned scan instead
+    * of filtering a full scan. */
+  def writeIvfLayout(spark: SparkSession, sfDir: String, out: String): Unit = {
+    val cs = KMeansSteps.centroids(spark, sfDir)
+    points(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        nearestCidK(col("v"), cs.sortBy(_._1).map(_._2).toArray).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+  }
+
+  /** ANN probe against a [[writeIvfLayout]] directory: the probed cell
+    * ids are collected (nQueries·nprobe ints — driver-tiny) and pushed
+    * as a PARTITION filter, so the scan reads only the probed
+    * directories; everything downstream matches [[ivfTopK]] exactly. */
+  def ivfTopKLayout(spark: SparkSession, layout: String, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val cs = KMeansSteps.centroids(spark, sfDir)
+    val corpus = spark.read.parquet(layout)
+    val q = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = q.select(col("q_id"), col("qv"), col("qnrm"),
+        posexplode(transform(centroidsLit(cs), c =>
+          struct(sqDist(col("qv"), c.getField("c")).as("d"), c.getField("cid").as("cid"))))
+          .as(Seq("i", "dc")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dc.d"), col("dc.cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qnrm"), col("dc.cid").as("bucket"))
+    val probed = probes.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val scored = corpus.filter(col("bucket").isInCollection(probed))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    rankTopK(scored, k)
+  }
 }

@@ -62,4 +62,22 @@ class TextSimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("IVF layout probe: partition-pruned scan, identical results") {
+    val sf = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfLayout(spark, sf, s"$out/emb")
+    // one directory per coarse cell
+    val dirs = new java.io.File(s"$out/emb").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=")))
+    val fromLayout = Similarity.ivfTopKLayout(spark, s"$out/emb", sf)
+    // the corpus scan carries the probed cells as PARTITION filters
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // and the result is exactly the plain ivfTopK
+    val want = Similarity.ivfTopK(spark, sf).collect().map(_.toSeq).toSeq
+    val got = fromLayout.collect().map(_.toSeq).toSeq
+    assert(got == want && want.nonEmpty)
+  }
 }
