@@ -145,4 +145,25 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("pii scrub is a pure narrow map: no exchange before the output sort") {
+    val p = plan("text_pii_scrub")
+    // exactly one exchange — the deterministic output sort (FormattedMode
+    // prints each operator twice: once in the tree, once in the detail)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
+
+  test("pack_sequences scan prunes to (doc_id, text) and shuffles per shard") {
+    val p = plan("pack_sequences")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("clean_corpus shuffles the text hash, never the document body") {
+    val p = plan("clean_corpus")
+    // the dedup-survivor window partitions by md5(text) computed BEFORE
+    // its exchange; the document text itself must not cross the wire
+    val exchangeArgs = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+    assert(exchangeArgs.forall(l => l.contains("md5") || !l.contains("text")), p)
+  }
 }
