@@ -136,4 +136,50 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class HHState(counts: Map[Long, Long], errs: Map[Long, Long])
+  case class HeavyHitter(event_type: String, user_id: Long,
+      est: Long, err: Long)
+
+  /** Streaming heavy hitters per event type (space-saving sketch in
+    * state, via mapGroupsWithState): tracks at most `capacity` users per
+    * type; when full, the minimum-count entry is evicted and the new
+    * item inherits its count as overestimation error. State is BOUNDED
+    * at capacity entries per group regardless of stream length — the
+    * reason to sketch at 100 TB/day event volumes. Guarantees: est ≥
+    * true count ≥ est − err; exact (err = 0) whenever a group's distinct
+    * users fit the capacity. Output (Update mode): the current top
+    * entries per type after each micro-batch. */
+  def heavyHitters(spark: SparkSession, events: DataFrame,
+      capacity: Int = 8, topK: Int = 3): Dataset[Seq[HeavyHitter]] = {
+    import spark.implicits._
+    val typed = events.select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+
+    def update(key: String, evs: Iterator[(String, Long)],
+        state: GroupState[HHState]): Seq[HeavyHitter] = {
+      var st = state.getOption.getOrElse(HHState(Map.empty, Map.empty))
+      evs.foreach { case (_, u) =>
+        if (st.counts.contains(u)) {
+          st = st.copy(counts = st.counts.updated(u, st.counts(u) + 1L))
+        } else if (st.counts.size < capacity) {
+          st = st.copy(counts = st.counts.updated(u, 1L),
+            errs = st.errs.updated(u, 0L))
+        } else {
+          // evict the (min count, max id) entry deterministically
+          val (evicted, minC) = st.counts.minBy { case (id, c) => (c, -id) }
+          st = HHState(
+            st.counts - evicted + (u -> (minC + 1L)),
+            st.errs - evicted + (u -> minC))
+        }
+      }
+      state.update(st)
+      st.counts.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(topK)
+        .map { case (id, c) => HeavyHitter(key, id, c, st.errs(id)) }
+    }
+
+    typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
 }

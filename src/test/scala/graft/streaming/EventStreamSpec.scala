@@ -187,4 +187,65 @@ class EventStreamSpec extends AnyFunSuite {
     assert(missing.size <= Events.sessionize(spark, sf).select("user_id").distinct().count(),
       "at most one trailing open session per user may be unflushed")
   }
+
+  test("streaming heavy hitters: exact at sufficient capacity, bounded state") {
+    import spark.implicits._
+    // ample capacity: the final micro-batch's output must equal the
+    // exact batch top-3 per event type (space-saving is exact when all
+    // distinct keys fit)
+    val out = EventStream.heavyHitters(
+        spark, EventStream.readEvents(spark, dir), capacity = 2000, topK = 3)
+      .flatMap(identity)
+    val q = out.writeStream.format("memory").queryName("hh")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    // keep only each type's LAST emission (Update mode re-emits per batch;
+    // the memory sink appends) — batch column isn't exposed, so dedup by
+    // taking max est per (type, user): counts only grow
+    val got = spark.table("hh")
+      .filter(col("event_type") =!= "noop")
+      .groupBy("event_type", "user_id")
+      .agg(max("est").as("est"), max("err").as("err"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // batch truth: top-3 users per type by count
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byType = batch.groupBy(_._1._1).map { case (t, m) =>
+      t -> m.toSeq.sortBy { case ((_, u), n) => (-n, u) }.take(3)
+    }
+    byType.foreach { case (_, top) =>
+      top.foreach { case ((t, u), n) =>
+        val (est, err) = got((t, u))
+        assert(est == n && err == 0L, s"exact-capacity mismatch for ($t,$u)")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("streaming heavy hitters: tiny capacity still bounds estimates correctly") {
+    import spark.implicits._
+    val out = EventStream.heavyHitters(
+        spark, EventStream.readEvents(spark, dir), capacity = 4, topK = 2)
+      .flatMap(identity)
+    val q = out.writeStream.format("memory").queryName("hh_small")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = spark.table("hh_small")
+      .filter(col("event_type") =!= "noop")
+      .groupBy("event_type", "user_id")
+      .agg(max("est").as("est"), max("err").as("err")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, u, est, err) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val truth = batch.getOrElse((t, u), 0L)
+      // space-saving invariant: est ≥ truth ≥ est − err
+      assert(est >= truth && truth >= est - err, s"($t,$u): est=$est err=$err true=$truth")
+    }
+  }
 }
