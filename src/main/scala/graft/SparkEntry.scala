@@ -122,6 +122,7 @@ object SparkEntry {
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> ((s, dir) => Events.retention(s, dir)),
+    "events_anomaly" -> ((s, dir) => Events.dailyAnomalies(s, dir)),
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
     "events_props" -> ((s, dir) => Events.propsAgg(s, dir)),
@@ -613,6 +614,18 @@ object SparkEntry {
   }
 
   private def eventOracle: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS c, CAST(sum(n) AS BIGINT) AS s1,
+        |              CAST(sum(n * n) AS BIGINT) AS s2
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n
+        |FROM d JOIN st ON d.event_type = st.event_type
+        |WHERE (d.n * st.c - st.s1) * (d.n * st.c - st.s1)
+        |      > 4 * (st.s2 * st.c - st.s1 * st.s1)
+        |ORDER BY d.event_type, d.day""".stripMargin,
     "ts_fill" ->
       """WITH h AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
         |                  count(*) AS n, round(avg(value), 6) AS v

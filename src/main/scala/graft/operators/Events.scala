@@ -108,4 +108,25 @@ object Events {
       .agg(countDistinct("user_id").as("n_users"))
       .orderBy("cohort", "day_offset")
   }
+
+  /** Daily-volume anomaly detection per event type: flag days whose
+    * count deviates from the type's mean by more than 2 population
+    * standard deviations. The test is evaluated in INTEGER arithmetic —
+    * (n·c − S1)² > 4·(S2·c − S1²) with S1/S2 the count sums — so the
+    * flagged set is exactly reproducible (no float variance accumulation
+    * order to drift, FIXTURES.md §C). Two hash aggregates + a broadcast
+    * of the per-type stats (one row per type); scales as a pure
+    * aggregation pipeline. */
+  def dailyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("c"), sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
+    val dev = col("n") * col("c") - col("s1")
+    daily.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(4L) * (col("s2") * col("c") - col("s1") * col("s1")))
+      .select(col("event_type"), col("day"), col("n"))
+      .orderBy("event_type", "day")
+  }
 }

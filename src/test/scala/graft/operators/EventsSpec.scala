@@ -65,4 +65,22 @@ class EventsSpec extends AnyFunSuite {
     // user 3: single event -> single-row series, no gaps
     assert(rows.filter(_._1 == 3L).map(x => (x._3, x._4)).toSeq == Seq((1L, 1.0)))
   }
+
+  test("dailyAnomalies flags exactly the designed outlier day") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    def t(day: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00")
+    // type "a": 10 steady days of 1 event, one day with 30 (clear spike);
+    // type "b": uniform — nothing flagged
+    val steady = (1 to 10).map(d => (d.toLong, t(d), 1L, "a", 1.0, "{}"))
+    val spike = (0 until 30).map(i => (100L + i, t(11), 1L, "a", 1.0, "{}"))
+    val uniform = (1 to 10).map(d => (200L + d, t(d), 2L, "b", 1.0, "{}"))
+    (steady ++ spike ++ uniform)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val got = Events.dailyAnomalies(spark, d2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "2024-03-11", 30L)))
+  }
 }
