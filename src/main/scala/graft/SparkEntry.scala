@@ -79,6 +79,31 @@ object SparkEntry {
               |ORDER BY revenue_c4 DESC, l_orderkey
               |LIMIT 10""".stripMargin)
     }),
+    // RANGE frame (value-based window): customers with an account
+    // balance within ±500.00 of each row, per nation — tie-insensitive
+    // by construction (range frames bound by VALUE, not row position)
+    "window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("acct_cents")).rangeBetween(-50000L, 50000L)
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("acct_cents"))
+        .withColumn("n_near", count(lit(1)).over(w))
+        .orderBy("c_custkey")
+    }),
+    // null-safe equality join (<=>): NULL keys match each other — the
+    // join semantics plain '=' silently drops
+    "join_nullsafe" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val d = Tables(s, dir, "customer")
+        .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("dseg")).distinct()
+        .select(col("dseg"), coalesce(col("dseg"), lit("NULLSEG")).as("label"))
+      c.join(d, c("seg") <=> d("dseg"))
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .orderBy("label")
+    }),
     "q1_agg" -> ((s, dir) => Relational.q1Agg(s, dir)),
     "join_mkt" -> ((s, dir) => Relational.joinMkt(s, dir)),
     "join_semi_anti" -> ((s, dir) => Relational.semiAnti(s, dir)),
@@ -267,6 +292,20 @@ object SparkEntry {
   private def centsSql(c: String): String = s"CAST(round($c * 100, 0) AS BIGINT)"
 
   private def relationalOracle: Map[String, String] = Map(
+    "window_range" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
+        |       count(*) OVER (PARTITION BY c_nationkey
+        |                      ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT)
+        |                      RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING) AS n_near
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "join_nullsafe" ->
+      """WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        |           FROM customer),
+        |d AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS dseg FROM customer)
+        |SELECT coalesce(d.dseg, 'NULLSEG') AS label, count(*) AS n
+        |FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.dseg
+        |GROUP BY 1 ORDER BY label""".stripMargin,
     "sql_q3" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
