@@ -148,6 +148,19 @@ object SparkEntry {
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> ((s, dir) => Events.retention(s, dir)),
     "events_anomaly" -> ((s, dir) => Events.dailyAnomalies(s, dir)),
+    // event-type transition bigrams (sequential pattern mining lite):
+    // one shuffle by user for the lead(), one aggregate, bounded top-N
+    "events_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("event_type"), asc("next_type"))
+        .limit(10)
+    }),
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
     "events_props" -> ((s, dir) => Events.propsAgg(s, dir)),
@@ -158,6 +171,21 @@ object SparkEntry {
     "ts_cluster" -> ((s, dir) => TimeSeries.shapeClusters(s, dir)))
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LSH quality evaluation: recall of the banded MinHash candidates
+    // against the exact n-gram Jaccard pairs — the metric that justifies
+    // the banding parameters before a 100 TB run. Deterministic, so even
+    // the recall misses reproduce in the oracle.
+    "dedup_recall" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val exact = Dedup.ngramJaccard(s, dir).select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val lsh = Dedup.minhashLSH(s, dir).select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    }),
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLSH(s, dir)),
@@ -653,6 +681,13 @@ object SparkEntry {
   }
 
   private def eventOracle: Map[String, String] = Map(
+    "events_paths" ->
+      """WITH t AS (SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM t WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, event_type, next_type LIMIT 10""".stripMargin,
     "events_anomaly" ->
       """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
         |                  count(*) AS n
@@ -788,7 +823,20 @@ object SparkEntry {
        |        FROM ov JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
        |        WHERE c * 1.0 / (x.n + y.n - c) >= 0.5)""".stripMargin
 
-  private def dedupOracle: Map[String, String] = Map(
+  private def dedupOracle: Map[String, String] = {
+    val base = dedupOracleBase
+    // recall metric: reuse the ngram/minhash pipelines verbatim as
+    // subqueries (DuckDB allows WITH inside a FROM subquery)
+    base + ("dedup_recall" ->
+      s"""SELECT
+         |  (SELECT count(*) FROM (${base("dedup_ngram")})) AS n_exact,
+         |  (SELECT count(*) FROM (${base("dedup_minhash")})) AS n_lsh,
+         |  (SELECT count(*)
+         |   FROM (${base("dedup_ngram")}) e
+         |   JOIN (${base("dedup_minhash")}) l USING (doc_a, doc_b)) AS n_hit""".stripMargin)
+  }
+
+  private def dedupOracleBase: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
