@@ -72,4 +72,25 @@ class TopKPerGroupSpec extends AnyFunSuite {
     val top = pruned.orderBy(desc("v")).limit(3).collect().map(_.getLong(1)).toSet
     assert(top == Set(9999L, 9998L, 9997L))
   }
+
+  test("edge cases: null group keys, empty input, k exceeding group size") {
+    import spark.implicits._
+    val ord = Seq(desc("v"), asc("id"))
+    // null keys form their own group, exactly like a window partition
+    val withNulls = Seq((Some("a"), 1L, 1L), (None, 5L, 2L), (Some("a"), 3L, 3L),
+      (None, 2L, 4L), (Some("b"), 9L, 5L))
+      .toDF("g", "v", "id").repartition(3)
+    val pruned = Relational.topkPerGroup(withNulls, Seq(col("g")), ord, 1)
+    val w = Window.partitionBy("g").orderBy(ord: _*)
+    val got = pruned.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 2L, 5L)) // max-v per group incl. the null group
+    // k larger than any group: everything survives
+    val all = Relational.topkPerGroup(withNulls, Seq(col("g")), ord, 100)
+    assert(all.count() == 5)
+    // empty input: empty output, no crash
+    val empty = Relational.topkPerGroup(
+      withNulls.filter(col("v") > 100), Seq(col("g")), ord, 3)
+    assert(empty.count() == 0)
+  }
 }
