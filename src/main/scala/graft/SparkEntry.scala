@@ -214,6 +214,19 @@ object SparkEntry {
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(s, dir)))
 
   private def kmeansQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQL surface of the native vector kernels: register vec_dot/
+    // vec_dist and use them from text SQL — the codegen'd Expressions,
+    // not UDFs, so the plan stays whole-stage-compiled
+    "vec_sql" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .createOrReplaceTempView("emb_v")
+      s.sql("""SELECT vec_id,
+              |  round(vec_dot(v, v), 6) AS sq_norm,
+              |  round(vec_dist(v, slice(v, 1, size(v))), 6) AS self_dist
+              |FROM emb_v ORDER BY vec_id""".stripMargin)
+    }),
     // O1/O2 — scan + typed projection
     "ingest_embeddings" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
@@ -1050,6 +1063,11 @@ object SparkEntry {
   }
 
   private def kmeansOracle: Map[String, String] = Map(
+    "vec_sql" ->
+      s"""WITH $PTS
+         |SELECT vec_id, round(list_inner_product(v, v), 6) AS sq_norm,
+         |       round(list_distance(v, v), 6) AS self_dist
+         |FROM pts ORDER BY vec_id""".stripMargin,
     "ingest_embeddings" ->
       "SELECT vec_id, len(embedding) AS dim FROM embeddings ORDER BY vec_id",
     "lineitem_features" ->
