@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan hygiene sweep: compact per-query counts of the operators that
+  * signal scale smells (cartesian/NLJ joins, exchanges), plus full
+  * formatted plans for names passed as args. `runMain graft.PlanAudit`
+  * for the summary; add query names for details. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -8,13 +14,27 @@ object PlanAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.01"
-    for (name <- Seq("ingest_embeddings", "kmeans_assign", "q1_agg", "join_mkt",
-        "kmeans_recenter", "events_hourly", "range_join", "join_geo",
-        "ann_lsh_topk", "events_funnel", "cube_agg")) {
-      println(s"\n===== $name =====")
-      println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.nonEmpty) {
+      for (name <- args) {
+        println(s"\n===== $name =====")
+        println(SparkEntry.queries(name)(spark, sf).queryExecution
+          .explainString(FormattedMode))
+      }
+    } else {
+      def count(p: String, op: String): Int = s"\\(\\d+\\) $op".r.findAllIn(p).length
+      println(f"${"query"}%-22s ex  smj  bhj  nlj cart  wsc")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val p = fn(spark, sf).queryExecution.explainString(FormattedMode)
+          val flag = if (count(p, "CartesianProduct") > 0 ||
+            count(p, "BroadcastNestedLoopJoin") > 0) "  <-- CHECK" else ""
+          println(f"$name%-22s ${count(p, "Exchange")}%2d ${count(p, "SortMergeJoin")}%4d " +
+            f"${count(p, "BroadcastHashJoin")}%4d ${count(p, "BroadcastNestedLoopJoin")}%4d " +
+            f"${count(p, "CartesianProduct")}%4d ${"WholeStageCodegen".r.findAllIn(p).length}%4d$flag")
+        } catch { case e: Throwable => println(f"$name%-22s ERROR ${e.getMessage}") }
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }
