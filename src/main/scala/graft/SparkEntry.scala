@@ -143,7 +143,10 @@ object SparkEntry {
     "clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(s, dir)),
     "pack_sequences" -> ((s, dir) => Pipeline.packSequences(s, dir)),
     "text_pii_scrub" -> ((s, dir) => Pipeline.piiScrub(s, dir)),
-    "sample_stratified" -> ((s, dir) => Pipeline.stratifiedSample(s, dir)))
+    "sample_stratified" -> ((s, dir) => Pipeline.stratifiedSample(s, dir)),
+    "decontaminate" -> ((s, dir) => Pipeline.decontaminate(s, dir)),
+    "text_repetition" -> ((s, dir) => Pipeline.repetitionStats(s, dir)),
+    "profile_columns" -> ((s, dir) => Relational.profileColumns(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> ((s, dir) => Events.retention(s, dir)),
@@ -690,7 +693,10 @@ object SparkEntry {
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1, 2 ORDER BY shard, seq""".stripMargin,
     "text_pii_scrub" -> Pipeline.piiScrubOracle,
-    "sample_stratified" -> Pipeline.stratifiedSampleOracle)
+    "sample_stratified" -> Pipeline.stratifiedSampleOracle,
+    "decontaminate" -> Pipeline.decontaminateOracle,
+    "text_repetition" -> Pipeline.repetitionStatsOracle,
+    "profile_columns" -> Relational.profileColumnsOracle)
   }
 
   private def eventOracle: Map[String, String] = Map(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -167,4 +167,112 @@ object Pipeline {
        |  FROM (SELECT doc_id, lang, md5('strat:' || doc_id) AS m FROM documents))
        |WHERE hk % 1000 < rate ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------ decontamination
+
+  /** Word n-gram length for contamination matching (8 is the common
+    * published choice, e.g. GPT-3 appendix C uses 13-gram/8-gram family
+    * filters) and the eval-split rate in permille. */
+  val DecontamGram = 8
+  val DecontamEvalPermille = 50L
+
+  private def evalFlag: Column = pmod(
+    HashOps.wordHashN(concat(lit("eval:"), col("doc_id").cast("string")), 15),
+    lit(1000L)) < DecontamEvalPermille
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word 8-gram with a held-out eval split (a deterministic 5% hash
+    * split of the corpus stands in for the benchmark set). Output: each
+    * contaminated training doc with its count of distinct leaked 8-grams.
+    *
+    * The reference ships whatever CSV it is given straight into the fit;
+    * decontamination is table stakes for a real training corpus. Scale
+    * shape: grams travel as 60-bit md5 hashes (never the strings), the
+    * eval gram set is benchmark-sized at ANY corpus scale — so the join
+    * is a broadcast hash join against the full-corpus gram stream and
+    * the only shuffle is the final per-doc count (doc_id, long) pairs. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val grams = when(size(t) >= DecontamGram,
+      array_distinct(transform(sequence(lit(1), size(t) - (DecontamGram - 1)),
+        i => HashOps.wordHashN(array_join(slice(t, i, lit(DecontamGram)), " "), 15))))
+      .otherwise(array().cast("array<long>"))
+    val g = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), evalFlag.as("is_eval"), explode(grams).as("gh"))
+    val evalGrams = g.filter(col("is_eval")).select("gh").distinct()
+    g.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[decontaminate]] — same md5-derived gram hashes. */
+  def decontaminateOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |                  (${HashOps.wordHashSqlN(15)}) % 1000
+       |                    < $DecontamEvalPermille AS is_eval,
+       |                  string_split(text, ' ') AS t
+       |           FROM (SELECT *, md5('eval:' || doc_id) AS m FROM documents)),
+       |g0 AS (SELECT doc_id, is_eval,
+       |              list_distinct(list_transform(
+       |                generate_series(1, len(t) - ${DecontamGram - 1}),
+       |                i -> array_to_string(t[i:i+${DecontamGram - 1}], ' '))) AS gs
+       |       FROM d WHERE len(t) >= $DecontamGram),
+       |g AS (SELECT doc_id, is_eval, ${HashOps.wordHashSqlN(15)} AS gh
+       |      FROM (SELECT doc_id, is_eval, md5(unnest(gs)) AS m FROM g0)),
+       |ev AS (SELECT DISTINCT gh FROM g WHERE is_eval)
+       |SELECT doc_id, count(*) AS n_leaked_grams
+       |FROM g JOIN ev USING (gh) WHERE NOT is_eval
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- repetition filtering
+
+  /** Gopher-style repetition quality signals per document: the fraction
+    * of tokens taken by the single most frequent token, and the fraction
+    * of bigram occurrences whose bigram occurs more than once (Rae et al.
+    * 2021 §A1.1 use exactly this duplicate-n-gram-fraction family to cut
+    * degenerate/boilerplate text).
+    *
+    * Two partial-aggregated shuffles keyed by (doc_id, gram) then doc_id —
+    * group cardinality is per-document vocabulary, so partitions stay
+    * bounded at any corpus size and AQE coalesces the tails. */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val ws = d.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("tot"))
+    val bigrams = when(size(col("t")) >= 2,
+      transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bs = d.select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
+        sum("c").as("btot"))
+    ws.join(bs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(col("mx") * lit(1.0) / col("tot"), 6).as("top_tok_frac"),
+        round(coalesce(col("dup"), lit(0L)) * lit(1.0)
+          / coalesce(col("btot"), lit(1L)), 6).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[repetitionStats]]. */
+  def repetitionStatsOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |wc AS (SELECT doc_id, w, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY 1, 2),
+      |ws AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM wc GROUP BY 1),
+      |bg AS (SELECT doc_id, g, count(*) AS c FROM (
+      |         SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |           THEN list_transform(generate_series(1, len(t) - 1),
+      |                               i -> t[i] || ' ' || t[i+1])
+      |           ELSE [] END) AS g FROM d) GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+      |              sum(c) AS btot FROM bg GROUP BY 1)
+      |SELECT w.doc_id, round(mx * 1.0 / tot, 6) AS top_tok_frac,
+      |       round(coalesce(dup, 0) * 1.0 / coalesce(btot, 1), 6) AS dup_bigram_frac
+      |FROM ws w LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin
 }

@@ -568,4 +568,43 @@ object Relational {
       .select(col("event_id"), coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"))
       .orderBy("event_id")
   }
+
+  /** Columns profiled by [[profileColumns]]. */
+  val ProfileCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Per-column data-quality profile (null count, exact distinct count,
+    * min/max) in long format — the standard pre-training table QA sweep.
+    *
+    * One aggregate pass over the scan; the multiple exact count-distincts
+    * expand the input (one grouping per distinct column), which is the
+    * exact-answer cost — at 100 TB swap in `approx_count_distinct` and
+    * the pass becomes a single narrow partial aggregate. The final
+    * explode touches only the 1-row aggregate result. */
+  def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val row = Tables(spark, sfDir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val items = array(ProfileCols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"${c}__nulls").as("n_nulls"),
+      col(s"${c}__nd").as("n_distinct"),
+      col(s"${c}__min").as("min_v"),
+      col(s"${c}__max").as("max_v"))): _*)
+    row.select(explode(items).as("p")).select("p.*").orderBy("col_name")
+  }
+
+  /** DuckDB twin of [[profileColumns]] (FILTER keeps counts BIGINT). */
+  def profileColumnsOracle: String =
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_v,
+         |  CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 }

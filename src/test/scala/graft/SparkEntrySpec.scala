@@ -28,8 +28,9 @@ class SparkEntrySpec extends AnyFunSuite {
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name returns rows on sf0.001") {
       assert(fn(spark, sf).count() >= 0)
-      assert(fn(spark, sf).count() > 0 || name.startsWith("dedup"),
-        s"$name returned 0 rows")
+      // dedup/decontaminate may legitimately find nothing in a tiny corpus
+      assert(fn(spark, sf).count() > 0 || name.startsWith("dedup")
+        || name == "decontaminate", s"$name returned 0 rows")
     }
   }
 }

@@ -98,4 +98,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map("all" -> 6L, "length" -> 5L, "quality" -> 4L,
       "language" -> 3L, "dedup" -> 2L))
   }
+
+  test("repetitionStats: fractions match hand-derived values") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (0L, "a"),               // 1 token: top 1/1, no bigrams -> 0
+      (1L, "a b"),             // 2 distinct: top 1/2, bigram unique -> 0
+      (2L, "a a a a"),         // top 4/4=1; bigrams "a a"x3 all dup -> 1
+      (3L, "a b a b a"),       // top 3/5; bigrams: "a b"x2,"b a"x2 -> 4/4
+      (4L, "a b c d b"))       // top 2/5; 4 distinct bigrams -> 0
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val got = Pipeline.repetitionStats(spark, d2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      0L -> ((1.0, 0.0)), 1L -> ((0.5, 0.0)), 2L -> ((1.0, 1.0)),
+      3L -> ((0.6, 1.0)), 4L -> ((0.4, 0.0))))
+  }
+
+  test("decontaminate: counts distinct leaked 8-grams vs brute force") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    // overlapping sliding windows over a small token universe so that
+    // 8-gram sharing occurs across documents naturally
+    val texts = (0 until 60).map { i =>
+      i.toLong -> (i until i + 12).map(v => s"t${v % 17}").mkString(" ")
+    }
+    texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    def isEval(id: Long) =
+      graft.functions.HashOps.wordHashNScala(s"eval:$id", 15) % 1000 <
+        Pipeline.DecontamEvalPermille
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(Pipeline.DecontamGram).map(_.mkString(" ")).toSet
+    val evalGrams = texts.filter(t => isEval(t._1)).flatMap(t => grams(t._2)).toSet
+    assert(evalGrams.nonEmpty, "test corpus must produce an eval split")
+    val want = texts.filterNot(t => isEval(t._1))
+      .map { case (id, t) => id -> (grams(t) & evalGrams).size.toLong }
+      .filter(_._2 > 0).toMap
+    val got = Pipeline.decontaminate(spark, d2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
