@@ -180,9 +180,13 @@ object SparkEntry {
     // the recall misses reproduce in the oracle.
     "dedup_recall" -> ((s, dir) => {
       import org.apache.spark.storage.StorageLevel
-      val exact = Dedup.ngramJaccard(s, dir).select("doc_a", "doc_b")
+      import org.apache.spark.sql.functions.{col, explode}
+      // ONE hashed-shingle sweep feeds both pipelines under comparison
+      val base = Dedup.hashedShingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val shRows = base.select(col("doc_id"), explode(col("hsh")).as("shh"))
+      val exact = Dedup.ngramJaccardFrom(shRows).select("doc_a", "doc_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val lsh = Dedup.minhashLSH(s, dir).select("doc_a", "doc_b")
+      val lsh = Dedup.minhashLSHFrom(base).select("doc_a", "doc_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))

@@ -42,7 +42,7 @@ object Dedup {
     * of shingle strings, and the oracle derives the identical keys (so
     * even a hash collision — P ≈ n²/2⁶¹ — reproduces exactly on both
     * sides). */
-  private def hashedShingles(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def hashedShingles(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
@@ -83,7 +83,15 @@ object Dedup {
     // from re-exploding the compact posting lists (shingles are distinct
     // per doc, so explode(ds) IS the kept (shh, doc) row set) instead of
     // joining the full shingle table back against the kept keys.
-    val lists = shingleRows(spark, sfDir).groupBy("shh")
+    ngramJaccardFrom(shingleRows(spark, sfDir), threshold, maxDf)
+  }
+
+  /** [[ngramJaccard]] over a pre-built (doc_id, shh) shingle-row table —
+    * lets an evaluation query share one hashed-shingle sweep across
+    * several dedup pipelines. */
+  private[graft] def ngramJaccardFrom(shRows: DataFrame,
+      threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val lists = shRows.groupBy("shh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -120,12 +128,17 @@ object Dedup {
     * Jaccard. Fully deterministic → oracle-reproducible including
     * recall misses. */
   def minhashLSH(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      threshold: Double = 0.5): DataFrame =
     // ONE md5 sweep: the hashed-shingle base feeds both the signature
     // kernel and the verification rows
-    val base = hashedShingles(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashLSHFrom(hashedShingles(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), threshold)
+
+  /** [[minhashLSH]] over a pre-built (doc_id, hsh) hashed-shingle base
+    * (caller owns its persistence). */
+  private[graft] def minhashLSHFrom(base: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val sh = base.select(col("doc_id"), explode(col("hsh")).as("shh"))
     // signature = narrow one-pass kernel over the per-doc hash array
     // (no explode, no shuffle); NULL = too short for 3-grams → dropped

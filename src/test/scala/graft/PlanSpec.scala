@@ -166,4 +166,18 @@ class PlanSpec extends AnyFunSuite {
     val exchangeArgs = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
     assert(exchangeArgs.forall(l => l.contains("md5") || !l.contains("text")), p)
   }
+
+  test("decontaminate broadcasts the eval gram set against the gram stream") {
+    val p = plan("decontaminate")
+    // the eval side is benchmark-sized at any corpus scale — the join
+    // must be a broadcast hash join, never a shuffled/merge join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("profile_columns is one aggregate pass over a pruned scan") {
+    val p = plan("profile_columns")
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double"), p)
+  }
 }
