@@ -137,7 +137,9 @@ object SparkEntry {
     "regexp_funcs" -> ((s, dir) => Relational.regexpFuncs(s, dir)),
     "time_rollup" -> ((s, dir) => Relational.timeRollup(s, dir)),
     "hof_funcs" -> ((s, dir) => Relational.hofFuncs(s, dir)),
-    "date_spine" -> ((s, dir) => Relational.dateSpine(s, dir)))
+    "date_spine" -> ((s, dir) => Relational.dateSpine(s, dir)),
+    "unpivot_measures" -> ((s, dir) => Relational.unpivotMeasures(s, dir)),
+    "histogram" -> ((s, dir) => Relational.histogram(s, dir)))
 
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(s, dir)),
@@ -275,6 +277,7 @@ object SparkEntry {
     // cluster-quality evaluation (centroid-based silhouette, WCSS/elbow)
     "kmeans_silhouette" -> ((s, dir) => KMeansSteps.silhouette(s, dir)),
     "kmeans_wcss" -> ((s, dir) => KMeansSteps.wcss(s, dir)),
+    "kmeans_dbi" -> ((s, dir) => KMeansSteps.daviesBouldin(s, dir)),
     // O20/O21 — the scatter chart's data payload
     "kmeans_scatter_data" -> ((s, dir) => KMeansSteps.scatterData(s, dir)),
     // M3 — full iterative fit (not SQL-expressible; rows-only check)
@@ -539,6 +542,8 @@ object SparkEntry {
         |SELECT o_orderkey, CAST(i AS BIGINT) AS i,
         |       strftime(day, '%Y-%m-%d') AS day_str
         |FROM s ORDER BY o_orderkey, i""".stripMargin,
+    "unpivot_measures" -> Relational.unpivotMeasuresOracle,
+    "histogram" -> Relational.histogramOracle,
     "explode_outer" ->
       """WITH t AS (SELECT o_orderkey,
         |             string_split_regex(o_orderpriority, '[- ]')[3:] AS l3 FROM orders),
@@ -1157,6 +1162,20 @@ object SparkEntry {
          |SELECT CAST(cid AS BIGINT) AS cluster_id,
          |       round(sum(dist * dist), 6) AS wcss, count(*) AS n
          |FROM a GROUP BY cid ORDER BY cluster_id""".stripMargin,
+    "kmeans_dbi" ->
+      s"""WITH $PTS, $CENTS,
+         |d AS (SELECT p.vec_id, c.cid, list_distance(p.v, c.c) AS dist
+         |      FROM pts p CROSS JOIN cents c),
+         |r AS (SELECT vec_id, cid, dist,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |      FROM d),
+         |s AS (SELECT cid, avg(dist) AS s FROM r WHERE rn = 1 GROUP BY cid),
+         |cd AS (SELECT a.cid AS ci, b.cid AS cj, list_distance(a.c, b.c) AS dij
+         |       FROM cents a JOIN cents b ON a.cid <> b.cid)
+         |SELECT CAST(ci AS BIGINT) AS cluster_id,
+         |       round(max((sa.s + sb.s) / dij), 6) AS r_i
+         |FROM cd JOIN s sa ON sa.cid = ci JOIN s sb ON sb.cid = cj
+         |GROUP BY ci ORDER BY cluster_id""".stripMargin,
     "kmeans_silhouette" ->
       s"""WITH $PTS, $CENTS,
          |d AS (SELECT p.vec_id, c.cid, list_distance(p.v, c.c) AS dist

@@ -167,6 +167,33 @@ object KMeansSteps {
       .orderBy("cluster_id")
   }
 
+  /** Davies-Bouldin index per cluster: s_i = mean distance of cluster
+    * i's members to their centroid (ONE partial-aggregated shuffle of
+    * k rows); r_i = max over j≠i of (s_i + s_j) / d(c_i, c_j), where the
+    * centroid pair distances come from a k-row local relation — so
+    * everything after the aggregate is k² tiny. Complements
+    * [[silhouette]]/[[wcss]] as the third standard fit-quality metric. */
+  def daviesBouldin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = centroids(spark, sfDir)
+    val arr = centArr(cs)
+    val s = pts(spark, sfDir)
+      .select(nearestCidK(col("features"), arr).cast("long").as("cid"),
+        minDistK(col("features"), arr).as("d"))
+      .groupBy("cid").agg(avg("d").as("s"))
+    val cdf = spark
+      .createDataFrame(cs.map { case (cid, v) => (cid.toLong, v.toSeq) })
+      .toDF("cid", "c")
+    val pairs = cdf.as("a").join(cdf.as("b"), col("a.cid") =!= col("b.cid"))
+      .select(col("a.cid").as("ci"), col("b.cid").as("cj"),
+        dist(col("a.c"), col("b.c")).as("dij"))
+    pairs
+      .join(s.select(col("cid").as("ci"), col("s").as("si")), "ci")
+      .join(s.select(col("cid").as("cj"), col("s").as("sj")), "cj")
+      .groupBy(col("ci").as("cluster_id"))
+      .agg(round(max((col("si") + col("sj")) / col("dij")), 6).as("r_i"))
+      .orderBy("cluster_id")
+  }
+
   /** O21 — 2-D reshape projection of every embedding
     * (`plot/plotter.go:114-137`): dims split into 2 contiguous buckets,
     * each averaged. Long format (vec_id, bucket, value). */

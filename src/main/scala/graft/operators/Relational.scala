@@ -569,6 +569,52 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Wide→long unpivot (melt) of the lineitem numeric measures, then a
+    * per-metric aggregate. The unpivot itself is a narrow row expansion
+    * (4× rows, no shuffle); the aggregate shuffles 4 groups of integer
+    * cents — exact at any scale. */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "v")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), sum(cents(col("v"))).as("cents"))
+      .orderBy("metric")
+
+  /** DuckDB twin of [[unpivotMeasures]] (UNION ALL formulation). */
+  def unpivotMeasuresOracle: String = {
+    val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => s"SELECT '$c' AS metric, $c AS v FROM lineitem")
+      .mkString("\nUNION ALL\n")
+    s"""WITH u AS ($arms)
+       |SELECT metric, count(*) AS n,
+       |       CAST(sum(CAST(round(v * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+       |FROM u GROUP BY metric ORDER BY metric""".stripMargin
+  }
+
+  /** Bucket width (in cents) of [[histogram]]. */
+  val HistWidthCents = 500000L
+
+  /** Equi-width histogram of l_extendedprice: integer-cents floor
+    * division into fixed $5,000 buckets — exact at any scale (no FP
+    * binning drift), one partial-aggregated shuffle of bucket counts. */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .selectExpr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)" +
+        s" div $HistWidthCents AS bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** DuckDB twin of [[histogram]]. */
+  def histogramOracle: String =
+    s"""SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) // $HistWidthCents AS bucket,
+       |       count(*) AS n
+       |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Columns profiled by [[profileColumns]]. */
   val ProfileCols: Seq[String] =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
