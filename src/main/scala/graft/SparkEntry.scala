@@ -196,6 +196,7 @@ object SparkEntry {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
     }),
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "dedup_substring" -> ((s, dir) => Dedup.substringDupStats(s, dir)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLSH(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
@@ -868,6 +869,7 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dedup_substring" -> Dedup.substringDupOracle,
     "dedup_ngram" ->
       s"""WITH $SHROWS,
          |rare AS (SELECT shh FROM sh GROUP BY shh HAVING count(*) <= 50),

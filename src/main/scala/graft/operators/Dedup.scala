@@ -55,6 +55,70 @@ object Dedup {
     hashedShingles(spark, sfDir)
       .select(col("doc_id"), explode(col("hsh")).as("shh"))
 
+  /** Char window length of [[substringDupStats]]. */
+  val SubstrLen = 40
+
+  /** Substring-level duplication stats (the Lee et al. 2021 exact
+    * substring-dedup signal): for every document, how many of its
+    * `SubstrLen`-char sliding windows also occur in ANOTHER document,
+    * plus the shared fraction. A doc with a high shared_frac is
+    * boilerplate/templated and a removal candidate even when no
+    * whole-doc near-dup fires.
+    *
+    * Scale shape: windows travel as 60-bit md5 hashes from the first
+    * projection (the 40-char strings never cross a shuffle); the
+    * window stream is persisted because both the distinct-df branch and
+    * the per-doc count branch consume it; per-window doc-frequency is a
+    * distinct + count (never count-distinct's expand). The window
+    * count per doc is computed narrowly from length(text) — no second
+    * pass. */
+  def substringDupStats(spark: SparkSession, sfDir: String,
+      len: Int = SubstrLen): DataFrame = {
+    val wins = when(length(col("text")) >= len,
+      transform(sequence(lit(1), length(col("text")) - (len - 1)),
+        i => col("text").substr(i, lit(len))))
+      .otherwise(array().cast("array<string>"))
+    val w = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(wins).as("w"))
+      .select(col("doc_id"), HashOps.wordHashN(col("w"), 15).as("wh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = w.distinct()
+      .groupBy("wh").agg(count(lit(1)).as("ddf"))
+      .filter(col("ddf") >= 2).select("wh")
+    val ns = w.join(shared, "wh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        greatest(length(col("text")) - (len - 1), lit(0)).cast("long").as("n_windows"))
+      .join(ns, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) * lit(1.0)
+          / greatest(col("n_windows"), lit(1L)), 6).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[substringDupStats]] — same md5-derived hashes. */
+  def substringDupOracle: String = {
+    val L = SubstrLen
+    s"""WITH w0 AS (SELECT doc_id,
+       |              unnest(list_transform(generate_series(1, length(text) - ${L - 1}),
+       |                                    i -> substring(text, i, $L))) AS w
+       |            FROM documents WHERE length(text) >= $L),
+       |w AS (SELECT doc_id, ${HashOps.wordHashSqlN(15)} AS wh
+       |      FROM (SELECT doc_id, md5(w) AS m FROM w0)),
+       |sh AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM w)
+       |       GROUP BY wh HAVING count(*) >= 2),
+       |ns AS (SELECT doc_id, count(*) AS n_shared FROM w JOIN sh USING (wh)
+       |       GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(greatest(length(d.text) - ${L - 1}, 0) AS BIGINT) AS n_windows,
+       |       CAST(coalesce(ns.n_shared, 0) AS BIGINT) AS n_shared,
+       |       round(coalesce(ns.n_shared, 0) * 1.0
+       |             / greatest(greatest(length(d.text) - ${L - 1}, 0), 1), 6) AS shared_frac
+       |FROM documents d LEFT JOIN ns USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: one survivor (min doc_id) per identical text; shuffle
