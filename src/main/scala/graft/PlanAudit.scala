@@ -26,12 +26,19 @@ object PlanAudit {
       println(f"${"query"}%-22s ex  smj  bhj  nlj cart  wsc")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try {
-          val p = fn(spark, sf).queryExecution.explainString(FormattedMode)
+          // materialize first: under AQE the pre-execution plan is the
+          // INITIAL one — runtime SMJ→BHJ conversions, coalesced
+          // exchanges and codegen stage ids only exist in the final plan
+          val qe = fn(spark, sf).queryExecution
+          qe.executedPlan.execute().count()
+          val p = qe.explainString(FormattedMode)
           val flag = if (count(p, "CartesianProduct") > 0 ||
             count(p, "BroadcastNestedLoopJoin") > 0) "  <-- CHECK" else ""
           println(f"$name%-22s ${count(p, "Exchange")}%2d ${count(p, "SortMergeJoin")}%4d " +
             f"${count(p, "BroadcastHashJoin")}%4d ${count(p, "BroadcastNestedLoopJoin")}%4d " +
-            f"${count(p, "CartesianProduct")}%4d ${"WholeStageCodegen".r.findAllIn(p).length}%4d$flag")
+            f"${count(p, "CartesianProduct")}%4d " +
+            // FormattedMode marks codegen membership as "[codegen id : N]"
+            f"${"\\[codegen id : ".r.findAllIn(p).length}%4d$flag")
         } catch { case e: Throwable => println(f"$name%-22s ERROR ${e.getMessage}") }
         spark.catalog.clearCache()
       }
