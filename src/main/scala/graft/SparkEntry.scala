@@ -168,6 +168,7 @@ object SparkEntry {
     }),
     "events_hourly" -> ((s, dir) => Events.hourlyAgg(s, dir)),
     "events_sessions" -> ((s, dir) => Events.sessionize(s, dir)),
+    "events_session_window" -> ((s, dir) => Events.sessionWindowAgg(s, dir)),
     "events_props" -> ((s, dir) => Events.propsAgg(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
     "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)),
@@ -279,6 +280,7 @@ object SparkEntry {
     "kmeans_silhouette" -> ((s, dir) => KMeansSteps.silhouette(s, dir)),
     "kmeans_wcss" -> ((s, dir) => KMeansSteps.wcss(s, dir)),
     "kmeans_dbi" -> ((s, dir) => KMeansSteps.daviesBouldin(s, dir)),
+    "kmeans_elbow" -> ((s, dir) => KMeansSteps.elbow(s, dir)),
     // O20/O21 — the scatter chart's data payload
     "kmeans_scatter_data" -> ((s, dir) => KMeansSteps.scatterData(s, dir)),
     // M3 — full iterative fit (not SQL-expressible; rows-only check)
@@ -762,6 +764,15 @@ object SparkEntry {
         |       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
         |       round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM e),
+        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS boundary FROM l),
+        |s AS (SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM b)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |       epoch_us(max(ts)) + 1800000000 AS end_us,
+        |       count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin,
     "events_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1164,6 +1175,15 @@ object SparkEntry {
          |SELECT CAST(cid AS BIGINT) AS cluster_id,
          |       round(sum(dist * dist), 6) AS wcss, count(*) AS n
          |FROM a GROUP BY cid ORDER BY cluster_id""".stripMargin,
+    "kmeans_elbow" ->
+      s"""WITH $PTS, $CENTS,
+         |d AS (SELECT p.vec_id, c.cid, list_distance(p.v, c.c) AS dist
+         |      FROM pts p CROSS JOIN cents c),
+         |ks AS (SELECT unnest(generate_series(1, $K)) AS k),
+         |m AS (SELECT ks.k, d.vec_id, min(d.dist) AS md
+         |      FROM ks JOIN d ON d.cid < ks.k GROUP BY ks.k, d.vec_id)
+         |SELECT CAST(k AS BIGINT) AS k, round(sum(md * md), 6) AS wcss
+         |FROM m GROUP BY k ORDER BY k""".stripMargin,
     "kmeans_dbi" ->
       s"""WITH $PTS, $CENTS,
          |d AS (SELECT p.vec_id, c.cid, list_distance(p.v, c.c) AS dist

@@ -167,6 +167,24 @@ object KMeansSteps {
       .orderBy("cluster_id")
   }
 
+  /** Elbow curve from nested centroid prefixes: total WCSS when
+    * clustering against the first k centroids, for every k ≤ K, in ONE
+    * scan — k kernel evaluations per row feed k partial sums, so the
+    * whole sweep costs one pass and a 1-row aggregate (the explode
+    * touches only the aggregate result). The model-selection curve the
+    * reference's fixed-k pipeline never offers. */
+  def elbow(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = centArr(centroids(spark, sfDir))
+    val sums = (1 to K).map { k =>
+      val md = minDistK(col("features"), cs.take(k))
+      sum(md * md).as(s"w$k")
+    }
+    val row = pts(spark, sfDir).agg(sums.head, sums.tail: _*)
+    val items = array((1 to K).map(k =>
+      struct(lit(k.toLong).as("k"), round(col(s"w$k"), 6).as("wcss"))): _*)
+    row.select(explode(items).as("p")).select("p.*").orderBy("k")
+  }
+
   /** Davies-Bouldin index per cluster: s_i = mean distance of cluster
     * i's members to their centroid (ONE partial-aggregated shuffle of
     * k rows); r_i = max over j≠i of (s_i + s_j) / d(c_i, c_j), where the

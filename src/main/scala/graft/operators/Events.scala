@@ -57,6 +57,24 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sessionization via Spark's native `session_window` — the dedicated
+    * session operator (merging windows inside the aggregate) rather than
+    * the lag+cumsum formulation of [[sessionize]]. Semantics differ at
+    * the boundary: session_window merges when the gap is strictly less
+    * than `gapMinutes`, and a session's end is last_ts + gap. One
+    * shuffle keyed by (user, session); state is bounded per user. */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   /** Funnel / attribution join: for every purchase event, the same-user
     * view events in the preceding 30 minutes (count + first view id).
     * Equi-join on user_id carries the shuffle; the time bound is a
