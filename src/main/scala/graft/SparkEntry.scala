@@ -765,9 +765,12 @@ object SparkEntry {
         |       round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "events_session_window" ->
+      // session_window merges when the gap is ≤ the duration (an event
+      // landing exactly on the window end still extends it — pinned by
+      // EventsSpec), so the island boundary is strictly `>`
       """WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM e),
-        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS boundary FROM l),
+        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS boundary FROM l),
         |s AS (SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM b)
         |SELECT user_id, epoch_us(min(ts)) AS start_us,
         |       epoch_us(max(ts)) + 1800000000 AS end_us,

@@ -83,4 +83,31 @@ class EventsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq == Seq(("a", "2024-03-11", 30L)))
   }
+
+  test("sessionWindowAgg: gap-inclusive merging, end = last_ts + gap") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    def tm(h: Int, min: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-05-01 $h%02d:$min%02d:00")
+    // user 1: 10:00, 10:10, 10:40 — the 30-min gap lands EXACTLY on the
+    // previous window's end and still merges (gap-inclusive, pinned
+    // here); user 2: 31-min gap -> two sessions
+    Seq(
+      (1L, tm(10, 0), 1L, "view", 1.0, "{}"),
+      (2L, tm(10, 10), 1L, "view", 2.0, "{}"),
+      (3L, tm(10, 40), 1L, "view", 4.0, "{}"),
+      (4L, tm(12, 0), 2L, "view", 8.0, "{}"),
+      (5L, tm(12, 31), 2L, "view", 16.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    def us(h: Int, min: Int): Long = tm(h, min).getTime * 1000L
+    val got = Events.sessionWindowAgg(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, us(10, 0), us(11, 10), 3L, 7.0),    // one merged session
+      (2L, us(12, 0), us(12, 30), 1L, 8.0),
+      (2L, us(12, 31), us(13, 1), 1L, 16.0)))
+    // session membership agrees with the lag+cumsum formulation
+    assert(Events.sessionize(spark, d2).count() == got.length.toLong)
+  }
 }
