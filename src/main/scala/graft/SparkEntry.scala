@@ -288,6 +288,12 @@ object SparkEntry {
       RefKMeans.fitSizes(s, Tables.points(s, dir),
         RefKMeans.Config(k = 8, firstId = Some(0L)))
         .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))),
+    // D²-weighted k-means++ seeding variant (rows-only: iterative +
+    // sampling-seeded; determinism pinned by RefKMeansSpec)
+    "kmeans_fit_pp" -> ((s, dir) =>
+      RefKMeans.fitSizes(s, Tables.points(s, dir),
+        RefKMeans.Config(k = 8, seed = 42L, ppSeeding = true))
+        .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))),
     // relational → vector path end-to-end: fit over standardized
     // lineitem numerics (N = full lineitem, d = 4) — the bigger-N fit
     "kmeans_fit_lineitem" -> ((s, dir) =>

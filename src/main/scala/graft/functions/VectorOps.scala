@@ -81,6 +81,10 @@ object VectorOps {
   def minDistK(features: Column, cs: Array[Array[Double]]): Column =
     sqrt(column(graft.plans.MinSqDistToCentroids(expression(features), cs)))
 
+  /** Squared [[minDistK]] — the D² weight of k-means++ sampling. */
+  def minSqDistK(features: Column, cs: Array[Array[Double]]): Column =
+    column(graft.plans.MinSqDistToCentroids(expression(features), cs))
+
   /** Contiguous-bucket projection of a d-dim vector to `nBuckets` dims by
     * averaging each slice — the reference's deterministic `reshape`
     * (`plot/plotter.go:114-137`). Pure array expressions, per-row, no

@@ -45,7 +45,10 @@ object RefKMeans {
       seed: Long = 42L,
       deltaThreshold: Double = 0.01,
       maxIter: Int = 100,
-      firstId: Option[Long] = None)
+      firstId: Option[Long] = None,
+      /** false → the reference's maximin seeding ([[seed]]); true → classic
+        * D²-weighted k-means++ sampling ([[seedPP]]). */
+      ppSeeding: Boolean = false)
 
   final case class Result(
       centroids: Array[(Int, Array[Double])],
@@ -91,13 +94,52 @@ object RefKMeans {
     holder
   }
 
+  /** Classic D²-weighted k-means++ seeding (Arthur & Vassilvitskii 2007,
+    * the algorithm the reference's maximin loop approximates
+    * deterministically — `master.go:157-190` picks the argmax instead of
+    * sampling ∝ D²). Made deterministic-distributed via an exponential
+    * race: each row draws u ∈ (0,1) from a seeded per-(row, round) hash
+    * and the next centroid is argmin of −ln(u)/D² — a weighted sample
+    * taken as ONE distributed top-1 per round, nothing O(N) driver-side.
+    * Already-chosen points have D² = 0 → key = +∞, never re-picked. */
+  def seedPP(points: DataFrame, cfg: Config): Array[Array[Double]] = {
+    val first = cfg.firstId match {
+      case Some(id) => collectPoint(points.filter(col("id") === id))._2
+      case None =>
+        collectPoint(points
+          .orderBy(xxhash64(col("id"), lit(cfg.seed)), col("id")).limit(1))._2
+    }
+    val d = first.length
+    val holder = Array.fill(cfg.k)(Array.fill(d)(Double.MaxValue))
+    holder(0) = first.clone()
+    var found = 1
+    while (found < cfg.k) {
+      // u ∈ (0,1): pmod maps the hash into [0, MaxValue), +1 keeps ln(u)
+      // finite and nonzero
+      val u = (pmod(xxhash64(col("id"), lit(cfg.seed), lit(found.toLong)),
+        lit(Long.MaxValue)) + lit(1L)).cast("double") /
+        lit(Long.MaxValue.toDouble + 1.0)
+      // argmax of D²/−ln(u) ≡ argmin of −ln(u)/D², but the divisor
+      // −ln(u) is strictly positive (u ∈ (0,1)), so ANSI mode never sees
+      // a zero divisor; picked points score D² = 0 and can't win
+      val key = minSqDistK(col("features"), holder) / -log(u)
+      holder(found) = collectPoint(points
+        .select(col("id"), col("features"), key.as("key"))
+        .orderBy(desc("key"), asc("id")).limit(1)
+        .select(col("id"), col("features")))._2
+      found += 1
+    }
+    holder
+  }
+
   /** Full fit: seeding + Lloyd loop. `points` must have columns
     * (id: LONG, features: ARRAY<DOUBLE>). */
   def fit(points0: DataFrame, cfg: Config): Result = {
     val points = points0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val d = points.head().getSeq[Double](1).length
-      var cents: Array[Array[Double]] = seed(points, cfg)
+      var cents: Array[Array[Double]] =
+        if (cfg.ppSeeding) seedPP(points, cfg) else seed(points, cfg)
       var iter = 0
       var delta = Double.MaxValue
       var converged = false

@@ -89,4 +89,25 @@ class RefKMeansSpec extends AnyFunSuite {
       .head().getSeq[Double](0)
     assert(out == Seq(2.0, 6.0))
   }
+
+  test("D² k-means++ seeding: deterministic, distinct data points, never re-picks") {
+    val cfg = RefKMeans.Config(k = 3, seed = 7L, ppSeeding = true)
+    val a = RefKMeans.seedPP(blobs, cfg).map(_.toSeq)
+    val b = RefKMeans.seedPP(blobs, cfg).map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "same seed must reproduce the same centers")
+    val data = blobs.collect().map(_.getSeq[Double](1).toSeq).toSet
+    assert(a.forall(data.contains), "every seed must be an input point")
+    assert(a.distinct.length == 3, "D²=0 points must never be re-sampled")
+    // a different seed changes at least the sampled (non-first) picks
+    val c = RefKMeans.seedPP(blobs, cfg.copy(seed = 8L)).map(_.toSeq)
+    assert(a.toSeq != c.toSeq || a.head == c.head)
+  }
+
+  test("fit with pp seeding converges on the 2-blob fixture") {
+    val res = RefKMeans.fit(blobs, RefKMeans.Config(k = 2, seed = 7L, ppSeeding = true))
+    assert(res.converged)
+    val sizes = RefKMeans.assign(blobs, res.centroids)
+      .groupBy("cluster_id").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.sum == 6L)
+  }
 }
