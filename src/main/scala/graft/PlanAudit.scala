@@ -22,7 +22,13 @@ object PlanAudit {
           .explainString(FormattedMode))
       }
     } else {
-      def count(p: String, op: String): Int = s"\\(\\d+\\) $op".r.findAllIn(p).length
+      // count operators on TREE lines ("Op ... (id)") of the final-plan
+      // section only: the executed AQE string carries the Final Plan
+      // tree, then the Initial Plan tree, then numbered details for
+      // BOTH — counting "(id) Op" detail headers double-counts every
+      // operator and resurrects joins AQE replaced at runtime
+      def count(p: String, op: String): Int =
+        s"\\b$op\\b[^\\n]*\\(\\d+\\)".r.findAllIn(p).length
       println(f"${"query"}%-22s ex  smj  bhj  nlj cart  wsc")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try {
@@ -31,14 +37,18 @@ object PlanAudit {
           // exchanges and codegen stage ids only exist in the final plan
           val qe = fn(spark, sf).queryExecution
           qe.executedPlan.execute().count()
-          val p = qe.explainString(FormattedMode)
+          val full = qe.explainString(FormattedMode)
+          val p = full.split("== Initial Plan ==")(0)
           val flag = if (count(p, "CartesianProduct") > 0 ||
             count(p, "BroadcastNestedLoopJoin") > 0) "  <-- CHECK" else ""
           println(f"$name%-22s ${count(p, "Exchange")}%2d ${count(p, "SortMergeJoin")}%4d " +
             f"${count(p, "BroadcastHashJoin")}%4d ${count(p, "BroadcastNestedLoopJoin")}%4d " +
             f"${count(p, "CartesianProduct")}%4d " +
-            // FormattedMode marks codegen membership as "[codegen id : N]"
-            f"${"\\[codegen id : ".r.findAllIn(p).length}%4d$flag")
+            // wsc = number of whole-stage-codegen STAGES: FormattedMode
+            // marks members as "[codegen id : N]" (details, final plan
+            // only — initial-plan nodes are never compiled) — count
+            // distinct ids over the full string
+            f"${"\\[codegen id : (\\d+)\\]".r.findAllMatchIn(full).map(_.group(1)).toSet.size}%4d$flag")
         } catch { case e: Throwable => println(f"$name%-22s ERROR ${e.getMessage}") }
         spark.catalog.clearCache()
       }

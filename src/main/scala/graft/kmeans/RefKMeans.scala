@@ -119,10 +119,14 @@ object RefKMeans {
       val u = (pmod(xxhash64(col("id"), lit(cfg.seed), lit(found.toLong)),
         lit(Long.MaxValue)) + lit(1L)).cast("double") /
         lit(Long.MaxValue.toDouble + 1.0)
-      // argmax of D²/−ln(u) ≡ argmin of −ln(u)/D², but the divisor
-      // −ln(u) is strictly positive (u ∈ (0,1)), so ANSI mode never sees
-      // a zero divisor; picked points score D² = 0 and can't win
-      val key = minSqDistK(col("features"), holder) / -log(u)
+      // argmax of D²/−ln(u) ≡ argmin of −ln(u)/D²; picked points score
+      // D² = 0 and can't win. u < 1 mathematically, but a pmod result
+      // within an ulp of Long.MaxValue can ROUND to u == 1.0 making
+      // −ln(u) = 0 — the greatest() floor keeps ANSI mode from ever
+      // seeing a zero divisor (the clamped key is astronomically large
+      // but finite, preserving the argmax race)
+      val key = minSqDistK(col("features"), holder) /
+        greatest(-log(u), lit(1e-300))
       holder(found) = collectPoint(points
         .select(col("id"), col("features"), key.as("key"))
         .orderBy(desc("key"), asc("id")).limit(1)

@@ -59,10 +59,12 @@ object Events {
 
   /** Sessionization via Spark's native `session_window` — the dedicated
     * session operator (merging windows inside the aggregate) rather than
-    * the lag+cumsum formulation of [[sessionize]]. Semantics differ at
-    * the boundary: session_window merges when the gap is strictly less
-    * than `gapMinutes`, and a session's end is last_ts + gap. One
-    * shuffle keyed by (user, session); state is bounded per user. */
+    * the lag+cumsum formulation of [[sessionize]]. Merging is
+    * gap-INCLUSIVE (an event landing exactly on the previous window's
+    * end still extends it — pinned in EventsSpec), so session membership
+    * is identical to [[sessionize]]'s strict `> gap` boundary; only the
+    * reported end differs (last_ts + gap). One shuffle keyed by
+    * (user, session); state is bounded per user. */
   def sessionWindowAgg(spark: SparkSession, sfDir: String,
       gapMinutes: Int = 30): DataFrame =
     Tables.events(spark, sfDir)

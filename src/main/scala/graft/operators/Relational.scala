@@ -599,9 +599,12 @@ object Relational {
   /** Bucket width (in cents) of [[histogram]]. */
   val HistWidthCents = 500000L
 
-  /** Equi-width histogram of l_extendedprice: integer-cents floor
-    * division into fixed $5,000 buckets — exact at any scale (no FP
-    * binning drift), one partial-aggregated shuffle of bucket counts. */
+  /** Equi-width histogram of l_extendedprice: integer-cents division
+    * into fixed $5,000 buckets — exact at any scale (no FP binning
+    * drift), one partial-aggregated shuffle of bucket counts. NB: `div`
+    * truncates toward zero while the oracle's `//` floors; identical
+    * only because prices are nonnegative — for signed measures bin with
+    * an explicit floor (see Joins.interval). */
   def histogram(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "lineitem")
       .selectExpr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)" +
