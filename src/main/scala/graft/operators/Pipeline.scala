@@ -199,12 +199,13 @@ object Pipeline {
     // inside an interpreted lambda: measured 47.6 s vs 1.8 s at sf0.1
     val grams = column(HashedShingles(
       expression(split(col("text"), " ")), DecontamGram))
-    // persisted: the eval branch and the training stream both consume
-    // the hashed gram rows — without it the md5 sweep (the dominant
-    // cost, see PERF.md) runs once per branch
+    // deliberately NOT persisted: the is_eval/!is_eval filters push
+    // below the explode, so the two branches hash DISJOINT doc subsets
+    // (5% + 95% = one full sweep total) — a persist would materialize
+    // token-scale rows to save zero recompute (measured: no change at
+    // sf0.1)
     val g = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), evalFlag.as("is_eval"), explode(grams).as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = g.filter(col("is_eval")).select("gh").distinct()
     g.filter(!col("is_eval"))
       .join(broadcast(evalGrams), "gh")
