@@ -89,6 +89,20 @@ class KMeansPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("D² k-means++ seeding: k distinct input points, deterministic, for any dataset") {
+    forAll(genPoints) { (pts: List[Seq[Double]]) =>
+      val k = math.min(3, pts.length)
+      val cfg = RefKMeans.Config(k = k, seed = 11L, ppSeeding = true)
+      val a = RefKMeans.seedPP(df(pts), cfg).map(_.toSeq)
+      assert(a.length == k)
+      val data = pts.toSet
+      assert(a.forall(data.contains), "every pp seed must be an input point")
+      assert(a.distinct.length == k, "D²=0 forbids re-picking a chosen value")
+      val b = RefKMeans.seedPP(df(pts), cfg).map(_.toSeq)
+      assert(a.toSeq == b.toSeq)
+    }
+  }
+
   test("singleton cluster centroid equals its point") {
     import spark.implicits._
     // two coincident points + one far singleton, k=2
