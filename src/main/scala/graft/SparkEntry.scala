@@ -42,6 +42,7 @@ object SparkEntry {
         .orderBy("doc_id", "dim")),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resizeMeta(s, dir)),
+    "multimodal_phash" -> ((s, dir) => Multimodal.phashPairs(s, dir)),
     // MLlib k-means|| path (probabilistic seeding — never the oracle)
     "kmeans_mllib" -> ((s, dir) => MLlibKMeans.fitSizes(s, dir)))
 
@@ -328,6 +329,7 @@ object SparkEntry {
       pipelineOracle
 
   private def multimodalOracle: Map[String, String] = Map(
+    "multimodal_phash" -> Multimodal.phashOracle,
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id,
         |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,

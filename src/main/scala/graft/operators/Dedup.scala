@@ -370,12 +370,23 @@ object Dedup {
     // tiny (doc_id, sig) relation so the fold runs ONCE over the corpus
     val sig = simhashSignatures(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandedHammingPairs(sig, SIMHASH_BAND_BITS, SIMHASH_BANDS,
+      SIMHASH_BUCKET_CAP, maxHamming)
+  }
+
+  /** Banded-LSH hamming pairs over any (doc_id, sig BIGINT) signature
+    * relation: band keys from bit slices, capped buckets (a hot bucket
+    * can never go quadratic), candidate equi-join, exact
+    * `bit_count(xor)` verification. Shared by [[simhashPairs]] and
+    * [[Multimodal.phashPairs]]. */
+  private[graft] def bandedHammingPairs(sig: DataFrame, bandBits: Int,
+      nBands: Int, cap: Int, maxHamming: Int): DataFrame = {
     val bands = sig.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until SIMHASH_BANDS).map(b =>
-        shiftright(col("sig"), b * SIMHASH_BAND_BITS)
-          .bitwiseAND(lit((1L << SIMHASH_BAND_BITS) - 1))): _*)).as(Seq("band", "key")))
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("sig"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as(Seq("band", "key")))
     val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= SIMHASH_BUCKET_CAP).select("band", "key")
+      .filter(col("bn") <= cap).select("band", "key")
     val bk = bands.join(ok, Seq("band", "key"))
     val cand = bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

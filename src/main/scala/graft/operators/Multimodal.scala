@@ -91,6 +91,73 @@ object Multimodal {
       .withColumn("out_bytes", (col("out_w") * col("out_h") * 3).cast("long"))
       .orderBy("doc_id")
 
+  val PhashBits = 60
+  val PhashBandBits = 15
+  val PhashBands = 4
+  val PhashBucketCap = 200
+  val PhashMaxHamming = 6
+
+  /** Perceptual average-hash (aHash-style) dedup over the media BINARY
+    * column — the modality-specific near-dup pass an image corpus runs
+    * (dHash/aHash over decoded pixels): bytes fold into `PhashBits`
+    * positional buckets, each bucket's mean is compared to the global
+    * mean, and the resulting 60-bit signature is deduped with the same
+    * banded-LSH hamming machinery as [[Dedup.simhashPairs]]. With a real
+    * decoder the bucket sums would come from pixel blocks; the bucketing,
+    * signature, banding and verification are the actual operator.
+    *
+    * Integer-exact end to end: the mean comparison is the cross-multiply
+    * `s·tc > ts·c` (no FP division), so the oracle reproduces every bit.
+    * Safe in int64 for media up to ~4·10⁷ bytes. One char-scale shuffle
+    * (bucket sums), then everything is signature-sized. */
+  def phashPairs(spark: SparkSession, sfDir: String,
+      maxHamming: Int = PhashMaxHamming): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = mediaTable(spark, sfDir)
+      .select(col("doc_id"), decode(col("media"), "UTF-8").as("t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), length(col("t"))),
+        i => ascii(col("t").substr(i, lit(1))).cast("long"))).as(Seq("pos", "v")))
+    val buckets = ex
+      .groupBy(col("doc_id"), pmod(col("pos"), lit(PhashBits.toLong)).as("b"))
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+    val tot = Window.partitionBy("doc_id")
+    val sig = buckets
+      .select(col("doc_id"), col("b"), col("s"), col("c"),
+        sum("s").over(tot).as("ts"), sum("c").over(tot).as("tc"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") * col("tc") > col("ts") * col("c"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("sig"))
+    Dedup.bandedHammingPairs(sig, PhashBandBits, PhashBands,
+      PhashBucketCap, maxHamming)
+  }
+
+  /** DuckDB twin of [[phashPairs]]. */
+  def phashOracle: String =
+    s"""WITH m AS (SELECT doc_id, text AS t FROM documents),
+       |e0 AS (SELECT doc_id, t, unnest(generate_series(1, length(t))) AS i FROM m),
+       |ex AS (SELECT doc_id, (i - 1) % $PhashBits AS b,
+       |              ascii(substring(t, i, 1)) AS v FROM e0),
+       |bu AS (SELECT doc_id, b, sum(v) AS s, count(*) AS c FROM ex GROUP BY 1, 2),
+       |tt AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM bu GROUP BY 1),
+       |sig AS (SELECT bu.doc_id,
+       |               CAST(sum(CASE WHEN bu.s * tt.tc > tt.ts * bu.c
+       |                             THEN (CAST(1 AS BIGINT) << CAST(bu.b AS INT))
+       |                             ELSE 0 END) AS BIGINT) AS sig
+       |        FROM bu JOIN tt USING (doc_id) GROUP BY bu.doc_id),
+       |bands AS (SELECT doc_id, sig, band,
+       |                 (sig >> (band * $PhashBandBits)) & ${(1L << PhashBandBits) - 1} AS key
+       |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${PhashBands - 1})) AS band) g),
+       |ok AS (SELECT band, key FROM bands GROUP BY band, key
+       |       HAVING count(*) <= $PhashBucketCap),
+       |bk AS (SELECT b.* FROM bands b JOIN ok USING (band, key)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sa, b.doc_id AS doc_b, b.sig AS sb
+       |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+       |                            AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $PhashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Frame sampling: n evenly-spaced byte-range "frames" per media blob
     * (a real video op would seek keyframes; the slicing contract and the
     * exploded output shape are identical). */

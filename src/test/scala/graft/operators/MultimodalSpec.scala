@@ -29,6 +29,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.values.forall(_.forall(x => x >= 0.0f && x < 1.0f)))
   }
 
+  test("phash pairs: byte-identical media collide at hamming 0; bounds hold") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has no exact dupes
+    val pairs = Multimodal.phashPairs(spark, sf01).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall { r =>
+      val h = r.getLong(2); h >= 0 && h <= Multimodal.PhashMaxHamming
+    })
+    // the sf0.01 fixture's mutated near-dup docs must surface
+    assert(pairs.nonEmpty)
+    // determinism: a second evaluation yields the identical pair set
+    val again = Multimodal.phashPairs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("frame sampling yields nFrames rows per doc") {
     val counts = Multimodal.frameSample(spark, sf).groupBy("doc_id").count()
       .select("count").distinct().collect().map(_.getLong(0)).toSet
