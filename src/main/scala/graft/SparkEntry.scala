@@ -80,6 +80,47 @@ object SparkEntry {
               |ORDER BY revenue_c4 DESC, l_orderkey
               |LIMIT 10""".stripMargin)
     }),
+    // TPC-H Q5 shape: 6-table snowflake join (region→nation→supplier ⋈
+    // customer→orders→lineitem with the co-nation condition) — the join
+    // order/broadcast stress test; dims broadcast, facts shuffle once
+    "sql_q5" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""SELECT n_name,
+              |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_c4,
+              |  count(*) AS n
+              |FROM customer JOIN orders   ON c_custkey = o_custkey
+              |              JOIN lineitem ON l_orderkey = o_orderkey
+              |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |              JOIN nation   ON s_nationkey = n_nationkey
+              |              JOIN region   ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= timestamp'1996-01-01 00:00:00'
+              |  AND o_orderdate <  timestamp'1998-01-01 00:00:00'
+              |GROUP BY n_name ORDER BY revenue_c4 DESC, n_name""".stripMargin)
+    }),
+    // TPC-H Q18 shape: group-having subquery feeding a semi filter +
+    // re-aggregation + top-k — the "large-volume customers" pattern
+    "sql_q18" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+              |             HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 10000)
+              |SELECT c_custkey, o_orderkey,
+              |  date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+              |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+              |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |              JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+              |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+              |ORDER BY price_cents DESC, o_orderkey LIMIT 20""".stripMargin)
+    }),
+    // CDC latest-snapshot compaction: one current row per key
+    "scd_latest" -> ((s, dir) => Relational.scdLatest(s, dir)),
+    // Z-order (Morton) lake-layout key
+    "zorder_key" -> ((s, dir) => Relational.zorderKey(s, dir)),
     // RANGE frame (value-based window): customers with an account
     // balance within ±500.00 of each row, per nation — tie-insensitive
     // by construction (range frames bound by VALUE, not row position)
@@ -210,6 +251,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
+    "ann_sq_topk" -> ((s, dir) => Similarity.sqTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)))
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -382,6 +424,34 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue_c4 DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "sql_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_c4,
+        |  count(*) AS n
+        |FROM customer JOIN orders   ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |              JOIN nation   ON s_nationkey = n_nationkey
+        |              JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+        |  AND o_orderdate <  timestamp '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue_c4 DESC, n_name""".stripMargin,
+    "sql_q18" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |             HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 10000)
+        |SELECT c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+        |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY price_cents DESC, o_orderkey LIMIT 20""".stripMargin,
+    "scd_latest" -> Relational.scdLatestOracle,
+    "zorder_key" -> Relational.zorderKeyOracle,
     "join_skew" ->
       s"""SELECT o_orderstatus,
          |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,
@@ -963,6 +1033,27 @@ object SparkEntry {
          |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
          |s AS (SELECT q.q_id, p.vec_id AS n_id, ${cosSql("q.qv", "p.v")} AS cos
          |      FROM q JOIN p ON p.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann_sq_topk" ->
+      s"""WITH $COSP,
+         |u AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM p),
+         |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM u GROUP BY dim),
+         |qz AS (SELECT vec_id, dim,
+         |         CASE WHEN mx = mn THEN 0
+         |              ELSE CAST(round((x - mn) / (mx - mn) * 255, 0) AS BIGINT) END AS q
+         |       FROM u JOIN st USING (dim)),
+         |dq AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |              CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dq
+         |       FROM qz a JOIN qz b USING (dim)
+         |       WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+         |cand AS (SELECT q_id, n_id FROM
+         |           (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY dq, n_id) AS rn FROM dq)
+         |         WHERE rn <= 20),
+         |s AS (SELECT c.q_id, c.n_id, ${cosSql("qp.v", "np.v")} AS cos
+         |      FROM cand c JOIN p qp ON qp.vec_id = c.q_id JOIN p np ON np.vec_id = c.n_id)
          |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
          |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,

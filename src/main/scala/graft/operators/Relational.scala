@@ -656,4 +656,67 @@ object Relational {
          |  CAST(min($c) AS DOUBLE) AS min_v,
          |  CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** CDC latest-snapshot compaction (SCD type-1 read path): one current
+    * row per key — here the most recent order per customer, ties broken
+    * by the larger orderkey. The canonical change-log → snapshot collapse
+    * every incremental 100 TB table needs.
+    *
+    * One shuffle on the key; the window's sort is per-key local. At
+    * scale this is exactly the MERGE/compaction read: the changelog
+    * shuffles once and only rn=1 survives — never a self-join against
+    * max(ts) (which would scan twice and shuffle twice). */
+  def scdLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").cast("long").as("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .orderBy("o_custkey")
+  }
+
+  /** DuckDB twin of [[scdLatest]]. */
+  def scdLatestOracle: String =
+    """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |             row_number() OVER (PARTITION BY o_custkey
+      |                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |           FROM orders)
+      |SELECT CAST(o_custkey AS BIGINT) AS o_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+      |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** Z-order (Morton) interleaved key over (l_partkey, l_suppkey) —
+    * the multi-dimensional lake-layout primitive: writing a table
+    * range-partitioned and sorted by this key co-locates rows that are
+    * close in BOTH dimensions, so 2-D predicates prune files on either
+    * column (the Delta/Iceberg OPTIMIZE ZORDER technique; see
+    * [[graft.sources.Sinks.writeZOrdered]] for the write path). The key
+    * itself is a narrow integer expression — 16 bits per dimension
+    * interleaved via a HOF fold, no shuffle, exact in int64. */
+  def zorderKey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        (col("l_partkey") % 65536).cast("long").as("px"),
+        (col("l_suppkey") % 65536).cast("long").as("sx"))
+      .withColumn("zkey", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, i) ->
+          |  acc + shiftleft(shiftright(px, i) % 2, 2*i)
+          |      + shiftleft(shiftright(sx, i) % 2, 2*i + 1))""".stripMargin))
+      .orderBy("zkey", "l_orderkey", "l_linenumber")
+      .limit(50)
+
+  /** DuckDB twin of [[zorderKey]]. */
+  def zorderKeyOracle: String =
+    """WITH t AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |                  CAST(l_partkey % 65536 AS BIGINT) AS px,
+      |                  CAST(l_suppkey % 65536 AS BIGINT) AS sx FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, px, sx,
+      |  CAST(list_sum(list_transform(range(0, 16),
+      |      i -> (((px >> i) & 1) << (2*i)) + (((sx >> i) & 1) << (2*i+1)))) AS BIGINT) AS zkey
+      |FROM t ORDER BY zkey, l_orderkey, l_linenumber LIMIT 50""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,64 @@ object Similarity {
         col("band") === col("qband") && col("key") === col("qkey") &&
           col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = cand
+      .join(p.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Scalar-quantized (SQ8) ANN: every vector compresses to 64 bytes —
+    * per-dimension affine quantization to 0..255 against the corpus
+    * min/max — and the candidate scan ranks by INTEGER quantized
+    * squared distance (exact arithmetic, order-independent, so the
+    * pipeline is deterministic and oracle-reproducible bit-for-bit,
+    * unlike a float approximate distance whose summation order could
+    * flip a rank at the candidate boundary). The top `rerank`
+    * candidates per query are then exact-cosine reranked.
+    *
+    * This is the vector-DB memory-bandwidth play: at 100 TB the
+    * quantized corpus is 8× smaller than the float64 vectors, the
+    * integer scan stays in whole-stage codegen, and only q×rerank rows
+    * ever touch the full-precision embeddings. The per-dim min/max is
+    * one tiny aggregate (d rows to the driver — centroid-sized, never
+    * O(N)). */
+  def sqTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, rerank: Int = 20): DataFrame = {
+    val p = points(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = p.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mnLit = array(st.map(s => lit(s._2)).toIndexedSeq: _*)
+    val mxLit = array(st.map(s => lit(s._3)).toIndexedSeq: _*)
+    // q_d = round((x − mn_d)/(mx_d − mn_d) · 255): x ≤ mx ⇒ ≤ 255, no
+    // clamp needed ((mx−mn)/(mx−mn) folds to exactly 1.0 in IEEE);
+    // degenerate constant dims quantize to 0 on both engines
+    def quant(v: Column): Column = transform(v, (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(round((x - mn) / (mx - mn) * 255, 0).cast("long"))
+    })
+    val pq = p.select(col("vec_id"), quant(col("v")).as("qz"))
+    val qq = pq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qz").as("qqz"))
+    // integer quantized distance: exact long arithmetic end-to-end
+    val dq = aggregate(zip_with(col("qqz"), col("qz"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (s, x) => s + x)
+    val candScored = pq.join(broadcast(qq), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), dq.as("dq"))
+    val candOrd = Seq(asc("dq"), asc("n_id"))
+    val cand = Relational.topkPerGroup(candScored, Seq(col("q_id")), candOrd, rerank)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(candOrd: _*)))
+      .filter(col("rn") <= rerank)
+      .select(col("q_id"), col("n_id"))
     val q = p.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = cand

@@ -79,6 +79,22 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-ordered lake write ([[graft.operators.Relational.zorderKey]]'s
+    * layout half): range-partition and sort the table by the Morton key
+    * so rows close in BOTH interleaved dimensions land in the same
+    * files. Parquet then records per-file min/max for the ORIGINAL
+    * columns, and a selective predicate on either dimension skips most
+    * files — the OPTIMIZE ZORDER technique, with no table-format
+    * dependency. `repartitionByRange` samples the key (one extra pass)
+    * to build balanced file-sized ranges at any scale. */
+  def writeZOrdered(df: DataFrame, zkey: org.apache.spark.sql.Column,
+      files: Int, out: String): Unit =
+    df.withColumn("_z", zkey)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(out)
+
   /** O3 — catalog listing: the datasets (tables) available under an sf
     * directory. */
   def listDatasets(spark: SparkSession, sfDir: String): Seq[String] =

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Semantic invariants of the relational additions the hash-compare
+  * can't express. */
+class RelationalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("scd_latest keeps exactly one current row per key, the max (date, orderkey)") {
+    val out = Relational.scdLatest(spark, sf).collect()
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_custkey").cast("long"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byKey = orders.groupBy(_._1)
+    assert(out.length == byKey.size, "one snapshot row per key")
+    out.foreach { r =>
+      val (ck, ok, date) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val want = byKey(ck).maxBy(o => (o._3, o._2)) // lexicographic date ties → orderkey
+      assert((want._2, want._3) == (ok, date), s"custkey $ck kept the wrong version")
+    }
+  }
+
+  test("zorder key is the exact Morton interleave on known bit patterns") {
+    // (px, sx) → z: bits of px at even positions, sx at odd
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
+      (3L, 0L, 5L), (0L, 3L, 10L), (65535L, 0L, 0x55555555L), (0L, 65535L, 0xAAAAAAAAL))
+    import spark.implicits._
+    val got = cases.map { case (px, sx, _) => (px, sx) }.toDF("px", "sx")
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, i) ->
+          |  acc + shiftleft(shiftright(px, i) % 2, 2*i)
+          |      + shiftleft(shiftright(sx, i) % 2, 2*i + 1))""".stripMargin))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == cases.toSet)
+  }
+
+  test("zorder_key output is sorted by the interleaved key") {
+    val rows = Relational.zorderKey(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val zs = rows.map(_.getLong(4))
+    assert(zs.sameElements(zs.sorted), "rows must come back in z-curve order")
+  }
+}

@@ -39,7 +39,7 @@ class TextSimilaritySpec extends AnyFunSuite {
 
   test("every ANN variant returns contiguous ranks, bounded cosines, no self-matches") {
     for (df <- Seq(Similarity.bruteTopK(spark, sf), Similarity.ivfTopK(spark, sf),
-        Similarity.lshTopK(spark, sf))) {
+        Similarity.lshTopK(spark, sf), Similarity.sqTopK(spark, sf))) {
       val rows = df.collect()
       assert(rows.nonEmpty)
       rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
@@ -55,12 +55,22 @@ class TextSimilaritySpec extends AnyFunSuite {
   test("brute-force top-1 is the ceiling: no ANN variant beats it") {
     val best = Similarity.bruteTopK(spark, sf).filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
-    for (df <- Seq(Similarity.ivfTopK(spark, sf), Similarity.lshTopK(spark, sf))) {
+    for (df <- Seq(Similarity.ivfTopK(spark, sf), Similarity.lshTopK(spark, sf),
+        Similarity.sqTopK(spark, sf))) {
       df.filter(col("rank") === 1).collect().foreach { r =>
         assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-9,
           s"approximate variant exceeded the exact optimum for query ${r.getLong(0)}")
       }
     }
+  }
+
+  test("SQ8 with a full-corpus rerank pool degenerates to exact brute force") {
+    // when every candidate is reranked, quantization error can't change
+    // the answer — the integer prune is only a candidate ORDER
+    val n = graft.sources.Tables(spark, sf, "embeddings").count().toInt
+    val got = Similarity.sqTopK(spark, sf, rerank = n).collect().map(_.toSeq).toSeq
+    val want = Similarity.bruteTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == want && want.nonEmpty)
   }
 
   test("IVF layout probe: partition-pruned scan, identical results") {

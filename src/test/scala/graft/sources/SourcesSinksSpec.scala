@@ -141,6 +141,33 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(q.count() > 0 && q.count() < events.count())
   }
 
+  test("z-ordered write clusters both dimensions into few files") {
+    import graft.operators.Relational
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val zkey = expr(
+      """aggregate(sequence(0, 15), 0L, (acc, i) ->
+        |  acc + shiftleft(shiftright(l_partkey % 65536, i) % 2, 2*i)
+        |      + shiftleft(shiftright(l_suppkey % 65536, i) % 2, 2*i + 1))""".stripMargin)
+    val out = Files.createTempDirectory("graft_z").toString + "/li"
+    Sinks.writeZOrdered(li, zkey, files = 8, out = out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == li.count(), "z-order write must preserve all rows")
+    assert(back.columns.sorted.sameElements(li.columns.sorted), "no layout column leaks")
+    // the point of the layout: a 2-D-local key range lands in FEW files.
+    // Check via parquet footers: per-file min/max of l_partkey must be
+    // narrower than the global range for most files (the sort clusters
+    // values), i.e. the sum of per-file spans ≪ files × global span.
+    val perFile = back.groupBy(input_file_name())
+      .agg(min("l_partkey").as("mn"), max("l_partkey").as("mx"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    val global = li.agg(min("l_partkey"), max("l_partkey")).head()
+    val span = (global.getLong(1) - global.getLong(0)).toDouble
+    val avgSpan = perFile.map { case (a, b) => (b - a).toDouble }.sum / perFile.length
+    assert(perFile.length > 1)
+    assert(avgSpan < span * 0.8,
+      s"files should each cover a narrow l_partkey range (avg $avgSpan of $span)")
+  }
+
   test("schema evolution: mergeSchema unions parquet files with differing columns") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evo").toString
