@@ -18,11 +18,15 @@ object HashOps {
   }
 
   /** (4·nNibbles)-bit hash of a string: first n md5 nibbles, big-endian.
-    * n ≤ 15 keeps the value positive in an int64. */
+    * n ≤ 15 keeps the value positive in an int64.
+    *
+    * Backed by the native [[graft.plans.WordHashN]] kernel (one digest
+    * per evaluation); the composed `md5` + nibble-extraction form it
+    * replaces re-ran the md5 for every nibble inside generators and
+    * lambda bodies, where Spark performs no subexpression elimination. */
   def wordHashN(w: Column, nNibbles: Int): Column = {
-    require(nNibbles <= 15, "16 nibbles would overflow the int64 sign bit")
-    val h = md5(w.cast("binary"))
-    (1 to nNibbles).map(j => nib(h, j) * lit(1L << (4 * (nNibbles - j)))).reduce(_ + _)
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(graft.plans.WordHashN(expression(w.cast("string")), nNibbles))
   }
 
   /** 32-bit hash of a string: first 8 md5 nibbles, big-endian. */

@@ -68,3 +68,48 @@ case class HashedShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "hashed_shingles"
 }
+
+/** (4·nNibbles)-bit md5-derived hash of a string — the native form of
+  * [[graft.functions.HashOps.wordHashN]]'s composed expression
+  * (`md5` + 15× `substring`/`ascii` nibble extraction).
+  *
+  * Semantics are bit-identical: value = first `nNibbles` lowercase-hex
+  * md5 nibbles read big-endian == first ⌈n/2⌉ digest bytes with the
+  * trailing half-byte dropped when n is odd. n ≤ 15 keeps the int64
+  * sign bit clear.
+  *
+  * Exists because the composed form is re-evaluated wholesale inside
+  * generator expressions (`posexplode(array(...))` — no subexpression
+  * elimination there) and lambda bodies (HOFs never CSE): the
+  * count-min sketch paid 3 depths × 15 nibbles = 45 md5 calls per
+  * word through that path. One digest here. */
+case class WordHashN(child: Expression, nNibbles: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nNibbles >= 1 && nNibbles <= 15,
+    "16 nibbles would overflow the int64 sign bit")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_hash requires STRING, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val dig = md.digest(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    var v = 0L
+    var j = 0
+    while (j < nNibbles) {
+      val nib = (dig(j / 2) >> (4 * (1 - j % 2))) & 0xf
+      v = (v << 4) | nib
+      j += 1
+    }
+    v
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_hash"
+}

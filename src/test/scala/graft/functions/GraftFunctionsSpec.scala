@@ -24,6 +24,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 5.0)
   }
 
+  test("native word_hash matches the composed md5-nibble form and the Scala twin") {
+    import org.apache.spark.sql.functions._
+    val strs = Seq("", "a", "the quick brown fox", "groß-étrange-日本語",
+      "plane_3:17", "strat:42", "x" * 200)
+    import spark.implicits._
+    val df = strs.toDF("s")
+    for (n <- Seq(1, 8, 15)) {
+      // the pre-kernel composed formulation, kept here as the spec
+      val h = md5(col("s").cast("binary"))
+      val composed = (1 to n).map(j =>
+        HashOps.nib(h, j) * lit(1L << (4 * (n - j)))).reduce(_ + _)
+      val rows = df.select(col("s"), HashOps.wordHashN(col("s"), n).as("k"),
+        composed.as("c")).collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2), s"n=$n mismatch for '${r.getString(0)}'")
+        assert(r.getLong(1) == HashOps.wordHashNScala(r.getString(0), n))
+        assert(r.getLong(1) >= 0L)
+      }
+    }
+  }
+
   test("vec_mean UDAF partial-aggregates to the per-dimension mean") {
     import org.apache.spark.sql.functions._
     GraftFunctions.register(spark)
