@@ -74,10 +74,9 @@ object Dedup {
     * pass. */
   def substringDupStats(spark: SparkSession, sfDir: String,
       len: Int = SubstrLen): DataFrame = {
-    val wins = when(length(col("text")) >= len,
-      transform(sequence(lit(1), length(col("text")) - (len - 1)),
-        i => col("text").substr(i, lit(len))))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    // native one-pass window kernel (O(len), not O(len²) substr seeks)
+    val wins = column(graft.plans.CharGrams(expression(col("text")), len))
     val w = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(wins).as("w"))
       .select(col("doc_id"), HashOps.wordHashN(col("w"), 15).as("wh"))

@@ -138,10 +138,10 @@ object TextAnalysis {
     * aggregate; no tokenizer dependence. Short texts guard to an empty
     * list (Spark `sequence` DESCENDS when stop < start). */
   def charTrigrams(spark: SparkSession, sfDir: String, topN: Int = 30): DataFrame = {
-    val grams = when(length(col("text")) >= 3,
-      transform(sequence(lit(1), length(col("text")) - 2),
-        i => col("text").substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    // native one-pass window kernel: the transform(sequence, substr)
+    // form is O(len²) in UTF-8 boundary seeks ([[graft.plans.CharGrams]])
+    val grams = column(graft.plans.CharGrams(expression(col("text")), 3))
     Tables(spark, sfDir, "documents")
       .select(explode(grams).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cf"))

@@ -113,3 +113,59 @@ case class WordHashN(child: Expression, nNibbles: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "word_hash"
 }
+
+/** All length-`n` character windows of a string (code-point semantics,
+  * like `substring`), in one pass — ARRAY<STRING>, non-distinct,
+  * position order; empty for strings shorter than `n` chars.
+  *
+  * Semantically identical to
+  * `transform(sequence(1, length(s)-n+1), i -> substr(s, i, n))`, but
+  * that form is O(len²): every `substr` call re-seeks its UTF-8
+  * byte offset from the start of the string (variable-width encoding),
+  * so a 1,000-char document costs ~500k boundary scans. This kernel
+  * walks the byte array once, tracking window byte offsets
+  * incrementally. The trigram profile dropped ~3.5s → ~1s at sf0.1;
+  * the 40-char substring-dedup windows same shape. */
+case class CharGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "window length must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_grams requires STRING, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any = {
+    val u = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bytes = u.getBytes
+    // byte offset of each code-point start, one linear walk
+    val starts = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < bytes.length) {
+      starts.add(i)
+      val b = bytes(i)
+      i += (if ((b & 0x80) == 0) 1
+            else if ((b & 0xe0) == 0xc0) 2
+            else if ((b & 0xf0) == 0xe0) 3
+            else 4)
+    }
+    val m = starts.size()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var k = 0
+    while (k <= m - n) {
+      val from: Int = starts.get(k)
+      val until: Int = if (k + n < m) starts.get(k + n) else bytes.length
+      out(k) = org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(java.util.Arrays.copyOfRange(bytes, from, until))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_grams"
+}

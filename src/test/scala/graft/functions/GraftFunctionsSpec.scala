@@ -45,6 +45,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native char_grams matches the transform+substr form on unicode and edges") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import spark.implicits._
+    val strs = Seq("", "ab", "abc", "abcd", "日本語のテキスト", "a日b本c", "x" * 50)
+    val df = strs.toDF("s")
+    for (n <- Seq(1, 3, 5)) {
+      val composed = when(length(col("s")) >= n,
+        transform(sequence(lit(1), length(col("s")) - (n - 1)),
+          i => col("s").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+      val rows = df.select(col("s"),
+        column(graft.plans.CharGrams(expression(col("s")), n)).as("k"),
+        composed.as("c")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n mismatch for '${r.getString(0)}'")
+      }
+    }
+  }
+
   test("vec_mean UDAF partial-aggregates to the per-dimension mean") {
     import org.apache.spark.sql.functions._
     GraftFunctions.register(spark)
