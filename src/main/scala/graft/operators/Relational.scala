@@ -698,15 +698,30 @@ object Relational {
     * [[graft.sources.Sinks.writeZOrdered]] for the write path). The key
     * itself is a narrow integer expression — 16 bits per dimension
     * interleaved via a HOF fold, no shuffle, exact in int64. */
+  /** Bit-spread half of the Morton interleave: the 16 low bits of `x`
+    * moved to even positions 0,2,…,30 via the classic magic-bits
+    * doubling trick — 8 flat codegen'd integer ops. (The obvious
+    * per-bit `aggregate(sequence(0,15), …)` fold is a lambda HOF:
+    * interpreted per row, no codegen — measured 20 s vs 0.4 s over
+    * 600k rows for the same value.) */
+  private def mortonSpread(x: Column): Column = {
+    val a = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (c.bitwiseOR(shiftleft(c, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton key of two 16-bit dimensions: px bits at even positions,
+    * sx at odd. */
+  def mortonKey(px: Column, sx: Column): Column =
+    mortonSpread(px).bitwiseOR(shiftleft(mortonSpread(sx), 1))
+
   def zorderKey(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         (col("l_partkey") % 65536).cast("long").as("px"),
         (col("l_suppkey") % 65536).cast("long").as("sx"))
-      .withColumn("zkey", expr(
-        """aggregate(sequence(0, 15), 0L, (acc, i) ->
-          |  acc + shiftleft(shiftright(px, i) % 2, 2*i)
-          |      + shiftleft(shiftright(sx, i) % 2, 2*i + 1))""".stripMargin))
+      .withColumn("zkey", mortonKey(col("px"), col("sx")))
       .orderBy("zkey", "l_orderkey", "l_linenumber")
       .limit(50)
 

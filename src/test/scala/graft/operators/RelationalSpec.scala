@@ -38,13 +38,17 @@ class RelationalSpec extends AnyFunSuite {
     val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
       (3L, 0L, 5L), (0L, 3L, 10L), (65535L, 0L, 0x55555555L), (0L, 65535L, 0xAAAAAAAAL))
     import spark.implicits._
-    val got = cases.map { case (px, sx, _) => (px, sx) }.toDF("px", "sx")
-      .withColumn("z", expr(
+    val df = cases.map { case (px, sx, _) => (px, sx) }.toDF("px", "sx")
+      .withColumn("z", Relational.mortonKey(col("px"), col("sx")))
+      // the per-bit fold spec the magic-bits spread must reproduce
+      .withColumn("zfold", expr(
         """aggregate(sequence(0, 15), 0L, (acc, i) ->
           |  acc + shiftleft(shiftright(px, i) % 2, 2*i)
           |      + shiftleft(shiftright(sx, i) % 2, 2*i + 1))""".stripMargin))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == cases.toSet)
+    df.collect().foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"magic-bits Morton != per-bit fold for (${r.getLong(0)}, ${r.getLong(1)})"))
   }
 
   test("zorder_key output is sorted by the interleaved key") {

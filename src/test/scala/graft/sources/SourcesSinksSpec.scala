@@ -144,10 +144,8 @@ class SourcesSinksSpec extends AnyFunSuite {
   test("z-ordered write clusters both dimensions into few files") {
     import graft.operators.Relational
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    val zkey = expr(
-      """aggregate(sequence(0, 15), 0L, (acc, i) ->
-        |  acc + shiftleft(shiftright(l_partkey % 65536, i) % 2, 2*i)
-        |      + shiftleft(shiftright(l_suppkey % 65536, i) % 2, 2*i + 1))""".stripMargin)
+    val zkey = Relational.mortonKey(
+      (col("l_partkey") % 65536).cast("long"), (col("l_suppkey") % 65536).cast("long"))
     val out = Files.createTempDirectory("graft_z").toString + "/li"
     Sinks.writeZOrdered(li, zkey, files = 8, out = out)
     val back = spark.read.parquet(out)
