@@ -112,22 +112,17 @@ object Multimodal {
     * (bucket sums), then everything is signature-sized. */
   def phashPairs(spark: SparkSession, sfDir: String,
       maxHamming: Int = PhashMaxHamming): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ex = mediaTable(spark, sfDir)
-      .select(col("doc_id"), decode(col("media"), "UTF-8").as("t"))
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), length(col("t"))),
-        i => ascii(col("t").substr(i, lit(1))).cast("long"))).as(Seq("pos", "v")))
-    val buckets = ex
-      .groupBy(col("doc_id"), pmod(col("pos"), lit(PhashBits.toLong)).as("b"))
-      .agg(sum("v").as("s"), count(lit(1)).as("c"))
-    val tot = Window.partitionBy("doc_id")
-    val sig = buckets
-      .select(col("doc_id"), col("b"), col("s"), col("c"),
-        sum("s").over(tot).as("ts"), sum("c").over(tot).as("tc"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") * col("tc") > col("ts") * col("c"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("sig"))
+    // native one-pass signature kernel ([[graft.plans.AvgHash]]): the
+    // previous pipeline exploded every character into a corpus-chars
+    // shuffle (groupBy bucket) + per-doc window + re-aggregate — two
+    // exchanges of ~len rows per doc; the kernel computes the identical
+    // integer bucket sums and cross-multiply mean test in a projection
+    // (4.9 s → sub-second at sf0.1)
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val sig = mediaTable(spark, sfDir)
+      .select(col("doc_id"), column(graft.plans.AvgHash(
+        expression(decode(col("media"), "UTF-8")), PhashBits)).as("sig"))
+      .filter(col("sig").isNotNull) // empty blobs: oracle drops them too
     Dedup.bandedHammingPairs(sig, PhashBandBits, PhashBands,
       PhashBucketCap, maxHamming)
   }

@@ -169,3 +169,72 @@ case class CharGrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "char_grams"
 }
+
+/** Perceptual average-hash signature of a string's code points, in one
+  * narrow pass — the native form of
+  * [[graft.operators.Multimodal.phashPairs]]'s bucket pipeline.
+  *
+  * Code point k (0-based) lands in bucket `k % bits`; bit b of the
+  * signature is set iff bucket b's mean exceeds the global mean,
+  * compared integer-exactly as the cross-multiply `s_b·tc > ts·c_b`
+  * (no FP division). NULL for an empty string (the exploded
+  * formulation and the DuckDB oracle drop such docs).
+  *
+  * Replaces an explode of every character into a corpus-chars-sized
+  * shuffle (groupBy bucket) + a per-doc window + a re-aggregate —
+  * ~len rows ÷ doc through two exchanges — with a projection:
+  * 4.5 s → sub-second at sf0.1, identical integer arithmetic. */
+case class AvgHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 63, "bits must fit a positive int64")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"avg_hash requires STRING, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any = {
+    val bytes = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    if (bytes.length == 0) return null
+    val sums = new Array[Long](bits)
+    val cnts = new Array[Long](bits)
+    var ts = 0L
+    var tc = 0L
+    var i = 0
+    var k = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      var cp = 0L
+      if (b < 0x80) { cp = b; i += 1 }
+      else if ((b & 0xe0) == 0xc0) {
+        cp = ((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if ((b & 0xf0) == 0xe0) {
+        cp = ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+        i += 3
+      } else {
+        cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        i += 4
+      }
+      val bk = k % bits
+      sums(bk) += cp
+      cnts(bk) += 1
+      ts += cp
+      tc += 1
+      k += 1
+    }
+    var sig = 0L
+    var bk = 0
+    while (bk < bits) {
+      if (sums(bk) * tc > ts * cnts(bk)) sig |= 1L << bk
+      bk += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "avg_hash"
+}

@@ -66,6 +66,33 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native avg_hash matches the exploded bucket formulation, null on empty") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import spark.implicits._
+    val bits = 7 // small bucket count exercises wraparound on short strings
+    val strs = Seq("a", "hello world, this is a longer line", "日本語のテキスト",
+      "mixed a日b ascii", "x" * 100, ('a' to 'z').mkString)
+    val df = strs.toDF("s")
+    // the exploded spec: bucket sums/counts vs cross-multiplied global mean
+    val want = strs.map { s =>
+      val cps = s.codePoints().toArray
+      val sums = new Array[Long](bits); val cnts = new Array[Long](bits)
+      cps.zipWithIndex.foreach { case (cp, k) =>
+        sums(k % bits) += cp; cnts(k % bits) += 1
+      }
+      val (ts, tc) = (cps.map(_.toLong).sum, cps.length.toLong)
+      (0 until bits).map(b => if (sums(b) * tc > ts * cnts(b)) 1L << b else 0L).sum
+    }
+    val got = df.select(column(graft.plans.AvgHash(expression(col("s")), bits)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    val empty = Seq("").toDF("s")
+      .select(column(graft.plans.AvgHash(expression(col("s")), bits)))
+      .collect()
+    assert(empty.head.isNullAt(0), "empty string must hash to NULL (dropped doc)")
+  }
+
   test("vec_mean UDAF partial-aggregates to the per-dimension mean") {
     import org.apache.spark.sql.functions._
     GraftFunctions.register(spark)
