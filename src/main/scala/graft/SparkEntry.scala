@@ -119,6 +119,8 @@ object SparkEntry {
     }),
     // CDC latest-snapshot compaction: one current row per key
     "scd_latest" -> ((s, dir) => Relational.scdLatest(s, dir)),
+    // MERGE INTO semantics: base ⟗ change set → insert/update/keep
+    "merge_upsert" -> ((s, dir) => Relational.mergeUpsert(s, dir)),
     // Z-order (Morton) lake-layout key
     "zorder_key" -> ((s, dir) => Relational.zorderKey(s, dir)),
     // RANGE frame (value-based window): customers with an account
@@ -265,6 +267,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(s, dir)),
     "sketch_cms" -> ((s, dir) => TextAnalysis.cmsEstimates(s, dir)),
     "text_chargrams" -> ((s, dir) => TextAnalysis.charTrigrams(s, dir)),
+    "text_bigrams" -> ((s, dir) => TextAnalysis.bigramLM(s, dir)),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(s, dir)))
 
   private def kmeansQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1160,6 +1163,8 @@ object SparkEntry {
           |SELECT doc_id, CAST(rank AS BIGINT) AS rank, w, CAST(tf AS BIGINT) AS tf,
           |       CAST(df AS BIGINT) AS df, round(score, 6) AS score
           |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+      "text_bigrams" -> TextAnalysis.bigramLMOracle,
+      "merge_upsert" -> Relational.mergeUpsertOracle,
       "text_chargrams" ->
         """WITH g AS (SELECT unnest(CASE WHEN length(text) >= 3
           |             THEN list_transform(generate_series(1, length(text) - 2),

@@ -690,6 +690,48 @@ object Relational {
       |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
       |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** MERGE INTO semantics (the lakehouse upsert): a base snapshot
+    * full-outer-joined with a change set, every key resolving to
+    * insert / update / keep — the batch form of what
+    * [[scdLatest]] reads back out of an accumulated changelog.
+    *
+    * One shuffle on the merge key for both sides; at 100 TB the base
+    * table is stored bucketed by the key ([[graft.sources.Sinks
+    * .writeBucketed]]) so the join — and therefore the whole MERGE —
+    * runs with no exchange on the base side, which is the layout
+    * contract every table format's MERGE relies on. Integer-cents
+    * arithmetic keeps the updated values exact. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("pc"))
+    val base = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").as("bk"), col("pc").as("bp"))
+    val upd = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("uk"), (col("pc") + 1000).as("up"))
+    base.join(upd, col("bk") === col("uk"), "full_outer")
+      .select(coalesce(col("bk"), col("uk")).as("o_orderkey"),
+        coalesce(col("up"), col("bp")).as("price_cents"),
+        when(col("bk").isNull, "insert")
+          .when(col("uk").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy("o_orderkey")
+  }
+
+  /** DuckDB twin of [[mergeUpsert]]. */
+  def mergeUpsertOracle: String =
+    """WITH base AS (SELECT o_orderkey,
+      |                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+      |              FROM orders WHERE o_orderkey % 3 <> 0),
+      |upd AS (SELECT o_orderkey,
+      |               CAST(round(o_totalprice * 100, 0) AS BIGINT) + 1000 AS price_cents
+      |        FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+      |       coalesce(u.price_cents, b.price_cents) AS price_cents,
+      |       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+      |            WHEN u.o_orderkey IS NULL THEN 'keep' ELSE 'update' END AS action
+      |FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Z-order (Morton) interleaved key over (l_partkey, l_suppkey) —
     * the multi-dimensional lake-layout primitive: writing a table
     * range-partitioned and sorted by this key co-locates rows that are

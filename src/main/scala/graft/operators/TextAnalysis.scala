@@ -178,6 +178,45 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Word-bigram language-model counts: top-N adjacent token pairs with
+    * the conditional probability P(w2|w1) = c(w1,w2)/Σ_w c(w1,w). The
+    * n-gram-count primitive behind repetition filters, boilerplate
+    * detection and classic LM corpus statistics.
+    *
+    * Scale shape: one narrow pair expansion (element_at is O(1) per
+    * element), one hash aggregate on the pair, one window keyed by w1
+    * for the denominator — two shuffles total, both on token keys. */
+  def bigramLM(spark: SparkSession, sfDir: String, topN: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = tokens(col("text"))
+    // size >= 2 guard: Spark `sequence(1, 0)` descends (phantom pairs)
+    val pairs = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1), i =>
+        struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    Tables(spark, sfDir, "documents")
+      .select(explode(pairs).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("c1", sum("c").over(Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"), col("c"),
+        round(col("c") * lit(1.0) / col("c1"), 6).as("p"))
+      .orderBy(desc("c"), asc("w1"), asc("w2"))
+      .limit(topN)
+  }
+
+  /** DuckDB twin of [[bigramLM]]. */
+  def bigramLMOracle: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |i AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      |      FROM t WHERE len(tk) >= 2),
+      |b AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM i),
+      |c AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2),
+      |tot AS (SELECT w1, sum(c) AS c1 FROM c GROUP BY 1)
+      |SELECT c.w1, c.w2, c.c, round(c.c * 1.0 / tot.c1, 6) AS p
+      |FROM c JOIN tot USING (w1)
+      |ORDER BY c.c DESC, c.w1, c.w2 LIMIT 30""".stripMargin
+
   /** Count-min sketch point estimates, checked against truth. The sketch
     * is fully deterministic (md5-derived row hashes), so unlike HLL it is
     * oracle-reproducible: DEPTH×WIDTH counters build in one aggregate

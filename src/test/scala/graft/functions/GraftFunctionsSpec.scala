@@ -24,6 +24,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 5.0)
   }
 
+  test("text/hash kernels usable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT word_hash('abc', 15) AS wh,
+        |       char_grams('abcd', 3) AS cg,
+        |       hashed_shingles(array('a', 'b', 'c', 'd'), 3) AS hs,
+        |       simhash60(array('a', 'b')) AS sh,
+        |       avg_hash('hello world', 7) AS ah""".stripMargin).head()
+    assert(r.getLong(0) == HashOps.wordHashNScala("abc", 15))
+    assert(r.getSeq[String](1) == Seq("abc", "bcd"))
+    assert(r.getSeq[Long](2).length == 2) // "a b c", "b c d"
+    assert(r.getLong(3) >= 0L && r.getLong(4) >= 0L)
+  }
+
   test("native word_hash matches the composed md5-nibble form and the Scala twin") {
     import org.apache.spark.sql.functions._
     val strs = Seq("", "a", "the quick brown fox", "groß-étrange-日本語",
