@@ -137,6 +137,73 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  // ------------------------------------------------------------- upsert
+
+  /** Streaming CDC upsert: maintain a key-compacted current snapshot of
+    * the change stream via `foreachBatch` MERGE — the incremental twin
+    * of [[graft.operators.Relational.mergeUpsert]] +
+    * [[graft.operators.Relational.scdLatest]], without a table format.
+    *
+    * Each micro-batch (a) compacts to its latest row per key — max
+    * (event-time, event_id) — then (b) full-outer-merges into the
+    * previous snapshot, change wins, and (c) writes the result as a NEW
+    * versioned directory `dir/v=<batchId>`. Versioning is what makes
+    * this exactly-once on top of plain parquet: a replayed batch after
+    * a failure rewrites the SAME `v=<batchId>` path (idempotent), the
+    * previous version is never read-while-written, and readers take
+    * [[latestSnapshot]] = max committed version. At 100 TB both merge
+    * sides are bucketed by the key, so the join — and the whole upsert —
+    * runs without an exchange on the snapshot side; old versions are
+    * vacuumed by retention, exactly the loop every lakehouse MERGE
+    * runs under the hood.
+    *
+    * Returns the streaming query (caller stops it). Snapshot schema:
+    * (user_id, ts_us, value). */
+  def upsertSnapshot(spark: SparkSession, events: DataFrame,
+      dir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("event_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy("user_id")
+          .orderBy(desc("ts_us"), desc("event_id"))
+        val changes = batch
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id").as("ck"), col("ts_us").as("cts"),
+            col("value").as("cv"))
+        // base = latest version STRICTLY below this batch: a replayed
+        // batch whose sink commit survived the failure must not merge
+        // onto (and overwrite) its own output mid-read
+        val merged = latestSnapshot(spark, dir, below = Some(batchId)) match {
+          case None => changes.select(col("ck").as("user_id"),
+            col("cts").as("ts_us"), col("cv").as("value"))
+          case Some(base) =>
+            base.join(changes, col("user_id") === col("ck"), "full_outer")
+              .select(coalesce(col("user_id"), col("ck")).as("user_id"),
+                coalesce(col("cts"), col("ts_us")).as("ts_us"),
+                coalesce(col("cv"), col("value")).as("value"))
+        }
+        merged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Latest committed (`_SUCCESS`-marked) snapshot version under `dir`,
+    * optionally restricted to versions `< below`. */
+  def latestSnapshot(spark: SparkSession, dir: String,
+      below: Option[Long] = None): Option[DataFrame] = {
+    val versions = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(v => below.forall(v < _))
+    versions.sorted.lastOption
+      .map(v => spark.read.parquet(s"$dir/v=$v"))
+  }
+
   case class HHState(counts: Map[Long, Long], errs: Map[Long, Long])
   case class HeavyHitter(event_type: String, user_id: Long,
       est: Long, err: Long)
