@@ -25,6 +25,17 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("query output schemas are compare-friendly (lower_snake, no duplicates)") {
+    // the driver's compare sorts columns BY NAME before hashing — a
+    // duplicate or non-snake name silently breaks the hash match
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sf).schema.fieldNames.toSeq
+      assert(cols.distinct.size == cols.size, s"$name has duplicate columns: $cols")
+      cols.foreach(c => assert(c.matches("[a-z][a-z0-9_]*"),
+        s"$name column '$c' is not lower_snake_case"))
+    }
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name returns rows on sf0.001") {
       assert(fn(spark, sf).count() >= 0)
