@@ -180,4 +180,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains(
       "ReadSchema: struct<l_quantity:double,l_extendedprice:double"), p)
   }
+
+  test("sql_q5 snowflake: every dimension broadcasts, no cartesian") {
+    val p = plan("sql_q5")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // region, nation, supplier, customer joins all resolve broadcast at
+    // this sf; the only sort-merge candidate is the fact-fact join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("scd_latest compaction is one shuffle + one local sort, no join") {
+    val p = plan("scd_latest")
+    assert(!p.contains("Join"), "latest-per-key must window, not self-join:\n" + p)
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+  }
+
+  test("merge_upsert is a single equi-join over pruned scans") {
+    val p = plan("merge_upsert")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // tree lines only ("Op ... (id)") — FormattedMode repeats each
+    // operator as a "(id) Op" detail header
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)[^\\n]*\\(\\d+\\)".r
+      .findAllIn(p).length == 1, "exactly one join:\n" + p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      "merge must read only (key, price):\n" + p)
+  }
+
+  test("ann_sq_topk prunes candidates with the partial top-k operator") {
+    val p = plan("ann_sq_topk")
+    assert(p.contains("PartialTopK"),
+      "the quantized candidate scan must prune per-partition before any exchange:\n" + p)
+  }
+
+  test("zorder_key is exchange-free: TakeOrdered, flat integer ops, no HOF") {
+    val p = plan("zorder_key")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("aggregate("),
+      "the Morton key must be flat bit ops, not a lambda fold:\n" + p)
+  }
 }
