@@ -11,15 +11,28 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup so the first measured query isn't charged for
-    // JVM cold start (runs a scan + a vector kernel once)
+    // JIT/codegen warmup so the first measured queries aren't charged
+    // for JVM cold start: exercise each hot operator CLASS once on
+    // tiny data — scan + vector kernel, hash aggregate, window,
+    // sort-merge join, md5 kernel — so Janino/JIT compile outside the
+    // timed region (alphabetical order put the ANN suite first, and it
+    // absorbed 1-3 s of warmup per run)
     try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       graft.sources.Tables.points(spark, sfDir)
-        .select(org.apache.spark.sql.functions.sum(
-          graft.functions.VectorOps.dot(
-            org.apache.spark.sql.functions.col("features"),
-            org.apache.spark.sql.functions.col("features")))).count()
+        .select(sum(graft.functions.VectorOps.dot(col("features"), col("features"))))
+        .count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val t = spark.range(1000).select(col("id"), (col("id") % 7).as("k"),
+        graft.functions.HashOps.wordHashN(col("id").cast("string"), 15).as("h"))
+      t.groupBy("k").agg(sum("h").as("s"), count(lit(1)).as("n")).count()
+      t.withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(desc("h"), asc("id"))))
+        .filter(col("rn") <= 3).count()
+      val u = t.withColumnRenamed("h", "h2")
+      t.hint("merge").join(u, Seq("id")).count()
+      t.join(broadcast(u.limit(50)), Seq("id")).count()
     } catch { case _: Throwable => }
     // deterministic run order; clear leaked caches between queries so a
     // branched pipeline's persist() doesn't tax its successors
