@@ -189,14 +189,16 @@ object TextAnalysis {
   def bigramLM(spark: SparkSession, sfDir: String, topN: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tk = tokens(col("text"))
-    // size >= 2 guard: Spark `sequence(1, 0)` descends (phantom pairs)
+    // adjacent pairs as arrays_zip(tokens, tokens<<1) — native
+    // expressions end to end (a transform(sequence, element_at) lambda
+    // evaluates interpreted per pair); size >= 2 guard because slice
+    // with length 0 errors
     val pairs = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1), i =>
-        struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      arrays_zip(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1)))
+      .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))
     Tables(spark, sfDir, "documents")
       .select(explode(pairs).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("b.0").as("w1"), col("b.1").as("w2"))
       .agg(count(lit(1)).as("c"))
       .withColumn("c1", sum("c").over(Window.partitionBy("w1")))
       .select(col("w1"), col("w2"), col("c"),
