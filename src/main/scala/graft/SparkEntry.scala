@@ -329,6 +329,10 @@ object SparkEntry {
     "kmeans_elbow" -> ((s, dir) => KMeansSteps.elbow(s, dir)),
     // O20/O21 — the scatter chart's data payload
     "kmeans_scatter_data" -> ((s, dir) => KMeansSteps.scatterData(s, dir)),
+    // O11..O16 composed — the Lloyd LOOP itself (2 fixed iterations from
+    // the literal seeds, rounded intermediate centroids), replayed by the
+    // oracle as nested CTEs: the iterative flagship finally oracle-checked
+    "kmeans_fit_steps" -> ((s, dir) => KMeansSteps.fitSteps(s, dir)),
     // M3 — full iterative fit (not SQL-expressible; rows-only check)
     "kmeans_fit" -> ((s, dir) =>
       RefKMeans.fitSizes(s, Tables.points(s, dir),
@@ -1271,6 +1275,38 @@ object SparkEntry {
          |         FROM cr GROUP BY cid)
          |SELECT * FROM (SELECT * FROM pout UNION ALL SELECT * FROM cout)
          |ORDER BY cluster_id, vec_id""".stripMargin,
+    // the 2-iteration Lloyd loop: assign→recenter→assign→recenter with
+    // rounded intermediate centroids and empty-cluster carry (n = 0)
+    "kmeans_fit_steps" ->
+      s"""WITH $PTS, $CENTS, $ASSIGN,
+         |l1 AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
+         |       FROM a JOIN pts p USING (vec_id)),
+         |m1 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), 6) AS mean
+         |       FROM l1 GROUP BY cid, dim),
+         |c0 AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM cents),
+         |n1 AS (SELECT c0.cid, c0.dim, coalesce(m1.n, 0) AS n,
+         |              coalesce(m1.mean, round(c0.x, 6)) AS mean,
+         |              coalesce(m1.mean, c0.x) AS nx
+         |       FROM c0 LEFT JOIN m1 USING (cid, dim)),
+         |cents1 AS (SELECT cid, list(nx ORDER BY dim) AS c FROM n1 GROUP BY cid),
+         |a2 AS (SELECT vec_id, cid FROM (
+         |        SELECT p.vec_id, c.cid,
+         |               row_number() OVER (PARTITION BY p.vec_id
+         |                                  ORDER BY list_distance(p.v, c.c), c.cid) AS rn
+         |        FROM pts p CROSS JOIN cents1 c) WHERE rn = 1),
+         |l2 AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
+         |       FROM a2 a JOIN pts p USING (vec_id)),
+         |m2 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), 6) AS mean
+         |       FROM l2 GROUP BY cid, dim),
+         |n2 AS (SELECT n1.cid, n1.dim, coalesce(m2.n, 0) AS n,
+         |              coalesce(m2.mean, round(n1.nx, 6)) AS mean
+         |       FROM n1 LEFT JOIN m2 USING (cid, dim)),
+         |u AS (SELECT 1 AS iter, cid, dim, n, mean FROM n1
+         |      UNION ALL
+         |      SELECT 2 AS iter, cid, dim, n, mean FROM n2)
+         |SELECT CAST(iter AS BIGINT) AS iter, CAST(cid AS BIGINT) AS cluster_id,
+         |       CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n, mean
+         |FROM u ORDER BY iter, cluster_id, dim""".stripMargin,
     "kmeans_wcss" ->
       s"""WITH $PTS, $CENTS,
          |d AS (SELECT p.vec_id, c.cid, list_distance(p.v, c.c) AS dist

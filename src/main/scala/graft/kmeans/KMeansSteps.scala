@@ -129,6 +129,59 @@ object KMeansSteps {
       .agg(round(avg("disp"), 6).as("delta"))
   }
 
+  /** The Lloyd LOOP itself, oracle-checkable: exactly `iters` rounds of
+    * assign→recenter from the literal seed centroids — the reference's
+    * `kMeans` driver loop (`main/master/master.go:193-236`) with a fixed
+    * iteration count instead of the delta stop rule, so DuckDB can replay
+    * it as nested CTEs. Output: one long row per (iter, cluster_id, dim)
+    * with the member count and the recentered (rounded) coordinate;
+    * empty clusters carry the previous centroid with n = 0 (O15,
+    * `master.go:579-600`).
+    *
+    * Float-parity contract: each iteration's means are rounded to 6
+    * decimals BEFORE seeding the next assignment, in both engines, so a
+    * last-ulp difference in summation order cannot propagate across
+    * iterations. Within an iteration the distance kernel folds
+    * sequentially (same as DuckDB's `list_distance`), which is already
+    * hash-match-proven by `kmeans_assign`/`kmeans_recenter`.
+    *
+    * Scale posture: per iteration ONE narrow assignment map + ONE
+    * partial-aggregated shuffle of k×(d+1) values; only k×d rounded
+    * doubles cross to the driver per round — identical to the per-RPC
+    * payload of the reference (`utils/structs.go:34-37`) and to
+    * [[RefKMeans.fit]]'s loop, which this query pins to the oracle. */
+  def fitSteps(spark: SparkSession, sfDir: String, iters: Int = 2): DataFrame = {
+    val cs0 = centroids(spark, sfDir)
+    val d = cs0.head._2.length
+    val p = pts(spark, sfDir)
+    var cents = centArr(cs0)
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Double)]
+    for (it <- 1 to iters) {
+      val aggs = count(lit(1)).as("n") +:
+        (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
+      val m = p
+        .select(nearestCidK(col("features"), cents).as("cluster_id"), col("features"))
+        .groupBy("cluster_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("cluster_id"), col("n"),
+          posexplode(array((0 until d).map(i =>
+            round(col(s"s$i") / col("n"), 6)): _*)).as(Seq("dim", "mean")))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+        .toMap
+      cents = Array.tabulate(cents.length, d) { (cid, dim) =>
+        m.get((cid, dim)).map(_._2).getOrElse(cents(cid)(dim))
+      }
+      for (cid <- cents.indices; dim <- 0 until d) {
+        val (n, mean) = m.getOrElse((cid, dim),
+          (0L, BigDecimal(cents(cid)(dim)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        out += ((it.toLong, cid.toLong, dim.toLong, n, mean))
+      }
+    }
+    spark.createDataFrame(out.result())
+      .toDF("iter", "cluster_id", "dim", "n", "mean")
+      .orderBy("iter", "cluster_id", "dim")
+  }
+
   /** Within-cluster sum of squares per cluster (the elbow-curve metric):
     * squared distance of every point to its assigned centroid, aggregated
     * per cluster. Distances square the sqrt'd kernel value so both
