@@ -163,7 +163,15 @@ object Similarity {
     * integer scan stays in whole-stage codegen, and only q×rerank rows
     * ever touch the full-precision embeddings. The per-dim min/max is
     * one tiny aggregate (d rows to the driver — centroid-sized, never
-    * O(N)). */
+    * O(N)).
+    *
+    * Cache contract: the points relation is persisted (it feeds the
+    * stats action plus three arms of the lazy result plan) and CANNOT be
+    * unpersisted here without recomputing those arms — the caller owns
+    * releasing it (`spark.catalog.clearCache()` or unpersisting the
+    * `Tables.points` plan) once the result is consumed, the same
+    * contract as [[graft.operators.Dedup.bandedHammingPairs]]. Verify
+    * and Bench already clear between queries. */
   def sqTopK(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5, rerank: Int = 20): DataFrame = {
     val p = points(spark, sfDir)

@@ -183,7 +183,13 @@ case class CharGrams(child: Expression, n: Int)
   * Replaces an explode of every character into a corpus-chars-sized
   * shuffle (groupBy bucket) + a per-doc window + a re-aggregate —
   * ~len rows ÷ doc through two exchanges — with a projection:
-  * 4.5 s → sub-second at sf0.1, identical integer arithmetic. */
+  * 4.5 s → sub-second at sf0.1, identical integer arithmetic.
+  *
+  * Length bound: the cross-multiply `s_b·tc` is int64, so documents
+  * must satisfy len² · max-codepoint < 2⁶³ — exact up to ~160 M ASCII
+  * chars or ~3 M chars of max-plane code points (far beyond any real
+  * document; the DuckDB oracle aggregates in HUGEINT and would surface
+  * a divergence as a hash mismatch rather than silently agree). */
 case class AvgHash(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
   require(bits >= 1 && bits <= 63, "bits must fit a positive int64")

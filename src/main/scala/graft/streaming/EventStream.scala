@@ -146,8 +146,13 @@ object EventStream {
     *
     * Each micro-batch (a) compacts to its latest row per key — max
     * (event-time, event_id) — then (b) full-outer-merges into the
-    * previous snapshot, change wins, and (c) writes the result as a NEW
-    * versioned directory `dir/v=<batchId>`. Versioning is what makes
+    * previous snapshot, resolving each matched key by the SAME
+    * (event-time, event_id) order (so a late, out-of-order change
+    * arriving in a later batch never regresses a key to a staler value),
+    * and (c) writes the result as a NEW versioned directory
+    * `dir/v=<batchId>`. The merge picks whole rows, never per-column
+    * coalesce — a change whose value is NULL therefore really sets NULL
+    * instead of silently keeping the base value. Versioning is what makes
     * this exactly-once on top of plain parquet: a replayed batch after
     * a failure rewrites the SAME `v=<batchId>` path (idempotent), the
     * previous version is never read-while-written, and readers take
@@ -158,7 +163,8 @@ object EventStream {
     * runs under the hood.
     *
     * Returns the streaming query (caller stops it). Snapshot schema:
-    * (user_id, ts_us, value). */
+    * (user_id, ts_us, event_id, value) — event_id rides along so the
+    * cross-batch tie-break is total. */
   def upsertSnapshot(spark: SparkSession, events: DataFrame,
       dir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
@@ -172,18 +178,25 @@ object EventStream {
         val changes = batch
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("user_id").as("ck"), col("ts_us").as("cts"),
-            col("value").as("cv"))
+            col("event_id").as("cid"), col("value").as("cv"))
+        val changeRow = struct(col("ck").as("user_id"), col("cts").as("ts_us"),
+          col("cid").as("event_id"), col("cv").as("value"))
         // base = latest version STRICTLY below this batch: a replayed
         // batch whose sink commit survived the failure must not merge
         // onto (and overwrite) its own output mid-read
         val merged = latestSnapshot(spark, dir, below = Some(batchId)) match {
-          case None => changes.select(col("ck").as("user_id"),
-            col("cts").as("ts_us"), col("cv").as("value"))
+          case None => changes.select(changeRow.as("r")).select("r.*")
           case Some(base) =>
+            // whole-row resolution by (event-time, event_id): the change
+            // wins only when it is at least as new as the stored row
             base.join(changes, col("user_id") === col("ck"), "full_outer")
-              .select(coalesce(col("user_id"), col("ck")).as("user_id"),
-                coalesce(col("cts"), col("ts_us")).as("ts_us"),
-                coalesce(col("cv"), col("value")).as("value"))
+              .select(
+                when(col("ck").isNotNull && (col("user_id").isNull ||
+                    struct(col("cts"), col("cid")) >=
+                    struct(col("ts_us"), col("event_id"))), changeRow)
+                  .otherwise(struct(col("user_id"), col("ts_us"),
+                    col("event_id"), col("value"))).as("r"))
+              .select("r.*")
         }
         merged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
         ()
@@ -192,14 +205,21 @@ object EventStream {
   }
 
   /** Latest committed (`_SUCCESS`-marked) snapshot version under `dir`,
-    * optionally restricted to versions `< below`. */
+    * optionally restricted to versions `< below`. Versions are listed
+    * through the Hadoop FileSystem API, so the snapshot dir can live on
+    * any supported scheme (file://, hdfs://, s3a://…), not just the
+    * local filesystem. */
   def latestSnapshot(spark: SparkSession, dir: String,
       below: Option[Long] = None): Option[DataFrame] = {
-    val versions = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("v=").toLong)
-      .filter(v => below.forall(v < _))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+        .filter(v => below.forall(v < _))
     versions.sorted.lastOption
       .map(v => spark.read.parquet(s"$dir/v=$v"))
   }

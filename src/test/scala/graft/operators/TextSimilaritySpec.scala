@@ -50,6 +50,7 @@ class TextSimilaritySpec extends AnyFunSuite {
         }
       }
     }
+    spark.catalog.clearCache() // sqTopK's cache contract: caller releases
   }
 
   test("brute-force top-1 is the ceiling: no ANN variant beats it") {
@@ -62,6 +63,7 @@ class TextSimilaritySpec extends AnyFunSuite {
           s"approximate variant exceeded the exact optimum for query ${r.getLong(0)}")
       }
     }
+    spark.catalog.clearCache() // sqTopK's cache contract: caller releases
   }
 
   test("SQ8 with a full-corpus rerank pool degenerates to exact brute force") {
@@ -71,6 +73,7 @@ class TextSimilaritySpec extends AnyFunSuite {
     val got = Similarity.sqTopK(spark, sf, rerank = n).collect().map(_.toSeq).toSeq
     val want = Similarity.bruteTopK(spark, sf).collect().map(_.toSeq).toSeq
     assert(got == want && want.nonEmpty)
+    spark.catalog.clearCache() // sqTopK's cache contract: caller releases
   }
 
   test("IVF layout probe: partition-pruned scan, identical results") {

@@ -130,35 +130,47 @@ class EventStreamSpec extends AnyFunSuite {
     val src = Files.createTempDirectory("graft_upsert_src").toString
     val snap = Files.createTempDirectory("graft_upsert_snap").toString
     // batch 1: the real events file; batch 2: a later update for user 0
-    // and an insert for a brand-new user — multiFile source → ≥2 batches
+    // and an insert for a brand-new user; batch 3: a LATE out-of-order
+    // change for user 0 (must not regress the snapshot) and a newer
+    // set-to-NULL change for the inserted user (must really set NULL)
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$src/a_events.parquet"))
-    val stage = Files.createTempDirectory("graft_upsert_stage").toString
-    Seq((7000000L, 1893456000000000000L, 0L, "upd", 42.5, "{}"),
-      (7000001L, 1893456000000000000L, 8888888L, "ins", 7.25, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = new java.io.File(stage).listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    Files.copy(part.toPath, Paths.get(s"$src/b_updates.parquet"))
+    def stageBatch(name: String,
+        rows: Seq[(Long, Long, Long, String, Option[Double], String)]): Unit = {
+      val stage = Files.createTempDirectory("graft_upsert_stage").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/$name"))
+    }
+    stageBatch("b_updates.parquet", Seq(
+      (7000000L, 1893456000000000000L, 0L, "upd", Some(42.5), "{}"),
+      (7000001L, 1893456000000000000L, 8888888L, "ins", Some(7.25), "{}")))
+    stageBatch("c_late.parquet", Seq(
+      (6999999L, 1000000000L, 0L, "stale", Some(99.9), "{}"),
+      (7000002L, 1893457000000000000L, 8888888L, "nullify", None, "{}")))
     val q = EventStream.upsertSnapshot(spark,
       EventStream.readEvents(spark, src), snap)
     q.processAllAvailable(); q.stop()
     val got = EventStream.latestSnapshot(spark, snap).get
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
     // batch oracle: latest (ts, event_id) row per user over ALL files
-    val all = spark.read.parquet(s"$src/a_events.parquet")
-      .unionByName(spark.read.parquet(s"$src/b_updates.parquet"))
+    val all = spark.read.parquet(s"$src/*.parquet")
       .select(col("user_id"), expr("ts div 1000").as("ts_us"),
         col("value"), col("event_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
     val want = all.groupBy(_._1).map { case (u, rows) =>
       val best = rows.maxBy(r => (r._2, r._4))
       u -> (best._2, best._3)
     }
     assert(got.size == want.size, "one snapshot row per key")
     assert(got == want, "snapshot must hold each key's latest (ts, event_id) row")
-    assert(got(0L) == (1893456000000000L, 42.5), "update must win for user 0")
-    assert(got(8888888L) == (1893456000000000L, 7.25), "insert must appear")
+    assert(got(0L) == (1893456000000000L, Some(42.5)),
+      "update must win for user 0 and a later-arriving STALER change must not regress it")
+    assert(got(8888888L) == (1893457000000000L, None),
+      "a newer NULL-value change must really set the value to NULL")
     // versioned commits: one dir per micro-batch, all _SUCCESS-marked
     val vs = new java.io.File(snap).listFiles().filter(_.getName.startsWith("v="))
     assert(vs.length >= 2, "each micro-batch must commit its own version")
