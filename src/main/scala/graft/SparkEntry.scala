@@ -32,14 +32,11 @@ object SparkEntry {
 
   private def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
-    // decode-stub feature extraction + frame sampling: rows-only checks
-    "multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, dir).toDF()
-        .select(col("doc_id"), col("mime"), col("n_bytes"),
-          posexplode(col("features")).as(Seq("dim", "f")))
-        .select(col("doc_id"), col("mime"), col("n_bytes"),
-          col("dim").cast("long").as("dim"), round(col("f"), 6).as("f"))
-        .orderBy("doc_id", "dim")),
+    // REAL javax.imageio PNG decode + grid pooling, oracle-checked via
+    // the lossless round-trip (pixels follow a closed formula the oracle
+    // replays); frame sampling stays a byte-slicing contract (no JDK
+    // video codec) with a rows-only check
+    "multimodal_features" -> ((s, dir) => Multimodal.extractFeatures(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resizeMeta(s, dir)),
     "multimodal_phash" -> ((s, dir) => Multimodal.phashPairs(s, dir)),
@@ -379,6 +376,7 @@ object SparkEntry {
 
   private def multimodalOracle: Map[String, String] = Map(
     "multimodal_phash" -> Multimodal.phashOracle,
+    "multimodal_features" -> Multimodal.featuresOracle(),
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id,
         |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,

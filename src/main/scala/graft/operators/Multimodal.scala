@@ -7,11 +7,13 @@ import graft.sources.Tables
 
 /** Multimodal-column plumbing: media as opaque `BINARY` columns with
   * typed metadata, plus batch decode / feature-extract / frame-sample
-  * operators. The container has no image/audio codecs, so the decode
-  * kernel is an explicitly-marked deterministic STUB — the Spark-side
-  * contract (schema, binary transport, per-partition batch shape,
-  * feature-vector output) is real and tested, and swapping the stub for
-  * a JNI/codec call changes nothing upstream.
+  * operators. Image decode is REAL — PNG bytes synthesized and decoded
+  * with the JDK's built-in `javax.imageio` codec, no extra dependency —
+  * and because PNG is lossless and the synthetic pixels follow a closed
+  * formula, the DuckDB oracle replays the whole decode→pool pipeline
+  * arithmetically, checking a genuine codec round-trip bit-for-bit.
+  * Audio/video (no JDK codec) stay at the metadata / byte-slicing
+  * contract level.
   *
   * Scale posture: binaries stay columnar in parquet; metadata predicates
   * (mime, size) push down without touching bytes; decode runs
@@ -40,40 +42,125 @@ object Multimodal {
       col("width"), col("height"))
       .orderBy("doc_id")
 
-  case class MediaRow(doc_id: Long, media: Array[Byte], mime: String)
-  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
-      features: Array[Float])
+  case class PngRow(doc_id: Long, media: Array[Byte])
+  case class CellSums(doc_id: Long, cell: Long,
+      rs: Long, gs: Long, bs: Long, cnt: Long)
 
-  /** STUB decode kernel: stands in for a real image/audio decode (codec
-    * libraries are not available in this container). Deterministic fake
-    * features from the byte stream; replace the body with a real decoder
-    * without touching the operator plumbing. */
-  private[operators] def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec call would go here (e.g. decode + pooled embedding)
-    val acc = new Array[Long](dim)
-    var i = 0
-    while (i < bytes.length) {
-      acc(i % dim) += (bytes(i) & 0xff)
-      i += 1
-    }
-    acc.map(a => (a % 1000L) / 1000.0f)
-  }
+  /** Deterministic pixel formula: channel `c` (0=R 1=G 2=B) of pixel
+    * (x, y) in doc `d`. Shared by the PNG synthesizer below and replayed
+    * arithmetically by the DuckDB oracle — PNG is lossless, so
+    * decode(encode(pixels)) must reproduce exactly these values. */
+  private[operators] def pixelChannel(d: Long, x: Int, y: Int, c: Int): Int =
+    ((c match {
+      case 0 => d * 7 + x * 3L + y * 5L
+      case 1 => d * 11 + x + y * 2L
+      case _ => d * 13 + x * 2L + y
+    }) % 256).toInt
 
-  /** Batch feature extraction over media binaries: `mapPartitions` so a
-    * real decoder could amortize per-partition init (model load, codec
-    * context) across its whole batch — the Scala analog of a Pandas-UDF
-    * batch. Narrow; no shuffle. */
-  def extractFeatures(spark: SparkSession, sfDir: String, dim: Int = 4): Dataset[MediaFeatures] = {
+  /** Real PNG media: every `image/png` row of the media table becomes an
+    * actual PNG file — `javax.imageio` encode on the executors, pixel
+    * values from [[pixelChannel]], dims from the metadata columns. The
+    * mime predicate prunes at the metadata level BEFORE any pixel work.
+    * Narrow map; at 100 TB this is the classic decode stage: byte blobs
+    * in, byte blobs out, no shuffle, codec init amortized per
+    * partition. */
+  def pngMedia(spark: SparkSession, sfDir: String): Dataset[PngRow] = {
     import spark.implicits._
     mediaTable(spark, sfDir)
-      .select(col("doc_id"), col("media"), col("mime"))
-      .as[MediaRow]
+      .filter(col("mime") === "image/png")
+      .select(col("doc_id"), col("width").cast("int").as("w"),
+        col("height").cast("int").as("h"))
+      .as[(Long, Int, Int)]
       .mapPartitions { rows =>
-        // per-partition init would happen here (codec/model handle)
-        rows.map(r => MediaFeatures(r.doc_id, r.mime, r.media.length.toLong,
-          stubDecode(r.media, dim)))
+        rows.map { case (d, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (pixelChannel(d, x, y, 0) << 16) |
+                (pixelChannel(d, x, y, 1) << 8) |
+                pixelChannel(d, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          PngRow(d, bos.toByteArray)
+        }
       }
   }
+
+  /** Batch feature extraction with a REAL decoder: `javax.imageio` PNG
+    * decode per partition, then `grid`×`grid` mean-RGB pooling in exact
+    * integer sums (the division + rounding happens once, in the plan, so
+    * the oracle's `round(sum/count, 6)` is the identical IEEE op).
+    * Output: (doc_id, cell, r, g, b) — one pooled feature row per grid
+    * cell. mapPartitions so a heavier codec/model would amortize its
+    * init across the batch — the Scala analog of a Pandas-UDF batch;
+    * narrow, no shuffle, only cell-level rows leave the decode stage. */
+  def extractFeatures(spark: SparkSession, sfDir: String, grid: Int = 2): DataFrame = {
+    import spark.implicits._
+    val pooled = pngMedia(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.media))
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = grid * grid
+        val rs = new Array[Long](n)
+        val gs = new Array[Long](n)
+        val bs = new Array[Long](n)
+        val cnt = new Array[Long](n)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val cell = (y * grid / h) * grid + (x * grid / w)
+            val rgb = img.getRGB(x, y)
+            rs(cell) += (rgb >> 16) & 0xff
+            gs(cell) += (rgb >> 8) & 0xff
+            bs(cell) += rgb & 0xff
+            cnt(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (0 until n).map(c =>
+          CellSums(p.doc_id, c.toLong, rs(c), gs(c), bs(c), cnt(c)))
+      }
+    }
+    pooled.toDF()
+      .select(col("doc_id"), col("cell"),
+        round(col("rs") / col("cnt"), 6).as("r"),
+        round(col("gs") / col("cnt"), 6).as("g"),
+        round(col("bs") / col("cnt"), 6).as("b"))
+      .orderBy("doc_id", "cell")
+  }
+
+  /** DuckDB twin of [[extractFeatures]]: replays [[pixelChannel]] over
+    * the same dims and pools the same grid — valid as an oracle for the
+    * real codec path precisely because PNG is lossless. */
+  def featuresOracle(grid: Int = 2): String =
+    s"""WITH im AS (SELECT doc_id,
+       |              64 + (doc_id % 8) * 16 AS w, 64 + (doc_id % 5) * 16 AS h
+       |            FROM documents WHERE doc_id % 3 = 0),
+       |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, CAST(w - 1 AS INT))) AS x FROM im),
+       |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, CAST(h - 1 AS INT))) AS y FROM xs),
+       |ch AS (SELECT doc_id,
+       |              (y * $grid // h) * $grid + (x * $grid // w) AS cell,
+       |              (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+       |              (doc_id * 11 + x + y * 2) % 256 AS g,
+       |              (doc_id * 13 + x * 2 + y) % 256 AS b
+       |       FROM px)
+       |SELECT doc_id, CAST(cell AS BIGINT) AS cell,
+       |       round(sum(r) / count(*), 6) AS r,
+       |       round(sum(g) / count(*), 6) AS g,
+       |       round(sum(b) / count(*), 6) AS b
+       |FROM ch GROUP BY doc_id, cell ORDER BY doc_id, cell""".stripMargin
 
   /** Resize planning: aspect-preserving fit of every media item into a
     * target box, all in exact integer math (floor((dim·target)/max-dim))

@@ -19,14 +19,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Set("image/png", "audio/wav", "video/mp4").contains(r.getAs[String]("mime")))
   }
 
-  test("stub decode is deterministic with the declared batch shape") {
+  test("pngMedia emits real decodable PNGs that round-trip the pixel formula") {
+    val rows = Multimodal.pngMedia(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val p = rows.minBy(_.doc_id)
+    // PNG magic bytes — these are actual files, not a fake
+    assert((p.media(0) & 0xff) == 0x89 && p.media(1) == 'P' &&
+      p.media(2) == 'N' && p.media(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.media))
+    assert(img.getWidth == 64 + (p.doc_id % 8) * 16)
+    assert(img.getHeight == 64 + (p.doc_id % 5) * 16)
+    // lossless round-trip: decoded pixels == the closed formula
+    for (x <- Seq(0, 7, img.getWidth - 1); y <- Seq(0, 3, img.getHeight - 1)) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == Multimodal.pixelChannel(p.doc_id, x, y, 0))
+      assert(((rgb >> 8) & 0xff) == Multimodal.pixelChannel(p.doc_id, x, y, 1))
+      assert((rgb & 0xff) == Multimodal.pixelChannel(p.doc_id, x, y, 2))
+    }
+  }
+
+  test("real decode + grid pooling is deterministic with grid² rows per image") {
     val a = Multimodal.extractFeatures(spark, sf).collect()
-      .map(f => f.doc_id -> f.features.toSeq).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     val b = Multimodal.extractFeatures(spark, sf).collect()
-      .map(f => f.doc_id -> f.features.toSeq).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(a == b)
-    assert(a.values.forall(_.length == 4))
-    assert(a.values.forall(_.forall(x => x >= 0.0f && x < 1.0f)))
+    val nPng = Multimodal.pngMedia(spark, sf).count()
+    assert(a.size == nPng * 4, "2x2 grid => 4 pooled cells per image")
+    assert(a.values.forall { case (r, g, bl) =>
+      Seq(r, g, bl).forall(v => v >= 0.0 && v <= 255.0)
+    })
   }
 
   test("phash pairs: byte-identical media collide at hamming 0; bounds hold") {
