@@ -369,6 +369,31 @@ object SparkEntry {
        |               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |        FROM d) WHERE rn = 1)""".stripMargin
 
+  /** Two rounded Lloyd training rounds (after $PTS, $CENTS, $ASSIGN):
+    * ends with `n1` (round-1 per-dim state incl. the unrounded carry
+    * `nx`) and `m2` (round-2 recentered means) in scope — shared by the
+    * `kmeans_fit_steps` replay and the `ann_ivf_trained` quantizer. */
+  private val LLOYD2 =
+    s"""l1 AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
+       |       FROM a JOIN pts p USING (vec_id)),
+       |m1 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), 6) AS mean
+       |       FROM l1 GROUP BY cid, dim),
+       |c0 AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM cents),
+       |n1 AS (SELECT c0.cid, c0.dim, coalesce(m1.n, 0) AS n,
+       |              coalesce(m1.mean, round(c0.x, 6)) AS mean,
+       |              coalesce(m1.mean, c0.x) AS nx
+       |       FROM c0 LEFT JOIN m1 USING (cid, dim)),
+       |cents1 AS (SELECT cid, list(nx ORDER BY dim) AS c FROM n1 GROUP BY cid),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |        SELECT p.vec_id, c.cid,
+       |               row_number() OVER (PARTITION BY p.vec_id
+       |                                  ORDER BY list_distance(p.v, c.c), c.cid) AS rn
+       |        FROM pts p CROSS JOIN cents1 c) WHERE rn = 1),
+       |l2 AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
+       |       FROM a2 a JOIN pts p USING (vec_id)),
+       |m2 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), 6) AS mean
+       |       FROM l2 GROUP BY cid, dim)""".stripMargin
+
   def oracleSql: Map[String, String] =
     kmeansOracle ++ textOracle ++ dedupOracle ++ annOracle ++
       relationalOracle ++ eventOracle ++ multimodalOracle ++
@@ -1033,6 +1058,29 @@ object SparkEntry {
          |ORDER BY vec_a, vec_b""".stripMargin)
 
   private def annOracle: Map[String, String] = Map(
+    // trained IVF: the 2-round Lloyd TRAINING is replayed in SQL
+    // (shared LLOYD2 chain), then bucket/probe/rerank over the learned
+    // centroids — the full production ANN pipeline under one oracle
+    "ann_ivf_trained" ->
+      s"""WITH $PTS, $CENTS, $ASSIGN, $LLOYD2,
+         |cents2 AS (SELECT cid, list(coalesce(m2.mean, n1.nx) ORDER BY dim) AS c
+         |           FROM n1 LEFT JOIN m2 USING (cid, dim) GROUP BY cid),
+         |bkt AS (SELECT vec_id, v, cid AS bucket FROM (
+         |          SELECT p.vec_id, p.v, c.cid,
+         |                 row_number() OVER (PARTITION BY p.vec_id
+         |                   ORDER BY list_distance(p.v, c.c), c.cid) AS rn
+         |          FROM pts p CROSS JOIN cents2 c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM pts WHERE vec_id < 10),
+         |probes AS (SELECT q_id, qv, cid AS bucket FROM (
+         |             SELECT q.q_id, q.qv, c.cid,
+         |                    row_number() OVER (PARTITION BY q.q_id
+         |                      ORDER BY list_distance(q.qv, c.c), c.cid) AS rn
+         |             FROM q CROSS JOIN cents2 c) WHERE rn <= 2),
+         |s AS (SELECT pr.q_id, b.vec_id AS n_id, ${cosSql("pr.qv", "b.v")} AS cos
+         |      FROM bkt b JOIN probes pr ON b.bucket = pr.bucket AND b.vec_id <> pr.q_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH $COSP,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
@@ -1276,26 +1324,7 @@ object SparkEntry {
     // the 2-iteration Lloyd loop: assign→recenter→assign→recenter with
     // rounded intermediate centroids and empty-cluster carry (n = 0)
     "kmeans_fit_steps" ->
-      s"""WITH $PTS, $CENTS, $ASSIGN,
-         |l1 AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
-         |       FROM a JOIN pts p USING (vec_id)),
-         |m1 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), 6) AS mean
-         |       FROM l1 GROUP BY cid, dim),
-         |c0 AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM cents),
-         |n1 AS (SELECT c0.cid, c0.dim, coalesce(m1.n, 0) AS n,
-         |              coalesce(m1.mean, round(c0.x, 6)) AS mean,
-         |              coalesce(m1.mean, c0.x) AS nx
-         |       FROM c0 LEFT JOIN m1 USING (cid, dim)),
-         |cents1 AS (SELECT cid, list(nx ORDER BY dim) AS c FROM n1 GROUP BY cid),
-         |a2 AS (SELECT vec_id, cid FROM (
-         |        SELECT p.vec_id, c.cid,
-         |               row_number() OVER (PARTITION BY p.vec_id
-         |                                  ORDER BY list_distance(p.v, c.c), c.cid) AS rn
-         |        FROM pts p CROSS JOIN cents1 c) WHERE rn = 1),
-         |l2 AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
-         |       FROM a2 a JOIN pts p USING (vec_id)),
-         |m2 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), 6) AS mean
-         |       FROM l2 GROUP BY cid, dim),
+      s"""WITH $PTS, $CENTS, $ASSIGN, $LLOYD2,
          |n2 AS (SELECT n1.cid, n1.dim, coalesce(m2.n, 0) AS n,
          |              coalesce(m2.mean, round(n1.nx, 6)) AS mean
          |       FROM n1 LEFT JOIN m2 USING (cid, dim)),

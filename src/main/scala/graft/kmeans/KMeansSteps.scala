@@ -151,6 +151,27 @@ object KMeansSteps {
     * payload of the reference (`utils/structs.go:34-37`) and to
     * [[RefKMeans.fit]]'s loop, which this query pins to the oracle. */
   def fitSteps(spark: SparkSession, sfDir: String, iters: Int = 2): DataFrame = {
+    val (rows, _) = lloydRounds(spark, sfDir, iters)
+    spark.createDataFrame(rows)
+      .toDF("iter", "cluster_id", "dim", "n", "mean")
+      .orderBy("iter", "cluster_id", "dim")
+  }
+
+  /** Trained coarse quantizer for [[graft.operators.Similarity
+    * .ivfTrainedTopK]]: the centroids after `iters` rounded Lloyd rounds,
+    * frozen to (cid, coords) literals — SQL-replayable training, so the
+    * whole train→bucket→probe→rerank pipeline is oracle-checkable. */
+  def trainedCentroids(spark: SparkSession, sfDir: String, iters: Int = 2): Seq[(Int, Array[Double])] = {
+    val (_, cents) = lloydRounds(spark, sfDir, iters)
+    cents.zipWithIndex.map { case (v, cid) => (cid, v) }.toSeq
+  }
+
+  /** Shared core of [[fitSteps]]/[[trainedCentroids]]: runs the rounded
+    * Lloyd rounds, returning the long-format per-round rows and the
+    * final centroid array (carried coordinates stay unrounded, matching
+    * the oracle's `coalesce(mean, previous)`). */
+  private def lloydRounds(spark: SparkSession, sfDir: String, iters: Int)
+      : (Seq[(Long, Long, Long, Long, Double)], Array[Array[Double]]) = {
     val cs0 = centroids(spark, sfDir)
     val d = cs0.head._2.length
     val p = pts(spark, sfDir)
@@ -177,9 +198,7 @@ object KMeansSteps {
         out += ((it.toLong, cid.toLong, dim.toLong, n, mean))
       }
     }
-    spark.createDataFrame(out.result())
-      .toDF("iter", "cluster_id", "dim", "n", "mean")
-      .orderBy("iter", "cluster_id", "dim")
+    (out.result(), cents)
   }
 
   /** Within-cluster sum of squares per cluster (the elbow-curve metric):

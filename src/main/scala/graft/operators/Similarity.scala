@@ -52,19 +52,17 @@ object Similarity {
     ivfTopKWith(spark, sfDir, KMeansSteps.centroids(spark, sfDir), nQueries, k, nprobe)
 
   /** IVF with a TRAINED coarse quantizer: the production pipeline — fit
-    * k-means on (a sample of) the corpus, then bucket + probe against the
-    * learned centroids. Deterministic under the fixed seed but iterative,
-    * so rows-only at the gate ([[ivfTopK]]'s fixed-centroid variant is the
-    * oracle-checked twin of the same probe machinery). */
+    * k-means on the corpus, freeze the learned centroids to literals,
+    * then bucket + probe against them. Training is
+    * [[KMeansSteps.trainedCentroids]]'s rounded 2-round Lloyd (a coarse
+    * quantizer needs rough cell boundaries, not convergence — a tight
+    * iteration cap is standard IVF training practice), which the DuckDB
+    * oracle replays as nested CTEs: the ENTIRE train→bucket→probe→rerank
+    * pipeline is oracle-checked, not just the probe. */
   def ivfTrainedTopK(spark: SparkSession, sfDir: String,
-      nlist: Int = 8, nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    // a coarse quantizer needs rough cell boundaries, not convergence —
-    // a tight iteration cap is standard IVF training practice
-    val pts = Tables.points(spark, sfDir)
-    val res = graft.kmeans.RefKMeans.fit(pts,
-      graft.kmeans.RefKMeans.Config(k = nlist, seed = 7L, maxIter = 10))
-    ivfTopKWith(spark, sfDir, res.centroids.toSeq, nQueries, k, nprobe)
-  }
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(spark, sfDir, KMeansSteps.trainedCentroids(spark, sfDir),
+      nQueries, k, nprobe)
 
   private def ivfTopKWith(spark: SparkSession, sfDir: String,
       cs: Seq[(Int, Array[Double])], nQueries: Int, k: Int, nprobe: Int): DataFrame = {
