@@ -215,6 +215,9 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)),
     "ts_motif" -> ((s, dir) => TimeSeries.motifTopK(s, dir)),
     "ts_fill" -> ((s, dir) => TimeSeries.resampleFill(s, dir)),
+    // the exact feature pipeline feeding ts_cluster, oracle-pinned even
+    // though the fit itself stays rows-only (iterative)
+    "ts_windows" -> ((s, dir) => TimeSeries.windowFeatures(s, dir)),
     "ts_cluster" -> ((s, dir) => TimeSeries.shapeClusters(s, dir)))
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -393,6 +396,24 @@ object SparkEntry {
        |       FROM a2 a JOIN pts p USING (vec_id)),
        |m2 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), 6) AS mean
        |       FROM l2 GROUP BY cid, dim)""".stripMargin
+
+  /** z-normalized event windows (DuckDB): CTE chain ending in
+    * `zz(user_id, start_seq, zw)` — shared by `ts_motif` and
+    * `ts_windows`. Same fold order as [[TimeSeries.zWindows]]. */
+  private val ZWIN =
+    s"""w0 AS (SELECT user_id, event_id, ts, value,
+       |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN CURRENT ROW AND ${TimeSeries.WIN - 1} FOLLOWING) AS win,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS start_seq
+       |       FROM events),
+       |f AS (SELECT user_id, start_seq, win FROM w0 WHERE len(win) = ${TimeSeries.WIN}),
+       |zz AS (SELECT user_id, start_seq,
+       |              list_transform(win, x -> (x - m) / greatest(sd, 1e-12)) AS zw
+       |       FROM (SELECT *, list_sum(win) / ${TimeSeries.WIN} AS m,
+       |                    sqrt(list_sum(list_transform(win,
+       |                      x -> (x - list_sum(win) / ${TimeSeries.WIN})
+       |                         * (x - list_sum(win) / ${TimeSeries.WIN}))) / ${TimeSeries.WIN}) AS sd
+       |             FROM f))""".stripMargin
 
   def oracleSql: Map[String, String] =
     kmeansOracle ++ textOracle ++ dedupOracle ++ annOracle ++
@@ -889,20 +910,16 @@ object SparkEntry {
         |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ts_cluster's feature pipeline (strided z-windows, composite ids)
+    "ts_windows" ->
+      s"""WITH $ZWIN,
+         |st AS (SELECT user_id, start_seq, zw FROM zz WHERE start_seq % 4 = 1)
+         |SELECT CAST((user_id << 40) + start_seq AS BIGINT) AS id,
+         |       CAST(generate_subscripts(zw, 1) - 1 AS BIGINT) AS dim,
+         |       round(unnest(zw), 6) AS z
+         |FROM st ORDER BY id, dim""".stripMargin,
     "ts_motif" ->
-      s"""WITH w0 AS (SELECT user_id, event_id, ts, value,
-         |              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                ROWS BETWEEN CURRENT ROW AND ${TimeSeries.WIN - 1} FOLLOWING) AS win,
-         |              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS start_seq
-         |            FROM events),
-         |f AS (SELECT user_id, start_seq, win FROM w0 WHERE len(win) = ${TimeSeries.WIN}),
-         |zz AS (SELECT user_id, start_seq,
-         |              list_transform(win, x -> (x - m) / greatest(sd, 1e-12)) AS zw
-         |       FROM (SELECT *, list_sum(win) / ${TimeSeries.WIN} AS m,
-         |                    sqrt(list_sum(list_transform(win,
-         |                      x -> (x - list_sum(win) / ${TimeSeries.WIN})
-         |                         * (x - list_sum(win) / ${TimeSeries.WIN}))) / ${TimeSeries.WIN}) AS sd
-         |             FROM f)),
+      s"""WITH $ZWIN,
          |qsel AS (SELECT user_id AS qu, start_seq AS qs, zw AS qw FROM zz
          |         ORDER BY user_id, start_seq LIMIT 1)
          |SELECT z.user_id, z.start_seq,

@@ -41,32 +41,50 @@ object TimeSeries {
           .as("zw"))
   }
 
-  /** Shape clustering of the series corpus: the reference k-means fit
-    * over all z-normalized windows (cf. distributed trajectory clustering,
-    * PAPERS.md) — windows become (id, features) points, so the whole
-    * RefKMeans machinery (plan-reuse, empty-cluster carry) applies
-    * unchanged. Iterative → rows-only at the gate. */
-  def shapeClusters(spark: SparkSession, sfDir: String, k: Int = 4,
-      stride: Int = 4): DataFrame = {
-    // stride the window starts: fully-overlapping subsequences are
-    // near-duplicates that quadruple the fit for no clustering signal
-    // composite point id = user_id << 40 | start_seq: 2^40 window starts
-    // per user before aliasing (vs 10^6 with a decimal multiplier, which
-    // a 100TB user stream could overflow into a neighbor's id space and
-    // silently corrupt the fit's firstId tie-breaks). Guarded, not
-    // assumed: an out-of-range start_seq fails the job loudly.
-    val pts = zWindows(spark, sfDir)
+  /** The strided z-window point set that feeds [[shapeClusters]]:
+    * (id, features) with composite id = user_id << 40 | start_seq.
+    *
+    * Stride: fully-overlapping subsequences are near-duplicates that
+    * quadruple the fit for no clustering signal. The bit-shift id gives
+    * 2^40 window starts per user before aliasing (vs 10^6 with a decimal
+    * multiplier, which a 100TB user stream could overflow into a
+    * neighbor's id space and silently corrupt the fit's firstId
+    * tie-breaks). Guarded, not assumed: an out-of-range start_seq fails
+    * the job loudly. */
+  private[operators] def stridedPoints(spark: SparkSession, sfDir: String,
+      stride: Int): DataFrame =
+    zWindows(spark, sfDir)
       .filter(col("start_seq") % stride === 1)
       .select(
         when(col("start_seq") < lit(1L << 40) && col("user_id") < lit(1L << 23),
           shiftleft(col("user_id"), 40) + col("start_seq"))
-          .otherwise(raise_error(lit("shapeClusters: id space overflow")))
+          .otherwise(raise_error(lit("stridedPoints: id space overflow")))
           .as("id"),
         col("zw").as("features"))
-    graft.kmeans.RefKMeans.fitSizes(spark, pts,
+
+  /** [[stridedPoints]] exploded long-format for the oracle: (id, dim, z).
+    * The shape-clustering FIT is iterative (rows-only at the gate), but
+    * this — its entire feature pipeline: ordering, windowing,
+    * z-normalization, striding, composite ids — is verified
+    * bit-for-bit. */
+  def windowFeatures(spark: SparkSession, sfDir: String, stride: Int = 4): DataFrame =
+    stridedPoints(spark, sfDir, stride)
+      .select(col("id"), posexplode(col("features")).as(Seq("dim", "z")))
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        round(col("z"), 6).as("z"))
+      .orderBy("id", "dim")
+
+  /** Shape clustering of the series corpus: the reference k-means fit
+    * over all z-normalized windows (cf. distributed trajectory clustering,
+    * PAPERS.md) — windows become (id, features) points, so the whole
+    * RefKMeans machinery (plan-reuse, empty-cluster carry) applies
+    * unchanged. Iterative → rows-only at the gate; the feature pipeline
+    * is oracle-pinned via [[windowFeatures]]. */
+  def shapeClusters(spark: SparkSession, sfDir: String, k: Int = 4,
+      stride: Int = 4): DataFrame =
+    graft.kmeans.RefKMeans.fitSizes(spark, stridedPoints(spark, sfDir, stride),
         graft.kmeans.RefKMeans.Config(k = k, seed = 11L, maxIter = 25))
       .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))
-  }
 
   /** Top-k nearest windows to the corpus's first window (lowest user id,
     * first position) under z-normalized Euclidean distance. */
