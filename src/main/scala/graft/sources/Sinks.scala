@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   *    cluster becomes a partition directory, written in parallel by the
   *    executors instead of the reference's single-threaded client loop.
   *  - O3 dataset catalog listing (`main/client/client.go:151-170`).
-  *  - O20's chart payload is the sizes aggregate
-  *    ([[graft.kmeans.KMeansSteps.clusterSizes]]); rendering is
-  *    client-side in the reference (`plot/plotter.go`) and out of engine
-  *    scope.
+  *  - O20/O21 chart HTML ([[writeScatterHtml]]/[[writeBarHtml]]): the
+  *    reference emits ECharts HTML client-side
+  *    (`plot/plotter.go:60-80,139-184`); here the same artifacts are
+  *    self-contained static SVG — no CDN/JS dependency, deterministic
+  *    per-cluster colors (the reference's are random), and the exact
+  *    data arrays embedded as JSON for downstream tooling.
   */
 object Sinks {
 
@@ -94,6 +96,104 @@ object Sinks {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(out)
+
+  // ------------------------------------------------------------ charts
+
+  /** Deterministic per-cluster color (golden-angle-ish hue rotation) —
+    * replaces `plot/plotter.go:92-108`'s random palette so renders are
+    * reproducible and testable. */
+  private def clusterColor(cid: Long): String =
+    s"hsl(${(cid * 67) % 360},70%,45%)"
+
+  private def writeTextFile(df: DataFrame, path: String, text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** O20+O21 — the scatter-plot artifact (`plot/plotter.go:16-86`):
+    * renders [[graft.kmeans.KMeansSteps.scatterData]]'s payload
+    * (cluster_id, vec_id, x, y; vec_id = −1 marks a centroid) as a
+    * self-contained SVG+HTML file, one colored series per cluster,
+    * centroids in black, plus the exact data rows in an embedded
+    * `application/json` block.
+    *
+    * The collect is the point: a chart is a driver/client-side artifact
+    * by nature (the reference renders on the client too) and the payload
+    * is the already-reduced 2-D projection, never the raw corpus. */
+  def writeScatterHtml(scatter: DataFrame, path: String): Unit = {
+    val rows = scatter.select("cluster_id", "vec_id", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    require(rows.nonEmpty, "empty scatter payload")
+    val (wPx, hPx, pad) = (800, 600, 40)
+    val xs = rows.map(_._3); val ys = rows.map(_._4)
+    val (x0, x1) = (xs.min, xs.max); val (y0, y1) = (ys.min, ys.max)
+    val sx = (wPx - 2.0 * pad) / math.max(x1 - x0, 1e-12)
+    val sy = (hPx - 2.0 * pad) / math.max(y1 - y0, 1e-12)
+    def px(x: Double) = pad + (x - x0) * sx
+    def py(y: Double) = hPx - pad - (y - y0) * sy // SVG y grows downward
+    val circles = rows.sortBy(r => (r._1, r._2)).map { case (cid, vid, x, y) =>
+      if (vid == -1L) // centroid marker: black, larger, on top by order
+        f"""<circle cx="${px(x)}%.2f" cy="${py(y)}%.2f" r="7" fill="black"><title>Centroid $cid</title></circle>"""
+      else
+        f"""<circle cx="${px(x)}%.2f" cy="${py(y)}%.2f" r="3" fill="${clusterColor(cid)}"><title>Cluster $cid: $vid</title></circle>"""
+    }.mkString("\n")
+    val cids = rows.filter(_._2 != -1L).map(_._1).distinct.sorted
+    val legend = cids.zipWithIndex.map { case (cid, i) =>
+      s"""<tspan x="${wPx - 130}" dy="${if (i == 0) 0 else 16}" fill="${clusterColor(cid)}">● Cluster $cid</tspan>"""
+    }.mkString
+    val json = rows.sortBy(r => (r._1, r._2)).map { case (cid, vid, x, y) =>
+      s"""{"cluster_id":$cid,"vec_id":$vid,"x":$x,"y":$y}"""
+    }.mkString("[", ",", "]")
+    writeTextFile(scatter, path,
+      s"""<!DOCTYPE html>
+         |<html><head><meta charset="utf-8"><title>Clustering - Scatter Plot</title></head>
+         |<body><h1>Clustering - Scatter Plot</h1>
+         |<svg width="$wPx" height="$hPx" xmlns="http://www.w3.org/2000/svg">
+         |<rect width="$wPx" height="$hPx" fill="white" stroke="#ccc"/>
+         |$circles
+         |<text font-family="sans-serif" font-size="13">$legend</text>
+         |</svg>
+         |<script type="application/json" id="scatter-data">$json</script>
+         |</body></html>
+         |""".stripMargin)
+  }
+
+  /** O20 — the bar-chart artifact (`plot/plotter.go:139-184`): cluster
+    * sizes as labeled SVG bars ("Cluster i" on the axis, the count on
+    * top of each bar — the reference's label layout), data embedded as
+    * JSON. Input: [[graft.kmeans.KMeansSteps.clusterSizes]] (cluster_id,
+    * n) — k rows, driver-sized by construction. */
+  def writeBarHtml(sizes: DataFrame, path: String): Unit = {
+    val rows = sizes.select("cluster_id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(rows.nonEmpty, "empty sizes payload")
+    val (wPx, hPx, pad) = (800, 400, 40)
+    val nMax = math.max(rows.map(_._2).max, 1L)
+    val bw = (wPx - 2.0 * pad) / rows.length
+    val bars = rows.zipWithIndex.map { case ((cid, n), i) =>
+      val bh = (hPx - 2.0 * pad) * n.toDouble / nMax
+      val x = pad + i * bw
+      val y = hPx - pad - bh
+      f"""<rect x="${x + bw * 0.1}%.2f" y="$y%.2f" width="${bw * 0.8}%.2f" height="$bh%.2f" fill="${clusterColor(cid)}"/>
+         |<text x="${x + bw / 2}%.2f" y="${y - 6}%.2f" text-anchor="middle" font-family="sans-serif" font-size="12">$n</text>
+         |<text x="${x + bw / 2}%.2f" y="${hPx - pad + 16}%.2f" text-anchor="middle" font-family="sans-serif" font-size="12">Cluster $cid</text>""".stripMargin
+    }.mkString("\n")
+    val json = rows.map { case (cid, n) => s"""{"cluster_id":$cid,"n":$n}""" }
+      .mkString("[", ",", "]")
+    writeTextFile(sizes, path,
+      s"""<!DOCTYPE html>
+         |<html><head><meta charset="utf-8"><title>Clustering - Bar Chart</title></head>
+         |<body><h1>Clustering - Bar Chart</h1>
+         |<svg width="$wPx" height="$hPx" xmlns="http://www.w3.org/2000/svg">
+         |<rect width="$wPx" height="$hPx" fill="white" stroke="#ccc"/>
+         |$bars
+         |</svg>
+         |<script type="application/json" id="bar-data">$json</script>
+         |</body></html>
+         |""".stripMargin)
+  }
 
   /** O3 — catalog listing: the datasets (tables) available under an sf
     * directory. */

@@ -196,4 +196,44 @@ class SourcesSinksSpec extends AnyFunSuite {
     val ds = Sinks.listDatasets(spark, "/root/testdata/sf0.001")
     assert(ds.contains("lineitem") && ds.contains("embeddings") && ds.size == 10)
   }
+
+  test("scatter HTML embeds the exact chart data and one marker per row (O20/O21)") {
+    val sf = "/root/testdata/sf0.001"
+    val scatter = graft.kmeans.KMeansSteps.scatterData(spark, sf)
+    val rows = scatter.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val out = Files.createTempDirectory("graft_plot").toString + "/k-means_scatter.html"
+    Sinks.writeScatterHtml(scatter, out)
+    val html = Files.readString(java.nio.file.Paths.get(out))
+    assert(html.contains("<title>Clustering - Scatter Plot</title>"))
+    // the embedded JSON holds every row verbatim
+    rows.foreach { case (cid, vid, x, y) =>
+      assert(html.contains(s"""{"cluster_id":$cid,"vec_id":$vid,"x":$x,"y":$y}"""),
+        s"row ($cid,$vid) missing from embedded data")
+    }
+    assert("<circle ".r.findAllIn(html).length == rows.length,
+      "one SVG marker per data row")
+    // centroid rows render as the black series
+    assert("fill=\"black\"".r.findAllIn(html).length ==
+      rows.count(_._2 == -1L))
+  }
+
+  test("bar HTML embeds the exact cluster sizes with on-top labels (O20)") {
+    val sf = "/root/testdata/sf0.001"
+    val sizes = graft.kmeans.KMeansSteps.clusterSizes(spark, sf)
+      .select(org.apache.spark.sql.functions.col("cluster_id").cast("long").as("cluster_id"),
+        org.apache.spark.sql.functions.col("n"))
+    val rows = sizes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = Files.createTempDirectory("graft_plot").toString + "/k-means_bar.html"
+    Sinks.writeBarHtml(sizes, out)
+    val html = Files.readString(java.nio.file.Paths.get(out))
+    assert(html.contains("<title>Clustering - Bar Chart</title>"))
+    rows.foreach { case (cid, n) =>
+      assert(html.contains(s"""{"cluster_id":$cid,"n":$n}"""))
+      assert(html.contains(s">Cluster $cid</text>"), s"axis label for $cid")
+      assert(html.contains(s">$n</text>"), s"count label for $cid")
+    }
+    assert("<rect ".r.findAllIn(html).length == rows.length + 1, // +1 frame
+      "one bar per cluster")
+  }
 }
