@@ -110,4 +110,36 @@ class RefKMeansSpec extends AnyFunSuite {
       .groupBy("cluster_id").count().collect().map(_.getLong(1)).sorted
     assert(sizes.sum == 6L)
   }
+
+  test("concurrent fits on one session are deterministic and interference-free " +
+      "(master.go:18-23,60-120)") {
+    // the reference master serves concurrent clients from one process;
+    // the Spark analogue is two fit jobs sharing one SparkSession on
+    // parallel driver threads — results must be bit-identical to the
+    // sequential runs (same plans, same partitioning, same fold order)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val sf = "/root/testdata/sf0.001"
+    val ptsA = graft.sources.Tables.points(spark, sf)
+    val ptsB = graft.sources.Tables.lineitemPointsStd(spark, sf)
+    val cfgA = RefKMeans.Config(k = 4, firstId = Some(0L))
+    val cfgB = RefKMeans.Config(k = 3, seed = 42L, maxIter = 10)
+    def key(r: RefKMeans.Result): (Seq[(Int, Seq[Double])], Int, Double, Boolean) =
+      (r.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq, r.iterations,
+        r.finalDelta, r.converged)
+    val goldA = key(RefKMeans.fit(ptsA, cfgA))
+    val goldB = key(RefKMeans.fit(ptsB, cfgB))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      for (_ <- 1 to 2) { // two rounds: concurrent churn, stable answers
+        val fa = Future(key(RefKMeans.fit(ptsA, cfgA)))
+        val fb = Future(key(RefKMeans.fit(ptsB, cfgB)))
+        assert(Await.result(fa, 120.seconds) == goldA,
+          "concurrent fit A diverged from its sequential result")
+        assert(Await.result(fb, 120.seconds) == goldB,
+          "concurrent fit B diverged from its sequential result")
+      }
+    } finally pool.shutdown()
+  }
 }
