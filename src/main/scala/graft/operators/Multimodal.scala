@@ -70,23 +70,33 @@ object Multimodal {
       .filter(col("mime") === "image/png")
       .select(col("doc_id"), col("width").cast("int").as("w"),
         col("height").cast("int").as("h"))
+      // the synthesis input is metadata-sized (a few small parquet
+      // partitions) but the codec work is CPU-bound: spread it across
+      // every core — shuffling (id, w, h) rows costs nothing. A real
+      // media lake already stores blobs across many files and would
+      // skip this.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int, Int)]
       .mapPartitions { rows =>
         rows.map { case (d, w, h) =>
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // bulk row-major pixel write (per-pixel setRGB pays a color
+          // model conversion per call — 3-4× the whole encode cost)
+          val px = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              img.setRGB(x, y,
+              px(y * w + x) =
                 (pixelChannel(d, x, y, 0) << 16) |
                 (pixelChannel(d, x, y, 1) << 8) |
-                pixelChannel(d, x, y, 2))
+                pixelChannel(d, x, y, 2)
               x += 1
             }
             y += 1
           }
+          img.setRGB(0, 0, w, h, px, 0, w)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           PngRow(d, bos.toByteArray)
@@ -115,12 +125,14 @@ object Multimodal {
         val gs = new Array[Long](n)
         val bs = new Array[Long](n)
         val cnt = new Array[Long](n)
+        // bulk row-major read (mirrors the encoder's bulk write)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             val cell = (y * grid / h) * grid + (x * grid / w)
-            val rgb = img.getRGB(x, y)
+            val rgb = px(y * w + x)
             rs(cell) += (rgb >> 16) & 0xff
             gs(cell) += (rgb >> 8) & 0xff
             bs(cell) += rgb & 0xff
