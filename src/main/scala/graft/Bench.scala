@@ -4,9 +4,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // partition-count stress knob (PERF.md): the plans must not depend
+    // on shuffle.partitions == cpus — AQE coalescing should keep a
+    // 200-partition run within noise of the default
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      // let AQE coalesce partitions INSIDE cached plans too — persisted
+      // intermediates (posting lists, LSH buckets) otherwise pin the raw
+      // shuffle.partitions count and every downstream stage pays
+      // per-task overhead × partitions (the 200-partition stress run
+      // showed dedup_ngram 2.3 s → 23 s from exactly this)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
