@@ -34,8 +34,8 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     // REAL javax.imageio PNG decode + grid pooling, oracle-checked via
     // the lossless round-trip (pixels follow a closed formula the oracle
-    // replays); frame sampling stays a byte-slicing contract (no JDK
-    // video codec) with a rows-only check
+    // replays); frame sampling is a byte-slicing contract (no JDK video
+    // codec) whose slice arithmetic the oracle reproduces exactly
     "multimodal_features" -> ((s, dir) => Multimodal.extractFeatures(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resizeMeta(s, dir)),
@@ -423,6 +423,17 @@ object SparkEntry {
   private def multimodalOracle: Map[String, String] = Map(
     "multimodal_phash" -> Multimodal.phashOracle,
     "multimodal_features" -> Multimodal.featuresOracle(),
+    // frame sampling: evenly-spaced byte-range slices — the slice-length
+    // arithmetic (floor-div frame length, short-media floor of 1,
+    // tail-clamp) replayed on strlen
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len FROM documents),
+        |f AS (SELECT doc_id, len, len // 4 AS fl,
+        |             unnest(generate_series(0, 3)) AS frame_idx
+        |      FROM m)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(least(greatest(fl, 1), greatest(len - frame_idx * fl, 0)) AS BIGINT) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id,
         |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
