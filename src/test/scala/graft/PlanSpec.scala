@@ -218,4 +218,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate("),
       "the Morton key must be flat bit ops, not a lambda fold:\n" + p)
   }
+
+  test("trained-IVF probe broadcasts the probe set; centroids ride as literals") {
+    val p = plan("ann_ivf_trained")
+    assert(p.contains("BroadcastHashJoin"),
+      "probes must broadcast against the bucketed corpus:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("PNG decode pipeline is narrow: no join, no aggregate, metadata-only scan") {
+    val p = plan("multimodal_features")
+    assert(!p.contains("Join"), "decode must not join:\n" + p)
+    assert(!p.contains("HashAggregate"),
+      "pooling happens inside the decode map, not as an aggregate:\n" + p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      "synthesis derives dims from doc_id — the scan must read nothing else:\n" + p)
+  }
+
+  test("ts_windows shuffles once on the user key (window), never joins") {
+    val p = plan("ts_windows")
+    assert(!p.contains("Join"), "windowing must not self-join:\n" + p)
+    assert(p.contains("Window"), p)
+  }
 }
