@@ -195,6 +195,24 @@ object Sinks {
          |""".stripMargin)
   }
 
+  /** Small-file compaction — the OPTIMIZE housekeeping every streaming
+    * lake needs at 100 TB: micro-batch commits leave thousands of
+    * KB-sized files whose per-file open/footer/listing cost dominates
+    * scans. Rewrites `dir` into `out` with ~`targetBytes`-sized files,
+    * the file count derived from the ACTUAL input size (one FileSystem
+    * summary call), not a guessed partition number. Returns the file
+    * count written. */
+  def compact(spark: SparkSession, dir: String, out: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(out)
+    n
+  }
+
   /** O3 — catalog listing: the datasets (tables) available under an sf
     * directory. */
   def listDatasets(spark: SparkSession, sfDir: String): Seq[String] =

@@ -197,6 +197,23 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(ds.contains("lineitem") && ds.contains("embeddings") && ds.size == 10)
   }
 
+  test("compaction collapses a small-file spray into size-targeted files, data intact") {
+    import org.apache.spark.sql.functions._
+    val frag = Files.createTempDirectory("graft_compact_in").toString
+    val out = Files.createTempDirectory("graft_compact_out").toString + "/t"
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(frag) == 64, "fixture must start fragmented")
+    val n = Sinks.compact(spark, frag, out, targetBytes = 1L << 30)
+    assert(n == 1 && parts(out) == 1, "1 GiB target must yield a single file")
+    def sig(d: String) = spark.read.parquet(d)
+      .agg(count(lit(1)), sum("l_orderkey"), sum("l_linenumber"))
+      .head().toSeq
+    assert(sig(out) == sig(frag), "compaction must not change the data")
+  }
+
   test("scatter HTML embeds the exact chart data and one marker per row (O20/O21)") {
     val sf = "/root/testdata/sf0.001"
     val scatter = graft.kmeans.KMeansSteps.scatterData(spark, sf)
