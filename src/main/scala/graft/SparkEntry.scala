@@ -37,6 +37,10 @@ object SparkEntry {
     // replays); frame sampling is a byte-slicing contract (no JDK video
     // codec) whose slice arithmetic the oracle reproduces exactly
     "multimodal_features" -> ((s, dir) => Multimodal.extractFeatures(s, dir)),
+    // REAL javax.sound.sampled WAV encode+decode + segment energy
+    // profile — audio twin of the PNG pipeline, same lossless-round-trip
+    // oracle trick
+    "multimodal_audio" -> ((s, dir) => Multimodal.audioFeatures(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resizeMeta(s, dir)),
     "multimodal_phash" -> ((s, dir) => Multimodal.phashPairs(s, dir)),
@@ -423,6 +427,7 @@ object SparkEntry {
   private def multimodalOracle: Map[String, String] = Map(
     "multimodal_phash" -> Multimodal.phashOracle,
     "multimodal_features" -> Multimodal.featuresOracle(),
+    "multimodal_audio" -> Multimodal.audioOracle(),
     // frame sampling: evenly-spaced byte-range slices — the slice-length
     // arithmetic (floor-div frame length, short-media floor of 1,
     // tail-clamp) replayed on strlen

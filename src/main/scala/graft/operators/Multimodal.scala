@@ -252,6 +252,107 @@ object Multimodal {
        |FROM cand WHERE bit_count(xor(sa, sb)) <= $PhashMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  case class WavRow(doc_id: Long, media: Array[Byte])
+  case class SegStats(doc_id: Long, seg: Long, n: Long, sumAbs: Long, maxAmp: Long)
+
+  /** Deterministic 16-bit PCM sample `i` of doc `d` — the audio twin of
+    * [[pixelChannel]], replayed arithmetically by the oracle (WAV PCM is
+    * lossless). Range [-32768, 32767]. */
+  private[operators] def sample16(d: Long, i: Int): Int =
+    (((d * 31 + i * 17L) % 65536) - 32768).toInt
+
+  /** Samples per audio doc: 0.5–1 s of 8 kHz mono. */
+  private[operators] def nSamples(d: Long): Int = (4000 + (d % 5) * 1000).toInt
+
+  /** Real WAV media: every `audio/wav` row becomes an actual RIFF/WAV
+    * file via the JDK's `javax.sound.sampled` codec (8 kHz mono 16-bit
+    * PCM little-endian), samples from [[sample16]]. Same shape as
+    * [[pngMedia]]: metadata-pruned, repartitioned for codec CPU,
+    * narrow. */
+  def wavMedia(spark: SparkSession, sfDir: String): Dataset[WavRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("mime") === "audio/wav")
+      .select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        ids.map { d =>
+          val n = nSamples(d)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = sample16(d, i)
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          WavRow(d, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL audio decode + segment features: `AudioSystem` parses the WAV
+    * container back to PCM on the executors, then 4 equal segments get
+    * (count, mean |amplitude|, max |amplitude|) in exact integer sums —
+    * the standard energy-profile features an audio curation pipeline
+    * computes. Oracle replays [[sample16]] because PCM is lossless. */
+  def audioFeatures(spark: SparkSession, sfDir: String, segments: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pooled = wavMedia(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected decoded format: $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val cnt = new Array[Long](segments)
+        val sumAbs = new Array[Long](segments)
+        val maxAmp = new Array[Long](segments)
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          val seg = i * segments / n
+          val a = math.abs(s)
+          cnt(seg) += 1
+          sumAbs(seg) += a
+          if (a > maxAmp(seg)) maxAmp(seg) = a
+          i += 1
+        }
+        (0 until segments).map(q =>
+          SegStats(r.doc_id, q.toLong, cnt(q), sumAbs(q), maxAmp(q)))
+      }
+    }
+    pooled.toDF()
+      .select(col("doc_id"), col("seg"), col("n"),
+        round(col("sumAbs") / col("n"), 6).as("mean_abs"),
+        col("maxAmp").as("max_amp"))
+      .orderBy("doc_id", "seg")
+  }
+
+  /** DuckDB twin of [[audioFeatures]] — replays [[sample16]] and the
+    * segmentation; a valid oracle for the real codec path because WAV
+    * PCM round-trips bit-for-bit. */
+  def audioOracle(segments: Int = 4): String =
+    s"""WITH au AS (SELECT doc_id, 4000 + (doc_id % 5) * 1000 AS ns
+       |            FROM documents WHERE doc_id % 3 = 1),
+       |ix AS (SELECT doc_id, ns, unnest(generate_series(0, CAST(ns - 1 AS INT))) AS i FROM au),
+       |sm AS (SELECT doc_id, i * $segments // ns AS seg,
+       |              abs(((doc_id * 31 + i * 17) % 65536) - 32768) AS a
+       |       FROM ix)
+       |SELECT doc_id, CAST(seg AS BIGINT) AS seg, count(*) AS n,
+       |       round(sum(a) / count(*), 6) AS mean_abs,
+       |       CAST(max(a) AS BIGINT) AS max_amp
+       |FROM sm GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin
+
   /** Frame sampling: n evenly-spaced byte-range "frames" per media blob
     * (a real video op would seek keyframes; the slicing contract and the
     * exploded output shape are identical). */

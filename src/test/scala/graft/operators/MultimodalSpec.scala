@@ -53,6 +53,40 @@ class MultimodalSpec extends AnyFunSuite {
     })
   }
 
+  test("wavMedia emits real RIFF/WAV files that round-trip the sample formula") {
+    val rows = Multimodal.wavMedia(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val w = rows.minBy(_.doc_id)
+    // RIFF....WAVE container magic — actual files, not a fake
+    assert(new String(w.media.take(4), "US-ASCII") == "RIFF")
+    assert(new String(w.media.slice(8, 12), "US-ASCII") == "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(w.media))
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    assert(n == Multimodal.nSamples(w.doc_id))
+    // lossless round-trip: decoded samples == the closed formula
+    for (i <- Seq(0, 1, 99, n - 1)) {
+      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      assert(s == Multimodal.sample16(w.doc_id, i), s"sample $i")
+    }
+  }
+
+  test("audio features: 4 segments per doc, deterministic, amplitudes bounded") {
+    val a = Multimodal.audioFeatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val b = Multimodal.audioFeatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(a == b)
+    val nWav = Multimodal.wavMedia(spark, sf).count()
+    assert(a.size == nWav * 4)
+    assert(a.values.forall { case (n, mean, mx) =>
+      n > 0 && mean >= 0 && mean <= 32768 && mx <= 32768
+    })
+  }
+
   test("phash pairs: byte-identical media collide at hamming 0; bounds hold") {
     import org.apache.spark.sql.functions._
     val sf01 = "/root/testdata/sf0.01" // sf0.001 has no exact dupes
