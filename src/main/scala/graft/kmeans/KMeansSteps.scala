@@ -178,16 +178,13 @@ object KMeansSteps {
     var cents = centArr(cs0)
     val out = Seq.newBuilder[(Long, Long, Long, Long, Double)]
     for (it <- 1 to iters) {
-      val aggs = count(lit(1)).as("n") +:
-        (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
-      val m = p
-        .select(nearestCidK(col("features"), cents).as("cluster_id"), col("features"))
-        .groupBy("cluster_id").agg(aggs.head, aggs.tail: _*)
-        .select(col("cluster_id"), col("n"),
-          posexplode(array((0 until d).map(i =>
-            round(col(s"s$i") / col("n"), 6)): _*)).as(Seq("dim", "mean")))
+      // the recenter step IS recenterLong — one aggregation contract
+      // (d-column sums, posexplode, round 6) shared with the oracle
+      val assigned = p.select(
+        nearestCidK(col("features"), cents).as("cluster_id"), col("features"))
+      val m = recenterLong(spark, sfDir, Some(assigned))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
         .toMap
       cents = Array.tabulate(cents.length, d) { (cid, dim) =>
         m.get((cid, dim)).map(_._2).getOrElse(cents(cid)(dim))

@@ -105,6 +105,12 @@ object Sinks {
   private def clusterColor(cid: Long): String =
     s"hsl(${(cid * 67) % 360},70%,45%)"
 
+  /** Locale-independent 2-decimal formatting — the f-interpolator uses
+    * the default locale, and a comma decimal separator is an invalid
+    * SVG length. */
+  private def f2(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
   private def writeTextFile(df: DataFrame, path: String, text: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
@@ -133,11 +139,12 @@ object Sinks {
     val sy = (hPx - 2.0 * pad) / math.max(y1 - y0, 1e-12)
     def px(x: Double) = pad + (x - x0) * sx
     def py(y: Double) = hPx - pad - (y - y0) * sy // SVG y grows downward
-    val circles = rows.sortBy(r => (r._1, r._2)).map { case (cid, vid, x, y) =>
-      if (vid == -1L) // centroid marker: black, larger, on top by order
-        f"""<circle cx="${px(x)}%.2f" cy="${py(y)}%.2f" r="7" fill="black"><title>Centroid $cid</title></circle>"""
+    // centroids sort AFTER all points (SVG paints later elements on top)
+    val circles = rows.sortBy(r => (r._2 == -1L, r._1, r._2)).map { case (cid, vid, x, y) =>
+      if (vid == -1L)
+        s"""<circle cx="${f2(px(x))}" cy="${f2(py(y))}" r="7" fill="black"><title>Centroid $cid</title></circle>"""
       else
-        f"""<circle cx="${px(x)}%.2f" cy="${py(y)}%.2f" r="3" fill="${clusterColor(cid)}"><title>Cluster $cid: $vid</title></circle>"""
+        s"""<circle cx="${f2(px(x))}" cy="${f2(py(y))}" r="3" fill="${clusterColor(cid)}"><title>Cluster $cid: $vid</title></circle>"""
     }.mkString("\n")
     val cids = rows.filter(_._2 != -1L).map(_._1).distinct.sorted
     val legend = cids.zipWithIndex.map { case (cid, i) =>
@@ -153,7 +160,7 @@ object Sinks {
          |<svg width="$wPx" height="$hPx" xmlns="http://www.w3.org/2000/svg">
          |<rect width="$wPx" height="$hPx" fill="white" stroke="#ccc"/>
          |$circles
-         |<text font-family="sans-serif" font-size="13">$legend</text>
+         |<text y="20" font-family="sans-serif" font-size="13">$legend</text>
          |</svg>
          |<script type="application/json" id="scatter-data">$json</script>
          |</body></html>
@@ -176,9 +183,9 @@ object Sinks {
       val bh = (hPx - 2.0 * pad) * n.toDouble / nMax
       val x = pad + i * bw
       val y = hPx - pad - bh
-      f"""<rect x="${x + bw * 0.1}%.2f" y="$y%.2f" width="${bw * 0.8}%.2f" height="$bh%.2f" fill="${clusterColor(cid)}"/>
-         |<text x="${x + bw / 2}%.2f" y="${y - 6}%.2f" text-anchor="middle" font-family="sans-serif" font-size="12">$n</text>
-         |<text x="${x + bw / 2}%.2f" y="${hPx - pad + 16}%.2f" text-anchor="middle" font-family="sans-serif" font-size="12">Cluster $cid</text>""".stripMargin
+      s"""<rect x="${f2(x + bw * 0.1)}" y="${f2(y)}" width="${f2(bw * 0.8)}" height="${f2(bh)}" fill="${clusterColor(cid)}"/>
+         |<text x="${f2(x + bw / 2)}" y="${f2(y - 6)}" text-anchor="middle" font-family="sans-serif" font-size="12">$n</text>
+         |<text x="${f2(x + bw / 2)}" y="${f2(hPx - pad + 16)}" text-anchor="middle" font-family="sans-serif" font-size="12">Cluster $cid</text>""".stripMargin
     }.mkString("\n")
     val json = rows.map { case (cid, n) => s"""{"cluster_id":$cid,"n":$n}""" }
       .mkString("[", ",", "]")

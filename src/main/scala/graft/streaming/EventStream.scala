@@ -186,7 +186,13 @@ object EventStream {
         // onto (and overwrite) its own output mid-read
         val merged = latestSnapshot(spark, dir, below = Some(batchId)) match {
           case None => changes.select(changeRow.as("r")).select("r.*")
-          case Some(base) =>
+          case Some(base0) =>
+            // migrate pre-event_id snapshots (3-column schema): an
+            // unknown stored event id sorts lowest, so an
+            // equal-timestamp change wins — the old arrival-order
+            // behavior for exactly the rows that predate the ordering
+            val base = if (base0.columns.contains("event_id")) base0
+              else base0.withColumn("event_id", lit(Long.MinValue))
             // whole-row resolution by (event-time, event_id): the change
             // wins only when it is at least as new as the stored row
             base.join(changes, col("user_id") === col("ck"), "full_outer")

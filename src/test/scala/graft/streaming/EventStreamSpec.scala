@@ -176,6 +176,45 @@ class EventStreamSpec extends AnyFunSuite {
     assert(vs.length >= 2, "each micro-batch must commit its own version")
   }
 
+  test("CDC upsert migrates legacy 3-column snapshots (no event_id) in place") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_mig_src").toString
+    val snap = Files.createTempDirectory("graft_mig_snap").toString
+    def stage(name: String, rows: Seq[(Long, Long, Long, String, Option[Double], String)]): Unit = {
+      val st = Files.createTempDirectory("graft_mig_stage").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(st)
+      val part = new java.io.File(st).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/$name"))
+    }
+    stage("a_base.parquet", Seq(
+      (1L, 1000000000000L, 1L, "ins", Some(1.0), "{}"),
+      (2L, 2000000000000L, 2L, "ins", Some(2.0), "{}")))
+    val q = EventStream.upsertSnapshot(spark, EventStream.readEvents(spark, src), snap)
+    q.processAllAvailable()
+    // rewrite the committed version to the PRE-event_id schema while the
+    // query idles — simulating a snapshot written by the old code
+    val legacy = EventStream.latestSnapshot(spark, snap).get
+      .select("user_id", "ts_us", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vdir = new java.io.File(snap).listFiles()
+      .filter(_.getName.startsWith("v=")).maxBy(_.getName.stripPrefix("v=").toLong)
+    legacy.toSeq.toDF("user_id", "ts_us", "value")
+      .coalesce(1).write.mode("overwrite").parquet(vdir.getPath)
+    // next batch: newer update for user 1, brand-new user 3
+    stage("b_next.parquet", Seq(
+      (3L, 5000000000000L, 1L, "upd", Some(9.0), "{}"),
+      (4L, 3000000000000L, 3L, "ins", Some(3.0), "{}")))
+    q.processAllAvailable(); q.stop()
+    val got = EventStream.latestSnapshot(spark, snap).get
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got == Map(
+      1L -> (5000000000L, 9.0),  // ts div 1000: update won over legacy row
+      2L -> (2000000000L, 2.0),  // legacy row carried through the merge
+      3L -> (3000000000L, 3.0)), // insert landed
+      s"migrated merge mismatch: $got")
+  }
+
   test("streaming dedup collapses replayed micro-batches to distinct events") {
     // a dir where the same events file arrives twice (at-least-once replay)
     val d2 = Files.createTempDirectory("graft_dedup").toString
