@@ -272,6 +272,9 @@ object SparkEntry {
     "sketch_cms" -> ((s, dir) => TextAnalysis.cmsEstimates(s, dir)),
     "text_chargrams" -> ((s, dir) => TextAnalysis.charTrigrams(s, dir)),
     "text_bigrams" -> ((s, dir) => TextAnalysis.bigramLM(s, dir)),
+    // per-doc LM quality score vs the corpus bigram model (CCNet-style
+    // perplexity-filter signal, in oracle-exact probability space)
+    "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
     "sample_docs" -> ((s, dir) => TextAnalysis.hashSample(s, dir)))
 
   private def kmeansQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1247,6 +1250,7 @@ object SparkEntry {
           |       CAST(df AS BIGINT) AS df, round(score, 6) AS score
           |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
       "text_bigrams" -> TextAnalysis.bigramLMOracle,
+      "text_lm_score" -> TextAnalysis.lmScoreOracle,
       "merge_upsert" -> Relational.mergeUpsertOracle,
       "text_chargrams" ->
         """WITH g AS (SELECT unnest(CASE WHEN length(text) >= 3

@@ -207,6 +207,53 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Per-document LM scoring against the corpus bigram model — the
+    * CCNet-style quality-filter signal: documents whose bigrams are
+    * improbable under the corpus LM are boilerplate/garbage candidates.
+    * For every doc: number of bigrams, mean and min conditional
+    * probability P(w2|w1) = c(w1,w2)/c(w1,·) over corpus counts. The
+    * corpus includes the doc, so P > 0 always — no smoothing term to
+    * diverge on. (Probabilities, not log-probs: `ln` is not guaranteed
+    * correctly-rounded across libms, while sums of divisions are the
+    * proven oracle-parity pattern.)
+    *
+    * Scale shape: all four shuffles key on tokens or doc_id (pair
+    * counts, the w1 window, the pair join back, the per-doc aggregate);
+    * document bodies never shuffle — only (doc_id, w1, w2) rows. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = tokens(col("text"))
+    val pairs = when(size(tk) >= 2,
+      arrays_zip(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1)))
+      .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))
+    val db = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+    val counts = db.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .withColumn("c1", sum("c").over(Window.partitionBy("w1")))
+    val p = col("c") * lit(1.0) / col("c1")
+    db.join(counts, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(p), 6).as("mean_p"),
+        round(min(p), 6).as("min_p"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[lmScore]]. */
+  def lmScoreOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |i AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      |      FROM t WHERE len(tk) >= 2),
+      |b AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM i),
+      |c AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2),
+      |tot AS (SELECT w1, sum(c) AS c1 FROM c GROUP BY 1),
+      |p AS (SELECT b.doc_id, c.c * 1.0 / tot.c1 AS p
+      |      FROM b JOIN c USING (w1, w2) JOIN tot USING (w1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       round(avg(p), 6) AS mean_p, round(min(p), 6) AS min_p
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of [[bigramLM]]. */
   def bigramLMOracle: String =
     """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
