@@ -17,7 +17,9 @@ import graft.sources.Tables
   *
   * Scale posture: binaries stay columnar in parquet; metadata predicates
   * (mime, size) push down without touching bytes; decode runs
-  * per-partition with no shuffle; frame sampling is a narrow explode.
+  * per-partition, and media BYTES never cross a shuffle (the synthetic
+  * pipelines shuffle only metadata-sized rows to spread codec CPU);
+  * frame sampling is a narrow explode.
   */
 object Multimodal {
 
@@ -61,9 +63,9 @@ object Multimodal {
     * actual PNG file — `javax.imageio` encode on the executors, pixel
     * values from [[pixelChannel]], dims from the metadata columns. The
     * mime predicate prunes at the metadata level BEFORE any pixel work.
-    * Narrow map; at 100 TB this is the classic decode stage: byte blobs
-    * in, byte blobs out, no shuffle, codec init amortized per
-    * partition. */
+    * At 100 TB this is the classic decode stage: byte blobs in, byte
+    * blobs out, bytes never shuffled (only the tiny metadata rows move,
+    * see below), codec init amortized per partition. */
   def pngMedia(spark: SparkSession, sfDir: String): Dataset[PngRow] = {
     import spark.implicits._
     mediaTable(spark, sfDir)

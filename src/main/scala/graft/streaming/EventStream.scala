@@ -156,11 +156,15 @@ object EventStream {
     * this exactly-once on top of plain parquet: a replayed batch after
     * a failure rewrites the SAME `v=<batchId>` path (idempotent), the
     * previous version is never read-while-written, and readers take
-    * [[latestSnapshot]] = max committed version. At 100 TB both merge
-    * sides are bucketed by the key, so the join — and the whole upsert —
-    * runs without an exchange on the snapshot side; old versions are
-    * vacuumed by retention, exactly the loop every lakehouse MERGE
-    * runs under the hood.
+    * [[latestSnapshot]] = max committed version; old versions are
+    * vacuumed by retention — the loop every lakehouse MERGE runs under
+    * the hood. Scale note: this implementation rewrites the full
+    * snapshot per batch (one key-hash shuffle of snapshot + changes).
+    * At 100 TB the snapshot side would be stored bucketed by the key
+    * ([[graft.sources.Sinks.writeBucketed]] — plan-asserted
+    * exchange-free joins in its spec) so each MERGE shuffles only the
+    * batch's changes; the merge logic here is unchanged by that
+    * layout.
     *
     * Returns the streaming query (caller stops it). Snapshot schema:
     * (user_id, ts_us, event_id, value) — event_id rides along so the
