@@ -171,6 +171,10 @@ object SparkEntry {
     "date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)),
     "string_funcs" -> ((s, dir) => Relational.stringFuncs(s, dir)),
     "join_geo" -> ((s, dir) => Relational.joinGeo(s, dir)),
+    // iterative graph analytics: fixed-2-round PageRank over the
+    // part↔supplier bipartite graph, rounded-fixpoint oracle (same
+    // contract as kmeans_fit_steps)
+    "graph_pagerank" -> ((s, dir) => graft.operators.Graphs.pageRank(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)),
@@ -466,6 +470,7 @@ object SparkEntry {
   private def centsSql(c: String): String = s"CAST(round($c * 100, 0) AS BIGINT)"
 
   private def relationalOracle: Map[String, String] = Map(
+    "graph_pagerank" -> graft.operators.Graphs.pageRankOracle,
     "window_range" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
