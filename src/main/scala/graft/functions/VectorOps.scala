@@ -47,7 +47,7 @@ object VectorOps {
     * `utils/structs.go:34-37`). No join, no shuffle. */
   def centroidsLit(cs: Seq[(Int, Array[Double])]): Column =
     array(cs.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit(_)): _*).as("c"))
+      struct(lit(cid).as("cid"), array(v.toIndexedSeq.map(lit(_)): _*).as("c"))
     }: _*)
 
   /** STRUCT<sqdist, cid> of the nearest centroid. `array_min` on the

@@ -119,7 +119,7 @@ object Similarity {
     // plane 4b+j (>= 0 → 1). One expression tree, constant-folded planes.
     val bandKeys = array((0 until LSH_BANDS).map { b =>
       (0 until LSH_BAND_BITS).map { j =>
-        val plane = array(planes(b * LSH_BAND_BITS + j).map(lit(_)): _*)
+        val plane = array(planes(b * LSH_BAND_BITS + j).toIndexedSeq.map(lit(_)): _*)
         when(dot(col("v"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)

@@ -287,7 +287,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("cf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def buckets(df: DataFrame): DataFrame =
-      df.select(df.columns.map(col) :+
+      df.select(df.columns.toIndexedSeq.map(col) :+
         posexplode(array((0 until CMS_DEPTH).map(j =>
           pmod(HashOps.wordHashN(concat(lit(s"$j:"), col("w")), 15),
             lit(CMS_WIDTH.toLong))): _*)).as(Seq("j", "bucket")): _*)

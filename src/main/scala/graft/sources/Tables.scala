@@ -89,7 +89,7 @@ object Tables {
   def csvPoints(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read
       .option("header", "false").option("inferSchema", "true").csv(path)
-    val cols = raw.columns.map(c => col(c).cast("double"))
+    val cols = raw.columns.toIndexedSeq.map(c => col(c).cast("double"))
     raw.select(array(cols: _*).as("features"))
       .withColumn("id", monotonically_increasing_id())
       .select(col("id"), col("features"))
