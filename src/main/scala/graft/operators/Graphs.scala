@@ -55,7 +55,13 @@ object Graphs {
     * the returned DataFrame is lazy and every downstream action replays
     * the loop over it. The caller releases it (`spark.catalog
     * .clearCache()`) once the result is consumed, the same contract as
-    * [[Similarity.sqTopK]]; Verify/Bench clear between queries. */
+    * [[Similarity.sqTopK]]; Verify/Bench clear between queries. The
+    * per-round `localCheckpoint` blocks are NOT in that cache:
+    * intermediate rounds are released eagerly in the loop as soon as the
+    * next round materializes, and the LAST round's node-sized checkpoint
+    * (it backs the returned lazy plan) lives until the driver GCs the
+    * RDD reference (ContextCleaner) — bounded at one node-sized relation
+    * per invocation, not one per round. */
   def pageRank(spark: SparkSession, sfDir: String,
       iters: Int = 2, topN: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -74,6 +80,10 @@ object Graphs {
       .unionByName(degB.select(col("b").as("a"), col("db").as("d")))
     val n = nodes.count() // every node has degree ≥ 1 (both directions)
     var ranks = nodes.select(col("a").as("v"), round(lit(1.0) / n, 12).as("r"))
+    // previous round's checkpointed plan — its blocks die once the next
+    // round is materialized, so release them instead of pinning one
+    // node-sized relation per round until driver GC
+    var prevCp: DataFrame = null
     for (_ <- 1 to iters) {
       // contributions flow a→b: r(a)/d(a) summed per target b.
       // localCheckpoint truncates the lineage each round (node-sized
@@ -83,17 +93,29 @@ object Graphs {
       // classic iterative-lineage blowup. The k-means loop solves the
       // same problem with its driver-side centroid holder; ranks are
       // node-sized, too big to literalize.
-      ranks = eDeg.join(broadcast(ranks), col("a") === col("v"))
+      val next = eDeg.join(broadcast(ranks), col("a") === col("v"))
         .select(col("b").as("v2"), (col("r") / col("d")).as("c"))
         .groupBy(col("v2").as("v"))
         .agg(round(lit(0.15) / n + lit(0.85) * sum("c"), 12).as("r"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old one dies
+      if (prevCp != null) releaseLocalCheckpoint(prevCp)
+      prevCp = next
+      ranks = next
     }
     ranks.join(nodes.select(col("a").as("v"), col("d").as("degree")), "v")
       .select(col("v").as("node"), col("r").as("rank"), col("degree"))
       .orderBy(desc("rank"), asc("node"))
       .limit(topN)
   }
+
+  /** Unpersist the RDD blocks behind a `localCheckpoint()`ed plan (they
+    * are RDD-level persists, invisible to `spark.catalog.clearCache`).
+    * Only safe once no live plan depends on the checkpoint — here, after
+    * the NEXT round's checkpoint has materialized. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** DuckDB twin of [[pageRank]] (iters = 2, topN = 20). */
   def pageRankOracle: String =

@@ -213,6 +213,14 @@ object Sinks {
       targetBytes: Long = 128L << 20): Int = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // mode("overwrite") deletes `out` before the scan of `dir` completes:
+    // an output equal to (or nested under) the input would destroy the
+    // data mid-read — refuse loudly instead
+    val inAbs = fs.makeQualified(p).toUri.getPath.stripSuffix("/") + "/"
+    val outAbs = fs.makeQualified(new org.apache.hadoop.fs.Path(out))
+      .toUri.getPath.stripSuffix("/") + "/"
+    require(!outAbs.startsWith(inAbs),
+      s"compact: output $out must not be the input $dir or nested under it")
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(dir).repartition(n)
