@@ -344,11 +344,17 @@ object SparkEntry {
     // the literal seeds, rounded intermediate centroids), replayed by the
     // oracle as nested CTEs: the iterative flagship finally oracle-checked
     "kmeans_fit_steps" -> ((s, dir) => KMeansSteps.fitSteps(s, dir)),
-    // M3 — full iterative fit (not SQL-expressible; rows-only check)
+    // M3 — full iterative fit (not SQL-expressible; rows-only check, but
+    // its (cluster_id, n) is cross-pinned by kmeans_fit_final's oracle)
     "kmeans_fit" -> ((s, dir) =>
       RefKMeans.fitSizes(s, Tables.points(s, dir),
         RefKMeans.Config(k = 8, firstId = Some(0L)))
         .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))),
+    // the CONVERGED end state, oracle-checked: frozen converged centroids
+    // → sizes + WCSS (+ DuckDB replaying the stop-rule delta < 0.01)
+    "kmeans_fit_final" -> ((s, dir) => graft.kmeans.FitFinal.finalSummary(s, dir)),
+    // O17's end state: final membership from the frozen centroids
+    "kmeans_fit_assign" -> ((s, dir) => graft.kmeans.FitFinal.finalAssign(s, dir)),
     // D²-weighted k-means++ seeding variant (rows-only: iterative +
     // sampling-seeded; determinism pinned by RefKMeansSpec)
     "kmeans_fit_pp" -> ((s, dir) =>
@@ -429,7 +435,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     kmeansOracle ++ textOracle ++ dedupOracle ++ annOracle ++
       relationalOracle ++ eventOracle ++ multimodalOracle ++
-      pipelineOracle
+      pipelineOracle ++
+      // converged-fit oracles carry the fit's frozen centroids as SQL
+      // literals — generated after the queries run (Verify dumps last)
+      graft.kmeans.FitFinal.oracleSqls
 
   private def multimodalOracle: Map[String, String] = Map(
     "multimodal_phash" -> Multimodal.phashOracle,

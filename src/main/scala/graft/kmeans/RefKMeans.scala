@@ -148,26 +148,29 @@ object RefKMeans {
       var delta = Double.MaxValue
       var converged = false
 
-      // ONE Dataset reused for every iteration: the kernel holds the
-      // centroid arrays by reference, so copying new values into them and
-      // re-collecting re-executes the SAME analyzed+codegen'd plan — no
-      // per-iteration Catalyst analysis. Each job serializes the holder's
-      // current contents to the tasks (the per-iteration broadcast of
-      // `master.go:313-333`).
-      val holder: Array[Array[Double]] = cents.map(_.clone())
+      // A FRESH Dataset per iteration, kernel centroids passed by value.
+      // Reusing one Dataset across iterations (even with a mutable
+      // centroid holder) is WRONG: the aggregation's shuffle-map stage
+      // registers its outputs with the MapOutputTracker on the first
+      // job, and every later collect() on the same RDD lineage SKIPS the
+      // map stage and reuses the round-1 shuffle files — the loop
+      // silently fixpoints after one real Lloyd round (caught by the
+      // kmeans_fit_final oracle: the "converged" state moved by 0.07 on
+      // replay). A new Dataset per round gives a new shuffle dependency,
+      // so every round genuinely recomputes — while the kernel keeps the
+      // compile-once win: centroid VALUES live in the expression object,
+      // not the generated source, so the per-round plan produces
+      // byte-identical codegen and Janino's cache hits (no per-iteration
+      // ~0.5-1 s recompile — the cost that motivated the kernel).
       val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
-      val iterDF = points
-        .select(nearestCidK(col("features"), holder).as("cid"), col("features"))
+      def iterDF(cs: Array[Array[Double]]) = points
+        .select(nearestCidK(col("features"), cs).as("cid"), col("features"))
         .groupBy("cid")
         .agg(aggs.head, aggs.tail: _*)
 
       while (!converged && iter < cfg.maxIter) {
-        var ci = 0
-        while (ci < cfg.k) {
-          System.arraycopy(cents(ci), 0, holder(ci), 0, d); ci += 1
-        }
         // One job: argmin map → partial/final hash agg → k rows collected.
-        val rows = iterDF.collect()
+        val rows = iterDF(cents).collect()
         val byCid = rows.map { r =>
           val cid = r.getInt(0)
           val n = r.getLong(1)
