@@ -226,6 +226,9 @@ object SparkEntry {
     // the exact feature pipeline feeding ts_cluster, oracle-pinned even
     // though the fit itself stays rows-only (iterative)
     "ts_windows" -> ((s, dir) => TimeSeries.windowFeatures(s, dir)),
+    // the shape-clustering Lloyd loop (2 rounded rounds over z-windows),
+    // DuckDB-replayed as nested CTEs — same contract as kmeans_fit_steps
+    "ts_cluster_steps" -> ((s, dir) => TimeSeries.clusterSteps(s, dir)),
     "ts_cluster" -> ((s, dir) => TimeSeries.shapeClusters(s, dir)))
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,15 +395,16 @@ object SparkEntry {
   /** Two rounded Lloyd training rounds (after $PTS, $CENTS, $ASSIGN):
     * ends with `n1` (round-1 per-dim state incl. the unrounded carry
     * `nx`) and `m2` (round-2 recentered means) in scope — shared by the
-    * `kmeans_fit_steps` replay and the `ann_ivf_trained` quantizer. */
-  private val LLOYD2 =
+    * `kmeans_fit_steps` replay, the `ann_ivf_trained` quantizer (scale
+    * 6) and the `ts_cluster_steps` micro-unit loop (scale 0). */
+  private def lloyd2(scale: Int) =
     s"""l1 AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
        |       FROM a JOIN pts p USING (vec_id)),
-       |m1 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), 6) AS mean
+       |m1 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), $scale) AS mean
        |       FROM l1 GROUP BY cid, dim),
        |c0 AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM cents),
        |n1 AS (SELECT c0.cid, c0.dim, coalesce(m1.n, 0) AS n,
-       |              coalesce(m1.mean, round(c0.x, 6)) AS mean,
+       |              coalesce(m1.mean, round(c0.x, $scale)) AS mean,
        |              coalesce(m1.mean, c0.x) AS nx
        |       FROM c0 LEFT JOIN m1 USING (cid, dim)),
        |cents1 AS (SELECT cid, list(nx ORDER BY dim) AS c FROM n1 GROUP BY cid),
@@ -411,8 +415,9 @@ object SparkEntry {
        |        FROM pts p CROSS JOIN cents1 c) WHERE rn = 1),
        |l2 AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
        |       FROM a2 a JOIN pts p USING (vec_id)),
-       |m2 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), 6) AS mean
+       |m2 AS (SELECT cid, dim, count(*) AS n, round(sum(x) / count(*), $scale) AS mean
        |       FROM l2 GROUP BY cid, dim)""".stripMargin
+  private val LLOYD2 = lloyd2(6)
 
   /** z-normalized event windows (DuckDB): CTE chain ending in
     * `zz(user_id, start_seq, zw)` — shared by `ts_motif` and
@@ -943,6 +948,29 @@ object SparkEntry {
         |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the ts Lloyd loop in integer micro-units: strided z-windows →
+    // round(round(z,6)·1e6) integer features → 2 scale-0 rounds from the
+    // 4 lowest-id seeds via the shared LLOYD2 chain — every output value
+    // an exact integer, immune to cross-engine summation order
+    "ts_cluster_steps" ->
+      s"""WITH $ZWIN,
+         |st AS (SELECT user_id, start_seq, zw FROM zz WHERE start_seq % 4 = 1),
+         |pts AS (SELECT CAST((user_id << 40) + start_seq AS BIGINT) AS vec_id,
+         |               list_transform(zw, x -> round(round(x, 6) * 1000000, 0)) AS v FROM st),
+         |cents AS (SELECT cid, c FROM (
+         |            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+         |            FROM pts) WHERE cid < 4),
+         |$ASSIGN, ${lloyd2(0)},
+         |n2 AS (SELECT n1.cid, n1.dim, coalesce(m2.n, 0) AS n,
+         |              coalesce(m2.mean, round(n1.nx, 0)) AS mean
+         |       FROM n1 LEFT JOIN m2 USING (cid, dim)),
+         |u AS (SELECT 1 AS iter, cid, dim, n, mean FROM n1
+         |      UNION ALL
+         |      SELECT 2 AS iter, cid, dim, n, mean FROM n2)
+         |SELECT CAST(iter AS BIGINT) AS iter, CAST(cid AS BIGINT) AS cluster_id,
+         |       CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+         |       CAST(mean AS BIGINT) AS mean_micro
+         |FROM u ORDER BY iter, cluster_id, dim""".stripMargin,
     // ts_cluster's feature pipeline (strided z-windows, composite ids)
     "ts_windows" ->
       s"""WITH $ZWIN,

@@ -96,13 +96,20 @@ object KMeansSteps {
       pts(spark, sfDir).select(
         nearestCidK(col("features"), centArr(cs)).as("cluster_id"), col("features"))
     }
+    recenterAggLong(assigned, d)
+  }
+
+  /** The recenter aggregation contract shared with the oracle (d-column
+    * sums, posexplode, round 6) over any assigned (cluster_id, features)
+    * relation. */
+  private def recenterAggLong(assigned: DataFrame, d: Int, scale: Int = 6): DataFrame = {
     val aggs = count(lit(1)).as("n") +: (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
     assigned.groupBy("cluster_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("cluster_id"), col("n"),
         posexplode(array((0 until d).map(i => col(s"s$i")): _*)).as(Seq("dim", "s")))
       .select(col("cluster_id"), col("dim"), col("n"),
-        round(col("s") / col("n"), 6).as("mean"))
+        round(col("s") / col("n"), scale).as("mean"))
       .orderBy("cluster_id", "dim")
   }
 
@@ -157,6 +164,22 @@ object KMeansSteps {
       .orderBy("iter", "cluster_id", "dim")
   }
 
+  /** [[fitSteps]] over an arbitrary (id, features) point set with
+    * explicit seed centroids — the same rounded-fixpoint contract reused
+    * by other feature spaces (e.g. the z-window points behind
+    * `ts_cluster_steps`). `scale` is the per-round rounding of the
+    * carried means: 6 for raw-unit features, 0 for integer-valued
+    * feature spaces (micro-units), where it makes the whole loop exact
+    * integer arithmetic — order-independent, so cross-engine summation
+    * order can never flip a rounding boundary. */
+  def fitStepsOf(spark: SparkSession, points: DataFrame,
+      cs0: Seq[(Int, Array[Double])], iters: Int = 2, scale: Int = 6): DataFrame = {
+    val (rows, _) = lloydRoundsOf(spark, points, cs0, iters, scale)
+    spark.createDataFrame(rows)
+      .toDF("iter", "cluster_id", "dim", "n", "mean")
+      .orderBy("iter", "cluster_id", "dim")
+  }
+
   /** Trained coarse quantizer for [[graft.operators.Similarity
     * .ivfTrainedTopK]]: the centroids after `iters` rounded Lloyd rounds,
     * frozen to (cid, coords) literals — SQL-replayable training, so the
@@ -171,18 +194,21 @@ object KMeansSteps {
     * final centroid array (carried coordinates stay unrounded, matching
     * the oracle's `coalesce(mean, previous)`). */
   private def lloydRounds(spark: SparkSession, sfDir: String, iters: Int)
+      : (Seq[(Long, Long, Long, Long, Double)], Array[Array[Double]]) =
+    lloydRoundsOf(spark, pts(spark, sfDir), centroids(spark, sfDir), iters)
+
+  private def lloydRoundsOf(spark: SparkSession, p: DataFrame,
+      cs0: Seq[(Int, Array[Double])], iters: Int, scale: Int = 6)
       : (Seq[(Long, Long, Long, Long, Double)], Array[Array[Double]]) = {
-    val cs0 = centroids(spark, sfDir)
     val d = cs0.head._2.length
-    val p = pts(spark, sfDir)
     var cents = centArr(cs0)
     val out = Seq.newBuilder[(Long, Long, Long, Long, Double)]
     for (it <- 1 to iters) {
-      // the recenter step IS recenterLong — one aggregation contract
-      // (d-column sums, posexplode, round 6) shared with the oracle
+      // the recenter step IS recenterLong's aggregation — one contract
+      // (d-column sums, posexplode, round scale) shared with the oracle
       val assigned = p.select(
         nearestCidK(col("features"), cents).as("cluster_id"), col("features"))
-      val m = recenterLong(spark, sfDir, Some(assigned))
+      val m = recenterAggLong(assigned, d, scale)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
         .toMap
@@ -191,7 +217,7 @@ object KMeansSteps {
       }
       for (cid <- cents.indices; dim <- 0 until d) {
         val (n, mean) = m.getOrElse((cid, dim),
-          (0L, BigDecimal(cents(cid)(dim)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          (0L, BigDecimal(cents(cid)(dim)).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble))
         out += ((it.toLong, cid.toLong, dim.toLong, n, mean))
       }
     }

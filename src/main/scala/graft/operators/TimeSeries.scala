@@ -86,6 +86,35 @@ object TimeSeries {
         graft.kmeans.RefKMeans.Config(k = k, seed = 11L, maxIter = 25))
       .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))
 
+  /** The shape-clustering Lloyd LOOP itself, oracle-checkable: exactly
+    * `iters` rounded rounds over the z-window point set, seeded with the
+    * k lowest-id windows — [[graft.kmeans.KMeansSteps.fitSteps]]'s
+    * rounded-fixpoint recipe applied to [[shapeClusters]]' feature space,
+    * so the only remaining rows-only piece of the ts pipeline is the
+    * unbounded fit.
+    *
+    * Exactness: unlike the parquet-born embeddings, z-windows are
+    * COMPUTED values, so cross-engine summation order could flip a
+    * 6-decimal rounding boundary in a recentered mean (observed once at
+    * sf0.01). The loop therefore runs in integer MICRO-units: features
+    * are `round(round(z, 6) · 1e6)` — integer-valued doubles whose sums
+    * (≪ 2^53) are exact and order-independent — and each round's carried
+    * state rounds to whole micro-units (`scale = 0`). Every value in the
+    * output (`mean_micro`) is an exact integer; no float comparison
+    * exists anywhere in the contract. */
+  def clusterSteps(spark: SparkSession, sfDir: String, k: Int = 4,
+      stride: Int = 4, iters: Int = 2): DataFrame = {
+    val p = stridedPoints(spark, sfDir, stride)
+      .select(col("id"),
+        transform(col("features"), x => round(round(x, 6) * 1e6, 0)).as("features"))
+    val seeds = p.orderBy("id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
+    graft.kmeans.KMeansSteps.fitStepsOf(spark, p, seeds, iters, scale = 0)
+      .select(col("iter"), col("cluster_id"), col("dim"), col("n"),
+        col("mean").cast("long").as("mean_micro"))
+  }
+
   /** Top-k nearest windows to the corpus's first window (lowest user id,
     * first position) under z-normalized Euclidean distance. */
   def motifTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
