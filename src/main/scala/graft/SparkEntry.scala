@@ -261,6 +261,10 @@ object SparkEntry {
     "dedup_edit" -> ((s, dir) => Dedup.editDistancePairs(s, dir)))
 
   private def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // recall@k of the approximate paths (trained IVF, SQ8) vs the exact
+    // brute-force sweep — deterministic end-to-end, so even the recall
+    // misses reproduce in the oracle
+    "ann_recall" -> ((s, dir) => Similarity.recallEval(s, dir)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
@@ -1135,7 +1139,24 @@ object SparkEntry {
          |WHERE ${cosSql("a.v", "b.v")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin)
 
-  private def annOracle: Map[String, String] = Map(
+  private def annOracle: Map[String, String] = {
+    val base = annOracleBase
+    // recall metric: the three top-k pipelines verbatim as subqueries
+    // (DuckDB allows WITH inside a FROM subquery), joined on (q_id, n_id)
+    base + ("ann_recall" ->
+      s"""WITH b AS (SELECT q_id, n_id FROM (${base("ann_brute_topk")})),
+         |     i AS (SELECT q_id, n_id FROM (${base("ann_ivf_trained")})),
+         |     s AS (SELECT q_id, n_id FROM (${base("ann_sq_topk")})),
+         |     c AS (SELECT (SELECT count(*) FROM b) AS n_brute,
+         |                  (SELECT count(*) FROM b JOIN i USING (q_id, n_id)) AS n_hit_ivf,
+         |                  (SELECT count(*) FROM b JOIN s USING (q_id, n_id)) AS n_hit_sq)
+         |SELECT n_brute, n_hit_ivf, n_hit_sq,
+         |       round(n_hit_ivf * 1.0 / n_brute, 6) AS recall_ivf,
+         |       round(n_hit_sq * 1.0 / n_brute, 6) AS recall_sq
+         |FROM c""".stripMargin)
+  }
+
+  private def annOracleBase: Map[String, String] = Map(
     // trained IVF: the 2-round Lloyd TRAINING is replayed in SQL
     // (shared LLOYD2 chain), then bucket/probe/rerank over the learned
     // centroids — the full production ANN pipeline under one oracle

@@ -213,6 +213,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** ANN quality evaluation, mirroring [[Dedup]]'s `dedup_recall`:
+    * recall@k of the two approximate paths — the trained-IVF probe and
+    * the SQ8 integer scan — against the exact brute-force top-k, over
+    * one shared query sweep. All three pipelines are deterministic and
+    * oracle-exact, so the recall number itself is oracle-checkable: even
+    * the misses reproduce bit-for-bit in DuckDB. This is the number that
+    * justifies nprobe/rerank parameters before a 100 TB run; the
+    * comparison itself is q×k-sized (trivial) — the corpus work lives in
+    * the underlying pipelines. */
+  def recallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val brute = bruteTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ivf = ivfTrainedTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+    val sq = sqTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+    val hitIvf = brute.join(ivf, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit_ivf"))
+    val hitSq = brute.join(sq, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit_sq"))
+    brute.agg(count(lit(1)).as("n_brute"))
+      .crossJoin(hitIvf).crossJoin(hitSq)
+      .select(col("n_brute"), col("n_hit_ivf"), col("n_hit_sq"),
+        round(col("n_hit_ivf") * lit(1.0) / col("n_brute"), 6).as("recall_ivf"),
+        round(col("n_hit_sq") * lit(1.0) / col("n_brute"), 6).as("recall_sq"))
+  }
+
   /** Shared exact finisher for the ANN variants: per-query cosine top-k.
     * The scored relation is q×N-shaped (brute) or q×candidates (IVF/
     * LSH) — [[Relational.topkPerGroup]] prunes it per input partition
