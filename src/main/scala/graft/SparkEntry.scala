@@ -453,17 +453,22 @@ object SparkEntry {
     "multimodal_phash" -> Multimodal.phashOracle,
     "multimodal_features" -> Multimodal.featuresOracle(),
     "multimodal_audio" -> Multimodal.audioOracle(),
-    // frame sampling: evenly-spaced byte-range slices — the slice-length
-    // arithmetic (floor-div frame length, short-media floor of 1,
-    // tail-clamp) replayed on strlen
+    // REAL frame sampling: animated-GIF encode → frame-directory walk →
+    // per-frame decode (Multimodal.frameSample); the oracle replays the
+    // closed gray formula — valid because the GIF round-trip is lossless
     "multimodal_frames" ->
-      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len FROM documents),
-        |f AS (SELECT doc_id, len, len // 4 AS fl,
-        |             unnest(generate_series(0, 3)) AS frame_idx
-        |      FROM m)
-        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |       CAST(least(greatest(fl, 1), greatest(len - frame_idx * fl, 0)) AS BIGINT) AS frame_bytes
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+      """WITH vid AS (SELECT doc_id, 32 + (doc_id % 4) * 16 AS w,
+        |                    32 + (doc_id % 3) * 16 AS h,
+        |                    2 + doc_id % 3 AS nf
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, w, h, unnest(generate_series(0, CAST(nf - 1 AS INT))) AS f FROM vid),
+        |xs AS (SELECT doc_id, w, h, f, unnest(generate_series(0, CAST(w - 1 AS INT))) AS x FROM fr),
+        |px AS (SELECT doc_id, h, f, x, unnest(generate_series(0, CAST(h - 1 AS INT))) AS y FROM xs),
+        |g AS (SELECT doc_id, f, (doc_id * 7 + f * 19 + x * 3 + y * 5) % 256 AS v FROM px)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, count(*) AS n_px,
+        |       round(sum(v) / count(*), 6) AS mean_gray,
+        |       CAST(max(v) AS BIGINT) AS max_gray
+        |FROM g GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id,
         |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,

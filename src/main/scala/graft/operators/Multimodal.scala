@@ -7,13 +7,15 @@ import graft.sources.Tables
 
 /** Multimodal-column plumbing: media as opaque `BINARY` columns with
   * typed metadata, plus batch decode / feature-extract / frame-sample
-  * operators. Image decode is REAL — PNG bytes synthesized and decoded
-  * with the JDK's built-in `javax.imageio` codec, no extra dependency —
-  * and because PNG is lossless and the synthetic pixels follow a closed
-  * formula, the DuckDB oracle replays the whole decode→pool pipeline
-  * arithmetically, checking a genuine codec round-trip bit-for-bit.
-  * Audio/video (no JDK codec) stay at the metadata / byte-slicing
-  * contract level.
+  * operators. All three modalities run REAL JDK codecs, no extra
+  * dependency: PNG via `javax.imageio` (images), WAV PCM via
+  * `javax.sound.sampled` (audio), multi-frame animated GIF via the
+  * `javax.imageio` sequence reader/writer (the video stand-in — the JDK
+  * has no mp4 codec, GIF is its one multi-frame container). Each codec
+  * is lossless for the synthesized content, and the content follows a
+  * closed formula, so the DuckDB oracle replays every decode→feature
+  * pipeline arithmetically — checking genuine codec round-trips
+  * bit-for-bit.
   *
   * Scale posture: binaries stay columnar in parquet; metadata predicates
   * (mime, size) push down without touching bytes; decode runs
@@ -355,18 +357,113 @@ object Multimodal {
        |       CAST(max(a) AS BIGINT) AS max_amp
        |FROM sm GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin
 
-  /** Frame sampling: n evenly-spaced byte-range "frames" per media blob
-    * (a real video op would seek keyframes; the slicing contract and the
-    * exploded output shape are identical). */
-  def frameSample(spark: SparkSession, sfDir: String, nFrames: Int = 4): DataFrame = {
-    val m = mediaTable(spark, sfDir)
-    val frameLen = (length(col("media")) / nFrames).cast("int")
-    m.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(nFrames - 1)), i =>
-          substring(col("media"), (i * frameLen + 1).cast("int"), greatest(frameLen, lit(1))))) // 1-based
-          .as(Seq("frame_idx", "frame")))
-      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-        length(col("frame")).cast("long").as("frame_bytes"))
+  case class GifRow(doc_id: Long, media: Array[Byte])
+  case class FrameStats(doc_id: Long, frame_idx: Long,
+      n_px: Long, graySum: Long, max_gray: Long)
+
+  /** Deterministic gray value of pixel (x, y) in frame `f` of doc `d` —
+    * the video twin of [[pixelChannel]]/[[sample16]], replayed
+    * arithmetically by the oracle. GIF's 256-entry palette carries all
+    * 256 gray levels, so the round-trip is lossless (asserted by
+    * MultimodalSpec on every level). */
+  private[operators] def frameGray(d: Long, f: Int, x: Int, y: Int): Int =
+    ((d * 7 + f * 19 + x * 3L + y * 5L) % 256).toInt
+
+  /** Per-doc frame geometry: (width, height, frameCount). Variable frame
+    * counts exercise the container's frame directory for real. */
+  private[operators] def gifDims(d: Long): (Int, Int, Int) =
+    ((32 + (d % 4) * 16).toInt, (32 + (d % 3) * 16).toInt, (2 + d % 3).toInt)
+
+  /** Real multi-frame media: every `video/mp4`-slot row becomes an actual
+    * ANIMATED GIF via the JDK's `javax.imageio` sequence writer — the
+    * JDK has no mp4 codec, and GIF is its one multi-frame container, so
+    * it stands in for the video modality while keeping the operator
+    * surface real: a container whose frame directory must be parsed and
+    * whose frames must be individually decoded. Same shape as
+    * [[pngMedia]]: metadata-pruned before any pixel work, repartitioned
+    * to spread codec CPU, bytes never shuffled. */
+  def gifMedia(spark: SparkSession, sfDir: String): Dataset[GifRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("mime") === "video/mp4")
+      .select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val (w, h, nf) = gifDims(d)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          wr.setOutput(ios)
+          wr.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, frameGray(d, f, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          wr.endWriteSequence()
+          wr.dispose()
+          ios.close()
+          GifRow(d, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL frame sampling: `javax.imageio`'s GIF reader parses the
+    * container's frame directory (`getNumImages(true)` walks the actual
+    * stream), decodes every frame, and emits per-frame luminance
+    * features in exact integer sums — (n_px, mean_gray, max_gray). The
+    * oracle replays [[frameGray]] because the GIF round-trip is
+    * lossless. Narrow end-to-end: only frame-level feature rows leave
+    * the decode stage. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stats = gifMedia(spark, sfDir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media)))
+        val nf = rd.getNumImages(true)
+        val out = (0 until nf).map { f =>
+          val img = rd.read(f)
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var mx = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (img.getRGB(x, y) & 0xff).toLong
+              sum += v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          FrameStats(r.doc_id, f.toLong, w.toLong * h, sum, mx)
+        }
+        rd.dispose()
+        out
+      }
+    }
+    stats.toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_px"),
+        round(col("graySum") / col("n_px"), 6).as("mean_gray"),
+        col("max_gray"))
       .orderBy("doc_id", "frame_idx")
   }
 }

@@ -103,9 +103,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again == pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
-  test("frame sampling yields nFrames rows per doc") {
-    val counts = Multimodal.frameSample(spark, sf).groupBy("doc_id").count()
-      .select("count").distinct().collect().map(_.getLong(0)).toSet
-    assert(counts == Set(4L))
+  test("gifMedia emits real animated GIFs; every gray level survives the round-trip") {
+    val rows = Multimodal.gifMedia(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val g = rows.minBy(_.doc_id)
+    // GIF magic bytes — these are actual files, not a fake
+    assert(g.media(0) == 'G' && g.media(1) == 'I' && g.media(2) == 'F')
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(g.media)))
+    val (w, h, nf) = Multimodal.gifDims(g.doc_id)
+    assert(rd.getNumImages(true) == nf, "frame directory must hold gifDims' count")
+    // lossless round-trip on EVERY pixel of every frame — the property
+    // the multimodal_frames oracle depends on (256 grays fit GIF's
+    // 256-entry palette exactly)
+    for (f <- 0 until nf) {
+      val img = rd.read(f)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xff) == Multimodal.frameGray(g.doc_id, f, x, y))
+    }
+  }
+
+  test("frame sampling decodes per-doc frame counts from the container directory") {
+    val rows = Multimodal.frameSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (d, rs) =>
+      val (w, h, nf) = Multimodal.gifDims(d)
+      assert(rs.length == nf, s"doc $d: expected $nf frames")
+      assert(rs.forall(_.getLong(2) == w.toLong * h))
+      assert(rs.forall(_.getLong(4) <= 255L))
+    }
   }
 }
