@@ -5,8 +5,25 @@ import org.apache.spark.sql.execution.FormattedMode
 /** Plan hygiene sweep: compact per-query counts of the operators that
   * signal scale smells (cartesian/NLJ joins, exchanges), plus full
   * formatted plans for names passed as args. `runMain graft.PlanAudit`
-  * for the summary; add query names for details. */
+  * for the summary; add query names for details. PlanGateSpec runs the
+  * cartesian/NLJ half of this sweep as a test gate on every `sbt test`. */
 object PlanAudit {
+
+  /** Count operator occurrences on TREE lines ("Op ... (id)") only: the
+    * executed AQE string carries the Final Plan tree, then numbered
+    * details — counting "(id) Op" detail headers double-counts every
+    * operator and resurrects joins AQE replaced at runtime. */
+  def opCount(plan: String, op: String): Int =
+    s"\\b$op\\b[^\\n]*\\(\\d+\\)".r.findAllIn(plan).length
+
+  /** Materialize `df` (AQE finalizes plans only on execution) and return
+    * the final-plan section of its formatted explain string. */
+  def finalPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    qe.explainString(FormattedMode).split("== Initial Plan ==")(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -22,13 +39,7 @@ object PlanAudit {
           .explainString(FormattedMode))
       }
     } else {
-      // count operators on TREE lines ("Op ... (id)") of the final-plan
-      // section only: the executed AQE string carries the Final Plan
-      // tree, then the Initial Plan tree, then numbered details for
-      // BOTH — counting "(id) Op" detail headers double-counts every
-      // operator and resurrects joins AQE replaced at runtime
-      def count(p: String, op: String): Int =
-        s"\\b$op\\b[^\\n]*\\(\\d+\\)".r.findAllIn(p).length
+      def count(p: String, op: String): Int = opCount(p, op)
       println(f"${"query"}%-22s ex  smj  bhj  nlj cart  wsc")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try {

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-hygiene GATE: every query's executed (AQE-final) plan must be
+  * free of CartesianProduct and BroadcastNestedLoopJoin — the two
+  * operators that turn into O(N·M) scans at cluster scale — unless the
+  * query DECLARES the shape below with a justification. Promoted from
+  * the manual `runMain graft.PlanAudit` sweep so a refactor that
+  * degrades a join to NLJ fails `sbt test`, not a human's memory. */
+class PlanGateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose NLJ/cartesian is intentional AND bounded — each with
+    * the reason the shape is safe at scale. Everything else must plan
+    * equi-joins (or no joins) only. */
+  val declared: Map[String, String] = Map(
+    "cross_join" -> "the operator under test IS a cartesian (5x25 dims)",
+    "join_theta" -> "the operator under test IS a non-equi theta join",
+    "ann_brute_topk" -> "exact baseline: query batch (10 rows) broadcast against the corpus by design",
+    "ann_sq_topk" -> "quantized exact scan: same broadcast-query-batch shape as brute",
+    "ann_recall" -> "evaluation harness over brute/sq (their NLJs) + 1-row count cross-joins",
+    "dedup_recall" -> "1-row count aggregates cross-joined into the single metric row",
+    "dedup_cosine" -> "exact all-pairs cosine baseline (the LSH/banded paths are the scale route)",
+    "kmeans_dbi" -> "k x k centroid-pair relation - k rows, never data-sized")
+
+  test("no undeclared query plans a cartesian product or nested-loop join") {
+    val offenders = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = PlanAudit.finalPlanString(fn(spark, sf))
+      val nlj = PlanAudit.opCount(p, "BroadcastNestedLoopJoin")
+      val cart = PlanAudit.opCount(p, "CartesianProduct")
+      if (nlj + cart > 0 && !declared.contains(name))
+        offenders += s"$name (nlj=$nlj cart=$cart)"
+      spark.catalog.clearCache()
+    }
+    assert(offenders.result().isEmpty,
+      s"undeclared NLJ/cartesian plans: ${offenders.result().mkString(", ")} — " +
+        "fix the join or declare it in PlanGateSpec.declared with a justification")
+  }
+
+  test("declared entries are live: every allowlisted query still plans its NLJ") {
+    // a stale allowlist entry is a hole in the gate — if a declared
+    // query stops planning an NLJ (e.g. got rewritten), drop it
+    val stale = declared.keys.toSeq.sorted.filter { name =>
+      val p = PlanAudit.finalPlanString(SparkEntry.queries(name)(spark, sf))
+      spark.catalog.clearCache()
+      PlanAudit.opCount(p, "BroadcastNestedLoopJoin") +
+        PlanAudit.opCount(p, "CartesianProduct") == 0
+    }
+    assert(stale.isEmpty, s"declared but NLJ-free (remove from allowlist): $stale")
+  }
+}
