@@ -49,6 +49,10 @@ object Bench {
     // dev-loop subset filter (unset for the driver's full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // exclusion twin of ONLY (e.g. skipping declared-quadratic baselines
+    // in an oversized-sf sweep)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -62,7 +66,7 @@ object Bench {
       (dt, ok)
     }
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => only.forall(_.contains(kv._1)))
+      .filter(kv => only.forall(_.contains(kv._1)) && !skip.contains(kv._1))
     val firstPass = qs0.map { case (name, fn) =>
       val (dt, ok) = timeOne(name, fn); (name, fn, dt, ok)
     }
@@ -127,7 +131,7 @@ object Bench {
     // full default-config runs only: a SPARK_GRAFT_ONLY subset would
     // poison the prior with a partial map, and a shuffle-partition
     // stress run with legitimately slower times
-    if (only.isEmpty && shuffle == cpus)
+    if (only.isEmpty && skip.isEmpty && shuffle == cpus)
       try java.nio.file.Files.writeString(priorFile.toPath, line + "\n")
       catch { case _: Throwable => }
     spark.stop()

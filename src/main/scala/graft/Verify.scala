@@ -22,7 +22,12 @@ object Verify {
     // SPARK_GRAFT_ONLY=q1_agg,topk_window verifies just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    def keep(name: String): Boolean = only.forall(_.contains(name))
+    // exclusion twin of ONLY (e.g. skipping declared-quadratic baselines
+    // in an oversized-sf sweep)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    def keep(name: String): Boolean =
+      only.forall(_.contains(name)) && !skip.contains(name)
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor derivation: build an N×-larger copy of an sf directory
+  * by key-shifted replication — the standard way to stress plans beyond
+  * the largest generated fixture without inventing new data semantics.
+  *
+  * Per replica `r`, every key column shifts by `r × stride(table)` with
+  * stride a power of ten above the base max, so intra-replica join
+  * relationships (orders↔lineitem↔part/supplier, customer↔orders,
+  * events.user_id grouping, documents/embeddings ids) are preserved
+  * exactly and replicas never collide. Fixed dimensions (region, nation)
+  * copy verbatim — their keys are referenced by value.
+  *
+  * Content transforms keep per-replica behavior equal to the base sf
+  * instead of degenerating into exact duplicates:
+  *  - `documents.text`: replicas > 0 get per-word suffixes, so shingle
+  *    spaces are disjoint across replicas — near-dup structure scales
+  *    linearly (10× the base pairs), not quadratically.
+  *  - `embeddings.label`: suffixed per replica, keeping the per-label
+  *    self-join (`kmeans_avg_distance`) linear in the factor.
+  *  - `embeddings.embedding`: offset by `r · 0.0017`, so replicas are
+  *    near but not identical in cosine space.
+  *
+  * Usage: `runMain graft.sources.ScaleUp <inDir> <outDir> <factor>`. */
+object ScaleUp {
+
+  private def pow10Above(x: Long): Long = {
+    var s = 10L
+    while (s <= x) s *= 10
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scaleUp(spark, inDir, outDir, factor)
+    spark.stop()
+  }
+
+  def scaleUp(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
+    def in(t: String) = spark.read.parquet(s"$inDir/$t.parquet")
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
+    }
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0)
+
+    // fixed dims: copied verbatim (their keys are referenced by value)
+    Seq("region", "nation").foreach(t => write(t, in(t)))
+
+    val orderStride = pow10Above(maxOf(in("orders"), "o_orderkey"))
+    val custStride = pow10Above(maxOf(in("customer"), "c_custkey"))
+    val partStride = pow10Above(maxOf(in("part"), "p_partkey"))
+    val suppStride = pow10Above(maxOf(in("supplier"), "s_suppkey"))
+    val userStride = pow10Above(maxOf(in("events"), "user_id"))
+    val eventStride = pow10Above(maxOf(in("events"), "event_id"))
+    val docStride = pow10Above(maxOf(in("documents"), "doc_id"))
+    val vecStride = pow10Above(maxOf(in("embeddings"), "vec_id"))
+
+    /** `factor` replicas with the named key columns shifted per replica,
+      * original column types preserved. Leaves `__r` in scope for
+      * content transforms; callers drop it. */
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+      val rep = df.withColumn("__r", explode(sequence(lit(0L), lit(factor - 1L))))
+      val cols = df.schema.fields.map { f =>
+        shifts.get(f.name) match {
+          case Some(st) =>
+            (col(f.name) + col("__r") * lit(st)).cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      rep.select(col("__r") +: cols.toIndexedSeq: _*)
+    }
+    def done(df: DataFrame): DataFrame = df.drop("__r")
+
+    write("customer", done(replicate(in("customer"), Map("c_custkey" -> custStride))))
+    write("supplier", done(replicate(in("supplier"), Map("s_suppkey" -> suppStride))))
+    write("part", done(replicate(in("part"), Map("p_partkey" -> partStride))))
+    write("orders", done(replicate(in("orders"),
+      Map("o_orderkey" -> orderStride, "o_custkey" -> custStride))))
+    write("lineitem", done(replicate(in("lineitem"),
+      Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
+        "l_suppkey" -> suppStride))))
+    write("events", done(replicate(in("events"),
+      Map("event_id" -> eventStride, "user_id" -> userStride))))
+
+    // documents: per-word suffix on replicas > 0 keeps shingle spaces
+    // disjoint across replicas (near-dup structure scales linearly)
+    val docs = replicate(in("documents"), Map("doc_id" -> docStride))
+    write("documents", done(docs.withColumn("text",
+      when(col("__r") === 0, col("text"))
+        .otherwise(array_join(
+          transform(split(col("text"), " "),
+            w => concat(w, lit("_"), col("__r"))), " ")))))
+
+    // embeddings: label suffix keeps per-label joins linear; a small
+    // per-replica offset keeps replicas near but not identical
+    val emb = replicate(in("embeddings"), Map("vec_id" -> vecStride))
+    val embElemType = in("embeddings").schema("embedding")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType
+    write("embeddings", done(emb
+      .withColumn("label",
+        when(col("__r") === 0, col("label"))
+          .otherwise(concat(col("label"), lit("_"), col("__r"))))
+      .withColumn("embedding",
+        transform(col("embedding"),
+          x => (x + col("__r") * lit(0.0017)).cast(embElemType)))))
+  }
+}
