@@ -15,8 +15,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables (e.g. ScaleUp output) are parquet DIRECTORIES
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

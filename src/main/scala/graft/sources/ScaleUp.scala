@@ -104,16 +104,15 @@ object ScaleUp {
           transform(split(col("text"), " "),
             w => concat(w, lit("_"), col("__r"))), " ")))))
 
-    // embeddings: label suffix keeps per-label joins linear; a small
+    // embeddings: label stride keeps per-label joins linear; a small
     // per-replica offset keeps replicas near but not identical
-    val emb = replicate(in("embeddings"), Map("vec_id" -> vecStride))
+    val labelStride = pow10Above(maxOf(in("embeddings"), "label"))
+    val emb = replicate(in("embeddings"),
+      Map("vec_id" -> vecStride, "label" -> labelStride))
     val embElemType = in("embeddings").schema("embedding")
       .dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType
     write("embeddings", done(emb
-      .withColumn("label",
-        when(col("__r") === 0, col("label"))
-          .otherwise(concat(col("label"), lit("_"), col("__r"))))
       .withColumn("embedding",
         transform(col("embedding"),
           x => (x + col("__r") * lit(0.0017)).cast(embElemType)))))
