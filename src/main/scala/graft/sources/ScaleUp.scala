@@ -63,8 +63,13 @@ object ScaleUp {
     val custStride = pow10Above(maxOf(in("customer"), "c_custkey"))
     val partStride = pow10Above(maxOf(in("part"), "p_partkey"))
     val suppStride = pow10Above(maxOf(in("supplier"), "s_suppkey"))
-    val userStride = pow10Above(maxOf(in("events"), "user_id"))
-    val eventStride = pow10Above(maxOf(in("events"), "event_id"))
+    // events via Tables.events: the driver fixture stores TIMESTAMP(NANOS)
+    // (readable only as raw longs) — normalize ts to a real microsecond
+    // TIMESTAMP so the derived directory is typed like a native table for
+    // BOTH engines (DuckDB oracles bind epoch_us/date_trunc on it)
+    val eventsIn = Tables.events(spark, inDir)
+    val userStride = pow10Above(maxOf(eventsIn, "user_id"))
+    val eventStride = pow10Above(maxOf(eventsIn, "event_id"))
     val docStride = pow10Above(maxOf(in("documents"), "doc_id"))
     val vecStride = pow10Above(maxOf(in("embeddings"), "vec_id"))
 
@@ -92,7 +97,7 @@ object ScaleUp {
     write("lineitem", done(replicate(in("lineitem"),
       Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
         "l_suppkey" -> suppStride))))
-    write("events", done(replicate(in("events"),
+    write("events", done(replicate(eventsIn,
       Map("event_id" -> eventStride, "user_id" -> userStride))))
 
     // documents: per-word suffix on replicas > 0 keeps shingle spaces
