@@ -362,6 +362,9 @@ object SparkEntry {
     "kmeans_fit_final" -> ((s, dir) => graft.kmeans.FitFinal.finalSummary(s, dir)),
     // O17's end state: final membership from the frozen centroids
     "kmeans_fit_assign" -> ((s, dir) => graft.kmeans.FitFinal.finalAssign(s, dir)),
+    // the ++-seeded variant's converged end state, same oracle contract
+    "kmeans_fit_pp_final" -> ((s, dir) =>
+      graft.kmeans.FitFinal.finalSummary(s, dir, pp = true)),
     // D²-weighted k-means++ seeding variant (rows-only: iterative +
     // sampling-seeded; determinism pinned by RefKMeansSpec)
     "kmeans_fit_pp" -> ((s, dir) =>

@@ -40,17 +40,23 @@ object FitFinal {
     * centroid, delta threshold 0.01, cap 100). */
   val Cfg: RefKMeans.Config = RefKMeans.Config(k = 8, firstId = Some(0L))
 
+  /** Same config as the `kmeans_fit_pp` query (D²-weighted k-means++
+    * seeding, seed 42). The loop and stop rule are identical — only the
+    * seeding differs, so the same frozen-state oracle applies. */
+  val CfgPP: RefKMeans.Config = RefKMeans.Config(k = 8, seed = 42L, ppSeeding = true)
+
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, RefKMeans.Result]
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean), RefKMeans.Result]
 
-  /** (sfDir, result) of the most recent fit — read by [[oracleSqls]]. */
-  @volatile private var last: Option[(String, RefKMeans.Result)] = None
+  /** Most recent (sfDir, variant → result) — read by [[oracleSqls]]. */
+  @volatile private var last: Option[(String, Map[Boolean, RefKMeans.Result])] = None
 
-  /** Converged fit for `sfDir`, computed once per JVM (both queries and
-    * the oracle generator share it — identical literals everywhere). */
-  def result(spark: SparkSession, sfDir: String): RefKMeans.Result = {
-    val res = cache.getOrElseUpdate(sfDir, {
-      val r = RefKMeans.fit(Tables.points(spark, sfDir), Cfg)
+  /** Converged fit for `sfDir` (maximin or ++ seeding), computed once
+    * per JVM (queries and the oracle generator share it — identical
+    * literals everywhere). */
+  def result(spark: SparkSession, sfDir: String, pp: Boolean = false): RefKMeans.Result = {
+    val res = cache.getOrElseUpdate((sfDir, pp), {
+      val r = RefKMeans.fit(Tables.points(spark, sfDir), if (pp) CfgPP else Cfg)
       // the oracle's delta replay asserts convergence — a maxIter exit
       // reports POST-update centroids (reference quirk) whose replayed
       // delta is the NEXT round's, not the recorded one: fail loudly
@@ -59,7 +65,10 @@ object FitFinal {
         s"kmeans_fit_final requires a converged fit (iter=${r.iterations}, delta=${r.finalDelta})")
       r
     })
-    last = Some((sfDir, res))
+    last match {
+      case Some((dir, m)) if dir == sfDir => last = Some((dir, m + (pp -> res)))
+      case _ => last = Some((sfDir, Map(pp -> res)))
+    }
     res
   }
 
@@ -69,8 +78,8 @@ object FitFinal {
   /** Final per-cluster summary from the frozen converged centroids:
     * (cluster_id, n, wcss, converged). One narrow argmin map + one k-row
     * aggregate — the same physical shape as every other step query. */
-  def finalSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val res = result(spark, sfDir)
+  def finalSummary(spark: SparkSession, sfDir: String, pp: Boolean = false): DataFrame = {
+    val res = result(spark, sfDir, pp)
     val cs = cents(res)
     val md = minDistK(col("features"), cs)
     Tables.points(spark, sfDir)
@@ -84,8 +93,8 @@ object FitFinal {
 
   /** Final membership (O17's end state) from the frozen centroids:
     * (vec_id, cluster_id). */
-  def finalAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val res = result(spark, sfDir)
+  def finalAssign(spark: SparkSession, sfDir: String, pp: Boolean = false): DataFrame = {
+    val res = result(spark, sfDir, pp)
     Tables.points(spark, sfDir)
       .select(col("id").as("vec_id"),
         nearestCidK(col("features"), cents(res)).cast("long").as("cluster_id"))
@@ -101,13 +110,13 @@ object FitFinal {
       v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
     }.mkString("cents AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
 
-  /** Oracle SQL for both queries, available once [[result]] has run in
-    * this JVM (Verify's dump ordering guarantees that); empty otherwise
-    * so a partial dev run degrades to the rows-only check instead of
-    * emitting stale literals. */
+  /** Oracle SQL for the frozen-state queries, available once [[result]]
+    * has run in this JVM for the variant (Verify's dump ordering
+    * guarantees that); absent otherwise so a partial dev run degrades to
+    * the rows-only check instead of emitting stale literals. */
   def oracleSqls: Map[String, String] = last match {
     case None => Map.empty
-    case Some((_, res)) =>
+    case Some((_, byVariant)) =>
       val pts =
         "pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
       val assign =
@@ -117,27 +126,33 @@ object FitFinal {
           |        SELECT vec_id, cid, dist,
           |               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
           |        FROM d) WHERE rn = 1)""".stripMargin
-      Map(
-        "kmeans_fit_final" ->
-          s"""WITH $pts, ${centsSql(res)},
-             |$assign,
-             |l AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
-             |      FROM a JOIN pts p USING (vec_id)),
-             |m AS (SELECT cid, dim, sum(x) / count(*) AS mean FROM l GROUP BY cid, dim),
-             |c0 AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM cents),
-             |disp AS (SELECT c0.cid,
-             |                sqrt(sum((coalesce(m.mean, c0.x) - c0.x)
-             |                       * (coalesce(m.mean, c0.x) - c0.x))) AS disp
-             |         FROM c0 LEFT JOIN m USING (cid, dim) GROUP BY c0.cid),
-             |delta AS (SELECT sum(disp) / ${Cfg.k} AS delta FROM disp)
-             |SELECT CAST(a.cid AS BIGINT) AS cluster_id, count(*) AS n,
-             |       round(sum(a.dist * a.dist), 6) AS wcss,
-             |       CAST((SELECT delta FROM delta) < ${Cfg.deltaThreshold} AS BIGINT) AS converged
-             |FROM a GROUP BY a.cid ORDER BY cluster_id""".stripMargin,
-        "kmeans_fit_assign" ->
-          s"""WITH $pts, ${centsSql(res)},
-             |$assign
-             |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
-             |FROM a ORDER BY vec_id""".stripMargin)
+      def summarySql(res: RefKMeans.Result, cfg: RefKMeans.Config): String =
+        s"""WITH $pts, ${centsSql(res)},
+           |$assign,
+           |l AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
+           |      FROM a JOIN pts p USING (vec_id)),
+           |m AS (SELECT cid, dim, sum(x) / count(*) AS mean FROM l GROUP BY cid, dim),
+           |c0 AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM cents),
+           |disp AS (SELECT c0.cid,
+           |                sqrt(sum((coalesce(m.mean, c0.x) - c0.x)
+           |                       * (coalesce(m.mean, c0.x) - c0.x))) AS disp
+           |         FROM c0 LEFT JOIN m USING (cid, dim) GROUP BY c0.cid),
+           |delta AS (SELECT sum(disp) / ${cfg.k} AS delta FROM disp)
+           |SELECT CAST(a.cid AS BIGINT) AS cluster_id, count(*) AS n,
+           |       round(sum(a.dist * a.dist), 6) AS wcss,
+           |       CAST((SELECT delta FROM delta) < ${cfg.deltaThreshold} AS BIGINT) AS converged
+           |FROM a GROUP BY a.cid ORDER BY cluster_id""".stripMargin
+      def assignSql(res: RefKMeans.Result): String =
+        s"""WITH $pts, ${centsSql(res)},
+           |$assign
+           |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+           |FROM a ORDER BY vec_id""".stripMargin
+      byVariant.flatMap {
+        case (false, res) => Map(
+          "kmeans_fit_final" -> summarySql(res, Cfg),
+          "kmeans_fit_assign" -> assignSql(res))
+        case (true, res) => Map(
+          "kmeans_fit_pp_final" -> summarySql(res, CfgPP))
+      }
   }
 }
