@@ -364,7 +364,13 @@ object SparkEntry {
     "kmeans_fit_assign" -> ((s, dir) => graft.kmeans.FitFinal.finalAssign(s, dir)),
     // the ++-seeded variant's converged end state, same oracle contract
     "kmeans_fit_pp_final" -> ((s, dir) =>
-      graft.kmeans.FitFinal.finalSummary(s, dir, pp = true)),
+      graft.kmeans.FitFinal.finalSummary(s, dir, "pp")),
+    // the lineitem fit exits via the iteration cap (reference quirk:
+    // POST-update centroids), so its end-state materialization is
+    // oracle-checked without the stop-rule claim; standardization stats
+    // ride as literals so both engines build bit-identical features
+    "kmeans_fit_lineitem_final" -> ((s, dir) =>
+      graft.kmeans.FitFinal.finalSummary(s, dir, "lineitem")),
     // D²-weighted k-means++ seeding variant (rows-only: iterative +
     // sampling-seeded; determinism pinned by RefKMeansSpec)
     "kmeans_fit_pp" -> ((s, dir) =>

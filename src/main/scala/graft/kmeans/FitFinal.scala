@@ -6,33 +6,39 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorOps._
 import graft.sources.Tables
 
-/** Oracle coverage for the CONVERGED fit — the end state of the full
-  * reference loop (`main/master/master.go:193-236`), not just its
-  * mechanics (those are pinned by `kmeans_fit_steps`).
+/** Oracle coverage for fit END STATES — the reference loop's output
+  * (`main/master/master.go:193-236`), not just its mechanics (those are
+  * pinned by `kmeans_fit_steps` / `ts_cluster_steps`).
   *
-  * Design: run [[RefKMeans.fit]] to convergence once per sf directory,
-  * FREEZE the converged centroids, and expose
-  *  - `kmeans_fit_final`  — per-cluster size + WCSS from the frozen
-  *    centroids, plus a `converged` flag, and
-  *  - `kmeans_fit_assign` — the final per-point assignment,
-  * while the DuckDB oracle receives the same centroids as SQL literals
-  * (full-precision, round-trip decimal) and INDEPENDENTLY recomputes the
-  * assignment, sizes and WCSS — and replays one further Lloyd round to
-  * assert the stop rule held: the mean centroid displacement from the
-  * frozen state is < deltaThreshold (`master.go:212-217` stops BEFORE
-  * updating, so the reported centroids are exactly the state whose next
-  * delta was sub-threshold). Spark cannot "agree with itself" here: the
-  * oracle derives everything from the literals with its own argmin,
-  * sums and threshold comparison.
+  * Design: run [[RefKMeans.fit]] once per (sf directory, variant),
+  * FREEZE the reported centroids, and expose frozen-state queries while
+  * the DuckDB oracle receives the same centroids as full-precision SQL
+  * literals and INDEPENDENTLY recomputes the assignment, sizes and WCSS.
+  * For variants whose fit CONVERGES, the oracle additionally replays one
+  * further Lloyd round and asserts the stop rule held: the mean centroid
+  * displacement from the frozen state is < deltaThreshold
+  * (`master.go:212-217` stops BEFORE updating, so the reported centroids
+  * are exactly the state whose next delta was sub-threshold). Spark
+  * cannot "agree with itself" here: the oracle derives everything from
+  * the literals with its own argmin, sums and threshold comparison.
   *
-  * The config matches the rows-only `kmeans_fit` query bit-for-bit, so
-  * its (cluster_id, n) output is cross-pinned by `kmeans_fit_final`'s
-  * oracle-checked sizes.
+  * The `lineitem` variant exits via the iteration cap (the reference
+  * quirk reports POST-update centroids, `master.go:212-231`), so its
+  * recorded delta is not replayable from the frozen state — that
+  * variant verifies the end-state materialization only (no `converged`
+  * column). Its feature space is COMPUTED (z-standardized), so the
+  * frozen literals include the per-dim standardization stats: both
+  * engines then build features as one subtract + one divide on
+  * identical inputs — bit-identical.
   *
-  * The oracle SQL depends on the data (the converged state), so it is
+  * Each variant's config matches its rows-only fit query bit-for-bit,
+  * so those (cluster_id, n) outputs are cross-pinned by the
+  * oracle-checked sizes here.
+  *
+  * The oracle SQL depends on the data (the fitted state), so it is
   * generated AFTER the queries run: `graft.Verify` executes every query
   * first, then dumps [[graft.SparkEntry.oracleSql]], by which time
-  * [[last]] holds the frozen centroids for the verified sf directory.
+  * [[last]] holds the frozen state for the verified sf directory.
   */
 object FitFinal {
 
@@ -45,59 +51,90 @@ object FitFinal {
     * seeding differs, so the same frozen-state oracle applies. */
   val CfgPP: RefKMeans.Config = RefKMeans.Config(k = 8, seed = 42L, ppSeeding = true)
 
+  /** Same config as `kmeans_fit_lineitem` (k = 5, cap 20 — exits via
+    * the cap at every fixture sf). */
+  val CfgLineitem: RefKMeans.Config = RefKMeans.Config(k = 5, seed = 42L, maxIter = 20)
+
+  /** Fit variants: (points relation, config, does-the-fit-converge). */
+  private val variants: Map[String, (String, RefKMeans.Config, Boolean)] = Map(
+    "fit" -> (("embeddings", Cfg, true)),
+    "pp" -> (("embeddings", CfgPP, true)),
+    "lineitem" -> (("lineitem", CfgLineitem, false)))
+
+  private case class Frozen(res: RefKMeans.Result,
+      liStats: Option[Seq[(Double, Double)]])
+
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, Boolean), RefKMeans.Result]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Frozen]
 
-  /** Most recent (sfDir, variant → result) — read by [[oracleSqls]]. */
-  @volatile private var last: Option[(String, Map[Boolean, RefKMeans.Result])] = None
+  /** Most recent (sfDir, variant → frozen state) — read by [[oracleSqls]]. */
+  @volatile private var last: Option[(String, Map[String, Frozen])] = None
 
-  /** Converged fit for `sfDir` (maximin or ++ seeding), computed once
-    * per JVM (queries and the oracle generator share it — identical
-    * literals everywhere). */
-  def result(spark: SparkSession, sfDir: String, pp: Boolean = false): RefKMeans.Result = {
-    val res = cache.getOrElseUpdate((sfDir, pp), {
-      val r = RefKMeans.fit(Tables.points(spark, sfDir), if (pp) CfgPP else Cfg)
+  private def frozen(spark: SparkSession, sfDir: String, variant: String): Frozen = {
+    val (space, cfg, mustConverge) = variants(variant)
+    val f = cache.getOrElseUpdate((sfDir, variant), {
+      val liStats =
+        if (space == "lineitem") Some(Tables.lineitemStats(spark, sfDir)) else None
+      val points = liStats match {
+        case Some(st) => Tables.lineitemPointsStdWith(spark, sfDir, st)
+        case None => Tables.points(spark, sfDir)
+      }
+      val r = RefKMeans.fit(points, cfg)
       // the oracle's delta replay asserts convergence — a maxIter exit
       // reports POST-update centroids (reference quirk) whose replayed
-      // delta is the NEXT round's, not the recorded one: fail loudly
-      // instead of producing an incomparable record
-      require(r.converged,
-        s"kmeans_fit_final requires a converged fit (iter=${r.iterations}, delta=${r.finalDelta})")
-      r
+      // delta is the NEXT round's, not the recorded one: converging
+      // variants fail loudly rather than producing an incomparable
+      // record, and the cap-exit variant never claims convergence
+      require(r.converged == mustConverge,
+        s"$variant fit: expected converged=$mustConverge, got ${r.converged} " +
+          s"(iter=${r.iterations}, delta=${r.finalDelta})")
+      Frozen(r, liStats)
     })
     last match {
-      case Some((dir, m)) if dir == sfDir => last = Some((dir, m + (pp -> res)))
-      case _ => last = Some((sfDir, Map(pp -> res)))
+      case Some((dir, m)) if dir == sfDir => last = Some((dir, m + (variant -> f)))
+      case _ => last = Some((sfDir, Map(variant -> f)))
     }
-    res
+    f
   }
+
+  def result(spark: SparkSession, sfDir: String, variant: String = "fit"): RefKMeans.Result =
+    frozen(spark, sfDir, variant).res
 
   private def cents(res: RefKMeans.Result): Array[Array[Double]] =
     res.centroids.sortBy(_._1).map(_._2)
 
-  /** Final per-cluster summary from the frozen converged centroids:
-    * (cluster_id, n, wcss, converged). One narrow argmin map + one k-row
+  private def pointsDF(spark: SparkSession, sfDir: String, f: Frozen): DataFrame =
+    f.liStats match {
+      case Some(st) => Tables.lineitemPointsStdWith(spark, sfDir, st)
+      case None => Tables.points(spark, sfDir)
+    }
+
+  /** Final per-cluster summary from the frozen centroids: (cluster_id,
+    * n, wcss[, converged]). One narrow argmin map + one k-row
     * aggregate — the same physical shape as every other step query. */
-  def finalSummary(spark: SparkSession, sfDir: String, pp: Boolean = false): DataFrame = {
-    val res = result(spark, sfDir, pp)
-    val cs = cents(res)
+  def finalSummary(spark: SparkSession, sfDir: String, variant: String = "fit"): DataFrame = {
+    val f = frozen(spark, sfDir, variant)
+    val cs = cents(f.res)
     val md = minDistK(col("features"), cs)
-    Tables.points(spark, sfDir)
+    val base = pointsDF(spark, sfDir, f)
       .select(nearestCidK(col("features"), cs).cast("long").as("cluster_id"),
         (md * md).as("sq"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n"), round(sum("sq"), 6).as("wcss"))
-      .withColumn("converged", lit(if (res.converged) 1L else 0L))
-      .orderBy("cluster_id")
+    val out =
+      if (variants(variant)._3)
+        base.withColumn("converged", lit(if (f.res.converged) 1L else 0L))
+      else base
+    out.orderBy("cluster_id")
   }
 
   /** Final membership (O17's end state) from the frozen centroids:
     * (vec_id, cluster_id). */
-  def finalAssign(spark: SparkSession, sfDir: String, pp: Boolean = false): DataFrame = {
-    val res = result(spark, sfDir, pp)
-    Tables.points(spark, sfDir)
+  def finalAssign(spark: SparkSession, sfDir: String, variant: String = "fit"): DataFrame = {
+    val f = frozen(spark, sfDir, variant)
+    pointsDF(spark, sfDir, f)
       .select(col("id").as("vec_id"),
-        nearestCidK(col("features"), cents(res)).cast("long").as("cluster_id"))
+        nearestCidK(col("features"), cents(f.res)).cast("long").as("cluster_id"))
       .orderBy("vec_id")
   }
 
@@ -110,49 +147,81 @@ object FitFinal {
       v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
     }.mkString("cents AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
 
-  /** Oracle SQL for the frozen-state queries, available once [[result]]
-    * has run in this JVM for the variant (Verify's dump ordering
-    * guarantees that); absent otherwise so a partial dev run degrades to
-    * the rows-only check instead of emitting stale literals. */
+  /** The variant's point relation as a DuckDB CTE plus its per-ROW key.
+    * Embeddings have unique `vec_id`s; the lineitem space does NOT (the
+    * synthetic fixture holds duplicate (l_orderkey, l_linenumber) pairs
+    * with different values — 45,832 distinct ids over 60,000 rows at
+    * sf0.01), so its argmin must group on a synthetic row id or the
+    * oracle silently drops colliding rows. The rid↔row pairing is
+    * arbitrary, but assignment is a pure per-row function of `v`, so
+    * every downstream aggregate is exact. */
+  private def ptsSql(f: Frozen): (String, String) = f.liStats match {
+    case None =>
+      ("pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "vec_id")
+    case Some(st) =>
+      val dims = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val proj = st.zip(dims).map { case ((m, s), c) =>
+        s"($c - ${java.lang.Double.toString(m)}) / ${java.lang.Double.toString(s)}"
+      }.mkString("[", ", ", "]")
+      (s"""pts AS (SELECT row_number() OVER () AS rid,
+          |               CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS vec_id,
+          |               $proj AS v FROM lineitem)""".stripMargin,
+        "rid")
+  }
+
+  /** Oracle SQL for the frozen-state queries, available once the fit has
+    * run in this JVM for the variant (Verify's dump ordering guarantees
+    * that); absent otherwise so a partial dev run degrades to the
+    * rows-only check instead of emitting stale literals. */
   def oracleSqls: Map[String, String] = last match {
     case None => Map.empty
     case Some((_, byVariant)) =>
-      val pts =
-        "pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
-      val assign =
-        """d AS (SELECT p.vec_id, c.cid, list_distance(p.v, c.c) AS dist
-          |       FROM pts p CROSS JOIN cents c),
-          |a AS (SELECT vec_id, cid, dist FROM (
-          |        SELECT vec_id, cid, dist,
-          |               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-          |        FROM d) WHERE rn = 1)""".stripMargin
-      def summarySql(res: RefKMeans.Result, cfg: RefKMeans.Config): String =
-        s"""WITH $pts, ${centsSql(res)},
-           |$assign,
-           |l AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
-           |      FROM a JOIN pts p USING (vec_id)),
-           |m AS (SELECT cid, dim, sum(x) / count(*) AS mean FROM l GROUP BY cid, dim),
-           |c0 AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM cents),
-           |disp AS (SELECT c0.cid,
-           |                sqrt(sum((coalesce(m.mean, c0.x) - c0.x)
-           |                       * (coalesce(m.mean, c0.x) - c0.x))) AS disp
-           |         FROM c0 LEFT JOIN m USING (cid, dim) GROUP BY c0.cid),
-           |delta AS (SELECT sum(disp) / ${cfg.k} AS delta FROM disp)
+      def assign(key: String) =
+        s"""d AS (SELECT p.$key, c.cid, list_distance(p.v, c.c) AS dist
+           |       FROM pts p CROSS JOIN cents c),
+           |a AS (SELECT $key, cid, dist FROM (
+           |        SELECT $key, cid, dist,
+           |               row_number() OVER (PARTITION BY $key ORDER BY dist, cid) AS rn
+           |        FROM d) WHERE rn = 1)""".stripMargin
+      def summarySql(f: Frozen, cfg: RefKMeans.Config, withDelta: Boolean): String = {
+        val (pts, key) = ptsSql(f)
+        val deltaCtes = if (!withDelta) "" else
+          s""",
+             |l AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
+             |      FROM a JOIN pts p USING ($key)),
+             |m AS (SELECT cid, dim, sum(x) / count(*) AS mean FROM l GROUP BY cid, dim),
+             |c0 AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM cents),
+             |disp AS (SELECT c0.cid,
+             |                sqrt(sum((coalesce(m.mean, c0.x) - c0.x)
+             |                       * (coalesce(m.mean, c0.x) - c0.x))) AS disp
+             |         FROM c0 LEFT JOIN m USING (cid, dim) GROUP BY c0.cid),
+             |delta AS (SELECT sum(disp) / ${cfg.k} AS delta FROM disp)""".stripMargin
+        val convergedCol = if (!withDelta) "" else
+          s""",
+             |       CAST((SELECT delta FROM delta) < ${cfg.deltaThreshold} AS BIGINT) AS converged""".stripMargin
+        s"""WITH $pts, ${centsSql(f.res)},
+           |${assign(key)}$deltaCtes
            |SELECT CAST(a.cid AS BIGINT) AS cluster_id, count(*) AS n,
-           |       round(sum(a.dist * a.dist), 6) AS wcss,
-           |       CAST((SELECT delta FROM delta) < ${cfg.deltaThreshold} AS BIGINT) AS converged
+           |       round(sum(a.dist * a.dist), 6) AS wcss$convergedCol
            |FROM a GROUP BY a.cid ORDER BY cluster_id""".stripMargin
-      def assignSql(res: RefKMeans.Result): String =
-        s"""WITH $pts, ${centsSql(res)},
-           |$assign
+      }
+      def assignSql(f: Frozen): String = {
+        val (pts, key) = ptsSql(f)
+        s"""WITH $pts, ${centsSql(f.res)},
+           |${assign(key)}
            |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
            |FROM a ORDER BY vec_id""".stripMargin
+      }
       byVariant.flatMap {
-        case (false, res) => Map(
-          "kmeans_fit_final" -> summarySql(res, Cfg),
-          "kmeans_fit_assign" -> assignSql(res))
-        case (true, res) => Map(
-          "kmeans_fit_pp_final" -> summarySql(res, CfgPP))
+        case ("fit", f) => Map(
+          "kmeans_fit_final" -> summarySql(f, Cfg, withDelta = true),
+          "kmeans_fit_assign" -> assignSql(f))
+        case ("pp", f) => Map(
+          "kmeans_fit_pp_final" -> summarySql(f, CfgPP, withDelta = true))
+        case ("lineitem", f) => Map(
+          "kmeans_fit_lineitem_final" -> summarySql(f, CfgLineitem, withDelta = false))
+        case _ => Map.empty[String, String]
       }
   }
 }

@@ -56,7 +56,12 @@ object Tables {
 
   /** Relational → vector synthesis: numeric lineitem columns as a dense
     * feature vector, exercising the same ingest path from a star-schema
-    * fact table (SURVEY.md §7.2 M0). */
+    * fact table (SURVEY.md §7.2 M0). NOTE: `id` is NOT unique — the
+    * synthetic fixture contains duplicate (l_orderkey, l_linenumber)
+    * pairs with different values (45,832 distinct ids over 60,000 rows
+    * at sf0.01). The fit treats ids only as deterministic-pick
+    * tie-breaks; anything needing per-row identity (e.g. a per-point
+    * oracle argmin) must key on a row id, not this id. */
   def lineitemPoints(spark: SparkSession, sfDir: String): DataFrame =
     apply(spark, sfDir, "lineitem").select(
       (col("l_orderkey") * lit(10) + col("l_linenumber")).cast("long").as("id"),
@@ -68,16 +73,29 @@ object Tables {
     * projection). Unstandardized lineitem numerics span 6 orders of
     * magnitude (price ~1e5 vs discount ~1e-1), which makes a
     * mean-displacement convergence threshold meaningless. */
-  def lineitemPointsStd(spark: SparkSession, sfDir: String): DataFrame = {
+  def lineitemPointsStd(spark: SparkSession, sfDir: String): DataFrame =
+    lineitemPointsStdWith(spark, sfDir, lineitemStats(spark, sfDir))
+
+  /** Per-dimension (mean, clamped std) of [[lineitemPoints]] — exposed so
+    * frozen-state oracles can carry the exact literals the projection
+    * used (the standardized features are then bit-identical across
+    * engines: one subtract + one divide on identical inputs). */
+  def lineitemStats(spark: SparkSession, sfDir: String): Seq[(Double, Double)] = {
     val pts = lineitemPoints(spark, sfDir)
     val d = 4
     val aggs = (0 until d).flatMap(i => Seq(
       avg(col("features").getItem(i)).as(s"m$i"),
       stddev_pop(col("features").getItem(i)).as(s"s$i")))
     val r = pts.agg(aggs.head, aggs.tail: _*).head()
-    val proj = array((0 until d).map { i =>
-      val m = r.getDouble(2 * i)
-      val s = math.max(r.getDouble(2 * i + 1), 1e-12)
+    (0 until d).map(i =>
+      (r.getDouble(2 * i), math.max(r.getDouble(2 * i + 1), 1e-12)))
+  }
+
+  /** [[lineitemPoints]] standardized against explicit per-dim stats. */
+  def lineitemPointsStdWith(spark: SparkSession, sfDir: String,
+      stats: Seq[(Double, Double)]): DataFrame = {
+    val pts = lineitemPoints(spark, sfDir)
+    val proj = array(stats.zipWithIndex.map { case ((m, s), i) =>
       (col("features").getItem(i) - lit(m)) / lit(s)
     }: _*)
     pts.select(col("id"), proj.as("features"))

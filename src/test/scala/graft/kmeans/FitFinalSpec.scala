@@ -56,9 +56,18 @@ class FitFinalSpec extends AnyFunSuite {
   test("oracle SQL is generated from the frozen centroids after a fit ran") {
     FitFinal.result(spark, sf)
     val sqls = FitFinal.oracleSqls
-    assert(sqls.keySet == Set("kmeans_fit_final", "kmeans_fit_assign"))
+    assert(Set("kmeans_fit_final", "kmeans_fit_assign").subsetOf(sqls.keySet))
     // literals present: at least k rows of VALUES with full-precision doubles
     assert(sqls("kmeans_fit_final").contains("VALUES"))
     assert(sqls("kmeans_fit_assign").contains("CAST(["))
+  }
+
+  test("cap-exit variant records its end state without a convergence claim") {
+    val res = FitFinal.result(spark, sf, "lineitem")
+    assert(!res.converged && res.iterations == FitFinal.CfgLineitem.maxIter)
+    val sqls = FitFinal.oracleSqls
+    assert(!sqls("kmeans_fit_lineitem_final").contains("converged"))
+    // the frozen standardization stats ride in the oracle's pts CTE
+    assert(sqls("kmeans_fit_lineitem_final").contains("l_quantity -"))
   }
 }
