@@ -229,7 +229,11 @@ object SparkEntry {
     // the shape-clustering Lloyd loop (2 rounded rounds over z-windows),
     // DuckDB-replayed as nested CTEs — same contract as kmeans_fit_steps
     "ts_cluster_steps" -> ((s, dir) => TimeSeries.clusterSteps(s, dir)),
-    "ts_cluster" -> ((s, dir) => TimeSeries.shapeClusters(s, dir)))
+    "ts_cluster" -> ((s, dir) => TimeSeries.shapeClusters(s, dir)),
+    // the ts fit's end state from frozen literals (converged claim only
+    // when the fit converged — cap exits record the materialization)
+    "ts_cluster_final" -> ((s, dir) =>
+      graft.kmeans.FitFinal.finalSummary(s, dir, "ts")))
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // LSH quality evaluation: recall of the banded MinHash candidates
@@ -433,22 +437,10 @@ object SparkEntry {
   private val LLOYD2 = lloyd2(6)
 
   /** z-normalized event windows (DuckDB): CTE chain ending in
-    * `zz(user_id, start_seq, zw)` — shared by `ts_motif` and
-    * `ts_windows`. Same fold order as [[TimeSeries.zWindows]]. */
-  private val ZWIN =
-    s"""w0 AS (SELECT user_id, event_id, ts, value,
-       |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |           ROWS BETWEEN CURRENT ROW AND ${TimeSeries.WIN - 1} FOLLOWING) AS win,
-       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS start_seq
-       |       FROM events),
-       |f AS (SELECT user_id, start_seq, win FROM w0 WHERE len(win) = ${TimeSeries.WIN}),
-       |zz AS (SELECT user_id, start_seq,
-       |              list_transform(win, x -> (x - m) / greatest(sd, 1e-12)) AS zw
-       |       FROM (SELECT *, list_sum(win) / ${TimeSeries.WIN} AS m,
-       |                    sqrt(list_sum(list_transform(win,
-       |                      x -> (x - list_sum(win) / ${TimeSeries.WIN})
-       |                         * (x - list_sum(win) / ${TimeSeries.WIN}))) / ${TimeSeries.WIN}) AS sd
-       |             FROM f))""".stripMargin
+    * `zz(user_id, start_seq, zw)` — shared by `ts_motif`, `ts_windows`
+    * and (via [[TimeSeries.ptsOracleCtes]]) the frozen-state ts oracle.
+    * Same fold order as [[TimeSeries.zWindows]]. */
+  private val ZWIN = TimeSeries.zwinOracleCte
 
   def oracleSql: Map[String, String] =
     kmeansOracle ++ textOracle ++ dedupOracle ++ annOracle ++

@@ -55,14 +55,23 @@ object FitFinal {
     * the cap at every fixture sf). */
   val CfgLineitem: RefKMeans.Config = RefKMeans.Config(k = 5, seed = 42L, maxIter = 20)
 
-  /** Fit variants: (points relation, config, does-the-fit-converge). */
+  /** Fit variants: (feature space, config, mustConverge). `mustConverge`
+    * variants fail loudly on a cap exit (their oracle always carries the
+    * stop-rule replay); the others claim — and oracle-verify —
+    * convergence only when the fit actually converged, since a cap exit
+    * reports POST-update centroids (reference quirk) whose replayed
+    * delta is the NEXT round's, not the recorded one. */
   private val variants: Map[String, (String, RefKMeans.Config, Boolean)] = Map(
     "fit" -> (("embeddings", Cfg, true)),
     "pp" -> (("embeddings", CfgPP, true)),
-    "lineitem" -> (("lineitem", CfgLineitem, false)))
+    "lineitem" -> (("lineitem", CfgLineitem, false)),
+    "ts" -> (("ts", graft.operators.TimeSeries.ClusterCfg, false)))
 
-  private case class Frozen(res: RefKMeans.Result,
-      liStats: Option[Seq[(Double, Double)]])
+  private case class Frozen(res: RefKMeans.Result, space: String,
+      liStats: Option[Seq[(Double, Double)]]) {
+    /** Whether the record carries the converged/stop-rule claim. */
+    def claimsConvergence: Boolean = res.converged
+  }
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Frozen]
@@ -75,20 +84,16 @@ object FitFinal {
     val f = cache.getOrElseUpdate((sfDir, variant), {
       val liStats =
         if (space == "lineitem") Some(Tables.lineitemStats(spark, sfDir)) else None
-      val points = liStats match {
-        case Some(st) => Tables.lineitemPointsStdWith(spark, sfDir, st)
-        case None => Tables.points(spark, sfDir)
+      val points = space match {
+        case "lineitem" => Tables.lineitemPointsStdWith(spark, sfDir, liStats.get)
+        case "ts" => graft.operators.TimeSeries.roundedPoints(spark, sfDir)
+        case _ => Tables.points(spark, sfDir)
       }
       val r = RefKMeans.fit(points, cfg)
-      // the oracle's delta replay asserts convergence — a maxIter exit
-      // reports POST-update centroids (reference quirk) whose replayed
-      // delta is the NEXT round's, not the recorded one: converging
-      // variants fail loudly rather than producing an incomparable
-      // record, and the cap-exit variant never claims convergence
-      require(r.converged == mustConverge,
-        s"$variant fit: expected converged=$mustConverge, got ${r.converged} " +
+      require(r.converged || !mustConverge,
+        s"$variant fit: expected convergence, got cap exit " +
           s"(iter=${r.iterations}, delta=${r.finalDelta})")
-      Frozen(r, liStats)
+      Frozen(r, space, liStats)
     })
     last match {
       case Some((dir, m)) if dir == sfDir => last = Some((dir, m + (variant -> f)))
@@ -104,9 +109,10 @@ object FitFinal {
     res.centroids.sortBy(_._1).map(_._2)
 
   private def pointsDF(spark: SparkSession, sfDir: String, f: Frozen): DataFrame =
-    f.liStats match {
-      case Some(st) => Tables.lineitemPointsStdWith(spark, sfDir, st)
-      case None => Tables.points(spark, sfDir)
+    f.space match {
+      case "lineitem" => Tables.lineitemPointsStdWith(spark, sfDir, f.liStats.get)
+      case "ts" => graft.operators.TimeSeries.roundedPoints(spark, sfDir)
+      case _ => Tables.points(spark, sfDir)
     }
 
   /** Final per-cluster summary from the frozen centroids: (cluster_id,
@@ -121,9 +127,11 @@ object FitFinal {
         (md * md).as("sq"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n"), round(sum("sq"), 6).as("wcss"))
+    // the converged column is a cross-engine CLAIM (DuckDB re-derives it
+    // from the literals by replaying one round) — emitted only when the
+    // fit really converged; a cap exit records the materialization alone
     val out =
-      if (variants(variant)._3)
-        base.withColumn("converged", lit(if (f.res.converged) 1L else 0L))
+      if (f.claimsConvergence) base.withColumn("converged", lit(1L))
       else base
     out.orderBy("cluster_id")
   }
@@ -155,11 +163,15 @@ object FitFinal {
     * oracle silently drops colliding rows. The rid↔row pairing is
     * arbitrary, but assignment is a pure per-row function of `v`, so
     * every downstream aggregate is exact. */
-  private def ptsSql(f: Frozen): (String, String) = f.liStats match {
-    case None =>
+  private def ptsSql(f: Frozen): (String, String) = f.space match {
+    case "embeddings" =>
       ("pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         "vec_id")
-    case Some(st) =>
+    case "ts" =>
+      // composite window ids are unique — vec_id is a valid row key
+      (graft.operators.TimeSeries.ptsOracleCtes(), "vec_id")
+    case "lineitem" =>
+      val st = f.liStats.get
       val dims = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val proj = st.zip(dims).map { case ((m, s), c) =>
         s"($c - ${java.lang.Double.toString(m)}) / ${java.lang.Double.toString(s)}"
@@ -220,7 +232,12 @@ object FitFinal {
         case ("pp", f) => Map(
           "kmeans_fit_pp_final" -> summarySql(f, CfgPP, withDelta = true))
         case ("lineitem", f) => Map(
-          "kmeans_fit_lineitem_final" -> summarySql(f, CfgLineitem, withDelta = false))
+          "kmeans_fit_lineitem_final" ->
+            summarySql(f, CfgLineitem, withDelta = f.claimsConvergence))
+        case ("ts", f) => Map(
+          "ts_cluster_final" ->
+            summarySql(f, graft.operators.TimeSeries.ClusterCfg,
+              withDelta = f.claimsConvergence))
         case _ => Map.empty[String, String]
       }
   }

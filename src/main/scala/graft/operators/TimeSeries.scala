@@ -78,13 +78,47 @@ object TimeSeries {
     * over all z-normalized windows (cf. distributed trajectory clustering,
     * PAPERS.md) — windows become (id, features) points, so the whole
     * RefKMeans machinery (plan-reuse, empty-cluster carry) applies
-    * unchanged. Iterative → rows-only at the gate; the feature pipeline
-    * is oracle-pinned via [[windowFeatures]]. */
-  def shapeClusters(spark: SparkSession, sfDir: String, k: Int = 4,
+    * unchanged. Fits over [[roundedPoints]] (the 6-decimal grid) so the
+    * end state is frozen-literal verifiable (`ts_cluster_final`); the
+    * feature pipeline itself is oracle-pinned via [[windowFeatures]] and
+    * the loop via `ts_cluster_steps`. */
+  def shapeClusters(spark: SparkSession, sfDir: String,
       stride: Int = 4): DataFrame =
-    graft.kmeans.RefKMeans.fitSizes(spark, stridedPoints(spark, sfDir, stride),
-        graft.kmeans.RefKMeans.Config(k = k, seed = 11L, maxIter = 25))
+    graft.kmeans.RefKMeans.fitSizes(spark, roundedPoints(spark, sfDir, stride),
+        ClusterCfg)
       .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))
+
+  /** Config of [[shapeClusters]] / the `ts_cluster` query — shared with
+    * the frozen-state oracle (`ts_cluster_final`). */
+  val ClusterCfg: graft.kmeans.RefKMeans.Config =
+    graft.kmeans.RefKMeans.Config(k = 4, seed = 11L, maxIter = 25)
+
+  /** z-normalized event windows (DuckDB): CTE chain ending in
+    * `zz(user_id, start_seq, zw)` — same fold order as [[zWindows]].
+    * Shared by the ts oracles in SparkEntry and [[ptsOracleCtes]]. */
+  val zwinOracleCte: String =
+    s"""w0 AS (SELECT user_id, event_id, ts, value,
+       |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN CURRENT ROW AND ${WIN - 1} FOLLOWING) AS win,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS start_seq
+       |       FROM events),
+       |f AS (SELECT user_id, start_seq, win FROM w0 WHERE len(win) = $WIN),
+       |zz AS (SELECT user_id, start_seq,
+       |              list_transform(win, x -> (x - m) / greatest(sd, 1e-12)) AS zw
+       |       FROM (SELECT *, list_sum(win) / $WIN AS m,
+       |                    sqrt(list_sum(list_transform(win,
+       |                      x -> (x - list_sum(win) / $WIN)
+       |                         * (x - list_sum(win) / $WIN))) / $WIN) AS sd
+       |             FROM f))""".stripMargin
+
+  /** DuckDB CTE chain ending in `pts(vec_id, v)` — the oracle twin of
+    * [[roundedPoints]] (shared grid, composite ids). Interpolated into
+    * frozen-state oracles by [[graft.kmeans.FitFinal]]. */
+  def ptsOracleCtes(stride: Int = 4): String =
+    s"""$zwinOracleCte,
+       |st AS (SELECT user_id, start_seq, zw FROM zz WHERE start_seq % $stride = 1),
+       |pts AS (SELECT CAST((user_id << 40) + start_seq AS BIGINT) AS vec_id,
+       |               list_transform(zw, x -> round(x, 6)) AS v FROM st)""".stripMargin
 
   /** The shape-clustering Lloyd LOOP itself, oracle-checkable: exactly
     * `iters` rounded rounds over the z-window point set, seeded with the
@@ -102,11 +136,19 @@ object TimeSeries {
     * state rounds to whole micro-units (`scale = 0`). Every value in the
     * output (`mean_micro`) is an exact integer; no float comparison
     * exists anywhere in the contract. */
+  /** The strided z-window points on the shared 6-decimal grid — the
+    * bit-exact cross-engine representation (`ts_windows` hash-matches at
+    * this precision), used by both the step queries and the fit so the
+    * fit's end state is frozen-literal verifiable. */
+  def roundedPoints(spark: SparkSession, sfDir: String, stride: Int = 4): DataFrame =
+    stridedPoints(spark, sfDir, stride)
+      .select(col("id"), transform(col("features"), x => round(x, 6)).as("features"))
+
   def clusterSteps(spark: SparkSession, sfDir: String, k: Int = 4,
       stride: Int = 4, iters: Int = 2): DataFrame = {
-    val p = stridedPoints(spark, sfDir, stride)
+    val p = roundedPoints(spark, sfDir, stride)
       .select(col("id"),
-        transform(col("features"), x => round(round(x, 6) * 1e6, 0)).as("features"))
+        transform(col("features"), x => round(x * 1e6, 0)).as("features"))
     val seeds = p.orderBy("id").limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
