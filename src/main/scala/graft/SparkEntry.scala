@@ -45,7 +45,11 @@ object SparkEntry {
     "multimodal_resize" -> ((s, dir) => Multimodal.resizeMeta(s, dir)),
     "multimodal_phash" -> ((s, dir) => Multimodal.phashPairs(s, dir)),
     // MLlib k-means|| path (probabilistic seeding — never the oracle)
-    "kmeans_mllib" -> ((s, dir) => MLlibKMeans.fitSizes(s, dir)))
+    "kmeans_mllib" -> ((s, dir) => MLlibKMeans.fitSizes(s, dir)),
+    // ...but SCORING the frozen MLlib model (assignment/sizes/WCSS from
+    // its trained centers) is deterministic and oracle-checked
+    "kmeans_mllib_final" -> ((s, dir) =>
+      graft.kmeans.FitFinal.finalSummary(s, dir, "mllib")))
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // skew-salted fact⋈fact join — result identical to the plain join
@@ -494,6 +498,25 @@ object SparkEntry {
   private def centsSql(c: String): String = s"CAST(round($c * 100, 0) AS BIGINT)"
 
   private def relationalOracle: Map[String, String] = Map(
+    // bounded sketch oracles: DuckDB recomputes the EXACT values and
+    // pins the accuracy-contract flags at 1 (see Relational Scaladoc)
+    "approx_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       CAST(1 AS BIGINT) AS parts_ok, CAST(1 AS BIGINT) AS orders_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "approx_quantiles" ->
+      """WITH q AS (SELECT l_returnflag,
+        |             quantile_cont(l_extendedprice, [0.495, 0.895, 0.985]) AS lo,
+        |             quantile_cont(l_extendedprice, [0.505, 0.905, 0.995]) AS hi
+        |           FROM lineitem GROUP BY l_returnflag),
+        |u AS (SELECT l_returnflag, unnest(generate_series(1, 3)) AS i, lo, hi FROM q)
+        |SELECT l_returnflag, CAST(i - 1 AS BIGINT) AS q_idx,
+        |       round(lo[CAST(i AS INT)], 6) AS q_lo,
+        |       round(hi[CAST(i AS INT)], 6) AS q_hi,
+        |       CAST(1 AS BIGINT) AS within
+        |FROM u ORDER BY l_returnflag, q_idx""".stripMargin,
     "graph_pagerank" -> graft.operators.Graphs.pageRankOracle,
     "window_range" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,

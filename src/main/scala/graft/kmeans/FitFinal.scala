@@ -65,7 +65,11 @@ object FitFinal {
     "fit" -> (("embeddings", Cfg, true)),
     "pp" -> (("embeddings", CfgPP, true)),
     "lineitem" -> (("lineitem", CfgLineitem, false)),
-    "ts" -> (("ts", graft.operators.TimeSeries.ClusterCfg, false)))
+    "ts" -> (("ts", graft.operators.TimeSeries.ClusterCfg, false)),
+    // MLlib-trained model: training is probabilistic k-means|| (never
+    // SQL-replayed, converged claim never made); scoring the frozen
+    // centers is deterministic and oracle-checked like any other variant
+    "mllib" -> (("embeddings", Cfg, false)))
 
   private case class Frozen(res: RefKMeans.Result, space: String,
       liStats: Option[Seq[(Double, Double)]]) {
@@ -84,12 +88,20 @@ object FitFinal {
     val f = cache.getOrElseUpdate((sfDir, variant), {
       val liStats =
         if (space == "lineitem") Some(Tables.lineitemStats(spark, sfDir)) else None
-      val points = space match {
-        case "lineitem" => Tables.lineitemPointsStdWith(spark, sfDir, liStats.get)
-        case "ts" => graft.operators.TimeSeries.roundedPoints(spark, sfDir)
-        case _ => Tables.points(spark, sfDir)
-      }
-      val r = RefKMeans.fit(points, cfg)
+      val r =
+        if (variant == "mllib")
+          // external trainer: only the frozen centers matter; converged
+          // stays false so no stop-rule claim is ever emitted
+          RefKMeans.Result(MLlibKMeans.trainedCenters(spark, sfDir),
+            iterations = 0, finalDelta = Double.NaN, converged = false)
+        else {
+          val points = space match {
+            case "lineitem" => Tables.lineitemPointsStdWith(spark, sfDir, liStats.get)
+            case "ts" => graft.operators.TimeSeries.roundedPoints(spark, sfDir)
+            case _ => Tables.points(spark, sfDir)
+          }
+          RefKMeans.fit(points, cfg)
+        }
       require(r.converged || !mustConverge,
         s"$variant fit: expected convergence, got cap exit " +
           s"(iter=${r.iterations}, delta=${r.finalDelta})")
@@ -238,6 +250,8 @@ object FitFinal {
           "ts_cluster_final" ->
             summarySql(f, graft.operators.TimeSeries.ClusterCfg,
               withDelta = f.claimsConvergence))
+        case ("mllib", f) => Map(
+          "kmeans_mllib_final" -> summarySql(f, Cfg, withDelta = false))
         case _ => Map.empty[String, String]
       }
   }

@@ -37,4 +37,21 @@ object MLlibKMeans {
       .select(col("cluster_id").cast("long").as("cluster_id"), col("n"))
       .orderBy("cluster_id")
   }
+
+  /** Trained cluster centers as (cid, coords) — same shape as
+    * [[RefKMeans.Result.centroids]], for the frozen-state oracle
+    * (`kmeans_mllib_final`): the TRAINING stays MLlib's (probabilistic
+    * seeding, never SQL-replayed), but scoring the frozen model —
+    * assignment, sizes, WCSS — is deterministic arithmetic that DuckDB
+    * verifies from the literals. Config matches [[fitSizes]]. */
+  def trainedCenters(spark: SparkSession, sfDir: String,
+      k: Int = 8, seed: Long = 42L, maxIter: Int = 30): Array[(Int, Array[Double])] = {
+    val vecs = graft.sources.Tables.points(spark, sfDir).select(col("id"),
+      array_to_vector(col("features")).as("features"))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cluster_id")
+      .fit(vecs)
+    model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+  }
 }

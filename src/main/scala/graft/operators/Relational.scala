@@ -431,15 +431,37 @@ object Relational {
     * fixed-memory path for percentiles over 100 TB — mergeable partials,
     * bounded error. Sketch internals differ across engines, so rows-only
     * (exact [[quantiles]] is the oracle-checked twin). */
-  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+  /** Approximate percentiles with a BOUNDED oracle: the sketch value
+    * itself is engine-specific (KLL-style, not SQL-replayable), but its
+    * accuracy contract is checkable — `accuracy = 10000` bounds the rank
+    * error at N/10000, so the approximate quantile must land between the
+    * EXACT quantiles at p ± 0.005 (50× the guarantee). The query emits
+    * those exact brackets (DuckDB recomputes them independently —
+    * `quantile_cont` parity is proven by `quantiles`) plus the
+    * in-bracket flag the oracle pins at 1: a broken sketch fails the
+    * gate, while the sketch's value never needs cross-engine equality. */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = Seq(0.5, 0.9, 0.99)
+    val eps = 0.005
     Tables(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_percentile(col("l_extendedprice"),
-        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
-      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("q_idx", "q")))
+      .agg(
+        approx_percentile(col("l_extendedprice"),
+          array(ps.map(lit(_)): _*), lit(10000)).as("qs"),
+        percentile(col("l_extendedprice"),
+          array(ps.map(p => lit(p - eps)): _*)).as("lo"),
+        percentile(col("l_extendedprice"),
+          array(ps.map(p => lit(p + eps)): _*)).as("hi"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("q_idx", "q")),
+        col("lo"), col("hi"))
       .select(col("l_returnflag"), col("q_idx").cast("long").as("q_idx"),
-        round(col("q"), 6).as("q"))
+        round(element_at(col("lo"), col("q_idx").cast("int") + 1), 6).as("q_lo"),
+        round(element_at(col("hi"), col("q_idx").cast("int") + 1), 6).as("q_hi"),
+        (col("q") >= element_at(col("lo"), col("q_idx").cast("int") + 1) &&
+          col("q") <= element_at(col("hi"), col("q_idx").cast("int") + 1))
+          .cast("long").as("within"))
       .orderBy("l_returnflag", "q_idx")
+  }
 
   /** Array-function breadth over the lineitem vector: sort, slice,
     * contains, sequence, element access — all list ops with exact DuckDB
@@ -484,12 +506,25 @@ object Relational {
   /** HLL approximate distinct — sketch counts differ across engines by
     * design, so this is a rows-only query (no oracle). At scale this is
     * the right default: one pass, fixed memory, mergeable sketches. */
+  /** HyperLogLog++ distinct counts with a BOUNDED oracle: the sketch
+    * estimate is engine-specific, but its accuracy contract (default
+    * rsd 0.05) is checkable — the estimate must land within 3×rsd of the
+    * EXACT count, which DuckDB recomputes independently; the oracle pins
+    * the flags at 1. Same design as [[approxQuantiles]]: the gate
+    * verifies the guarantee, not sketch-value equality. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+        (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.15)
+          .cast("long").as("parts_ok"),
+        (abs(col("ao") - col("n_orders")) <= col("n_orders") * 0.15)
+          .cast("long").as("orders_ok"))
       .orderBy("l_returnflag")
 
   /** Scalar-function breadth: string/date/math projections with
