@@ -76,7 +76,7 @@ object Bench {
     // BENCH_r03 recorded a 99 s environmental stall this way. Two
     // independent triggers:
     //  (a) intra-run outlier: dt > max(3× pass median, 2 s);
-    //  (b) cross-round regression: dt > 3× the same query's time in the
+    //  (b) cross-round regression: dt > 2× the same query's time in the
     //      previous full record at the SAME scale factor
     //      (BENCH_LAST_<sf>.json, written by every run — the driver's
     //      BENCH_r*.json wrappers truncate the query map, so the bench
@@ -104,7 +104,10 @@ object Bench {
     val cutoff = math.max(3 * median, 2.0)
     val remeasured = Seq.newBuilder[(String, Double, Double)]
     val results = firstPass.map { case (name, fn, dt, ok) =>
-      val regressed = prior.get(name).exists(p => dt > 3 * p)
+      // 2× (was 3×): the r5→r6 drift analysis showed sub-3× drifts
+      // compounding silently — a 1.3×/round drift erodes the 2× gate in
+      // two rounds without ever tripping a 3× trigger
+      val regressed = prior.get(name).exists(p => dt > 2 * p)
       if (!ok || (dt <= cutoff && !regressed)) (name, dt, ok)
       else {
         val (dt2, ok2) = timeOne(name, fn)

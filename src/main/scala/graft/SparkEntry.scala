@@ -359,6 +359,11 @@ object SparkEntry {
     // the literal seeds, rounded intermediate centroids), replayed by the
     // oracle as nested CTEs: the iterative flagship finally oracle-checked
     "kmeans_fit_steps" -> ((s, dir) => KMeansSteps.fitSteps(s, dir)),
+    // the FULL Lloyd trajectory: rounded-fixpoint loop from the literal
+    // seeds to the stop rule, one (iter, delta, stopped) row per round —
+    // DuckDB replays every round as nested CTEs, so the loop is pinned
+    // at each round, not just rounds 1-2 and the end state
+    "kmeans_fit_trajectory" -> ((s, dir) => KMeansSteps.fitTrajectory(s, dir)),
     // M3 — full iterative fit (not SQL-expressible; rows-only check, but
     // its (cluster_id, n) is cross-pinned by kmeans_fit_final's oracle)
     "kmeans_fit" -> ((s, dir) =>
@@ -452,7 +457,10 @@ object SparkEntry {
       pipelineOracle ++
       // converged-fit oracles carry the fit's frozen centroids as SQL
       // literals — generated after the queries run (Verify dumps last)
-      graft.kmeans.FitFinal.oracleSqls
+      graft.kmeans.FitFinal.oracleSqls ++
+      // trajectory oracle depends on the round count the query ran —
+      // same run-then-dump contract
+      KMeansSteps.trajectoryOracle.map("kmeans_fit_trajectory" -> _)
 
   private def multimodalOracle: Map[String, String] = Map(
     "multimodal_phash" -> Multimodal.phashOracle,
@@ -463,8 +471,8 @@ object SparkEntry {
     // closed gray formula — valid because the GIF round-trip is lossless
     "multimodal_frames" ->
       """WITH vid AS (SELECT doc_id, 32 + (doc_id % 4) * 16 AS w,
-        |                    32 + (doc_id % 3) * 16 AS h,
-        |                    2 + doc_id % 3 AS nf
+        |                    32 + (doc_id // 3 % 3) * 16 AS h,
+        |                    2 + doc_id // 3 % 3 AS nf
         |             FROM documents WHERE doc_id % 3 = 2),
         |fr AS (SELECT doc_id, w, h, unnest(generate_series(0, CAST(nf - 1 AS INT))) AS f FROM vid),
         |xs AS (SELECT doc_id, w, h, f, unnest(generate_series(0, CAST(w - 1 AS INT))) AS x FROM fr),

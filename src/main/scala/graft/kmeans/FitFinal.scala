@@ -80,8 +80,14 @@ object FitFinal {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Frozen]
 
-  /** Most recent (sfDir, variant → frozen state) — read by [[oracleSqls]]. */
-  @volatile private var last: Option[(String, Map[String, Frozen])] = None
+  /** Most recently verified sf directory — selects which slice of
+    * [[cache]] the parameterless [[oracleSqls]] dumps. The frozen states
+    * themselves live ONLY in the (sfDir, variant)-keyed TrieMap, so
+    * concurrent fits or a second sf directory in the same JVM can never
+    * drop a variant or pair literals with the wrong directory; the worst
+    * a racing writer can do is flip WHICH complete directory gets
+    * dumped, matching Verify's one-directory-per-run contract. */
+  @volatile private var lastDir: Option[String] = None
 
   private def frozen(spark: SparkSession, sfDir: String, variant: String): Frozen = {
     val (space, cfg, mustConverge) = variants(variant)
@@ -107,10 +113,7 @@ object FitFinal {
           s"(iter=${r.iterations}, delta=${r.finalDelta})")
       Frozen(r, space, liStats)
     })
-    last match {
-      case Some((dir, m)) if dir == sfDir => last = Some((dir, m + (variant -> f)))
-      case _ => last = Some((sfDir, Map(variant -> f)))
-    }
+    lastDir = Some(sfDir)
     f
   }
 
@@ -198,9 +201,19 @@ object FitFinal {
     * run in this JVM for the variant (Verify's dump ordering guarantees
     * that); absent otherwise so a partial dev run degrades to the
     * rows-only check instead of emitting stale literals. */
-  def oracleSqls: Map[String, String] = last match {
-    case None => Map.empty
-    case Some((_, byVariant)) =>
+  /** Frozen-state oracles for `sfDir`, straight from the TrieMap. */
+  def oracleSqlsFor(sfDir: String): Map[String, String] =
+    render(cache.collect { case ((d, v), f) if d == sfDir => v -> f }.toMap)
+
+  /** Parameterless variant for the [[graft.SparkEntry.oracleSql]]
+    * contract: dumps the most recently verified directory's slice. */
+  def oracleSqls: Map[String, String] =
+    lastDir.map(oracleSqlsFor).getOrElse(Map.empty)
+
+  private def render(byVariant: Map[String, Frozen]): Map[String, String] =
+    byVariant match {
+    case m if m.isEmpty => Map.empty
+    case byVariant =>
       def assign(key: String) =
         s"""d AS (SELECT p.$key, c.cid, list_distance(p.v, c.c) AS dist
            |       FROM pts p CROSS JOIN cents c),

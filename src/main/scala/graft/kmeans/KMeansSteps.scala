@@ -224,6 +224,128 @@ object KMeansSteps {
     (out.result(), cents)
   }
 
+  /** Rounds actually run by [[fitTrajectory]] per sf directory — read by
+    * the oracle generator (Verify dumps oracle SQL after the queries
+    * run, so the count is always present for the verified directory). */
+  private val trajectoryRounds =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Most recently run trajectory's sf directory (selects the
+    * parameterless oracle's slice — same convention as
+    * [[FitFinal.oracleSqls]]). */
+  @volatile private var trajectoryLastDir: Option[String] = None
+
+  /** Parameterless twin of [[trajectoryOracleFor]] for the
+    * [[graft.SparkEntry.oracleSql]] contract. */
+  def trajectoryOracle: Option[String] =
+    trajectoryLastDir.flatMap(trajectoryOracleFor(_))
+
+  /** The FULL Lloyd trajectory, oracle-checkable: the rounded-fixpoint
+    * loop of [[fitSteps]] run from the literal seeds until the stop rule
+    * fires (delta < `threshold`), emitting one row per round —
+    * (iter, delta, stopped). This pins the reference's driver loop
+    * (`main/master/master.go:193-236`) at EVERY round, not just rounds
+    * 1-2 (`kmeans_fit_steps`) and the end state (`kmeans_fit_final`):
+    * the oracle replays all R rounds as nested CTEs and independently
+    * recomputes each round's delta AND stop flag, so an intermediate
+    * round that drifted — or a premature/late stop — hash-mismatches.
+    *
+    * Delta convention: per-cluster displacement is a sequential
+    * left-to-right fold over dims (DuckDB's `list_distance`), computed
+    * driver-side over the k×d rounded means the loop already collects;
+    * the mean over clusters is rounded to 6 decimals (same convention as
+    * the oracle-green `kmeans_delta`). Rounded means feed the next round
+    * in BOTH engines, so no float divergence propagates across rounds.
+    *
+    * Scale posture: identical to [[RefKMeans.fit]] — per round one
+    * narrow assignment map + one partial-aggregated k×(d+1) shuffle;
+    * k×d doubles to the driver per round; a FRESH DataFrame per round
+    * (memory: [[RefKMeans]]'s stage-reuse note — re-collecting one
+    * Dataset would replay round 1's shuffle output forever). */
+  def fitTrajectory(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.01, cap: Int = 60): DataFrame = {
+    val cs0 = centroids(spark, sfDir)
+    val d = cs0.head._2.length
+    val k = cs0.length
+    val p = pts(spark, sfDir)
+    var cents = centArr(cs0)
+    val rows = Seq.newBuilder[(Long, Double, Long)]
+    var iter = 0
+    var stopped = false
+    while (!stopped && iter < cap) {
+      iter += 1
+      val assigned = p.select(
+        nearestCidK(col("features"), cents).as("cluster_id"), col("features"))
+      val m = recenterAggLong(assigned, d)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3))
+        .toMap
+      val next = Array.tabulate(k, d) { (cid, dim) =>
+        m.getOrElse((cid, dim), cents(cid)(dim))
+      }
+      // per-cluster displacement: sequential fold over dims — the same
+      // IEEE evaluation order as DuckDB's list_distance
+      var sumDisp = 0.0
+      for (cid <- 0 until k) {
+        var s = 0.0
+        for (dim <- 0 until d) {
+          val diff = next(cid)(dim) - cents(cid)(dim)
+          s += diff * diff
+        }
+        sumDisp += math.sqrt(s)
+      }
+      val delta = BigDecimal(sumDisp / k)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      stopped = delta < threshold
+      rows += ((iter.toLong, delta, if (stopped) 1L else 0L))
+      cents = next
+    }
+    require(stopped, s"fitTrajectory: no convergence within $cap rounds")
+    trajectoryRounds.put(sfDir, iter)
+    trajectoryLastDir = Some(sfDir)
+    spark.createDataFrame(rows.result())
+      .toDF("iter", "delta", "stopped")
+      .orderBy("iter")
+  }
+
+  /** DuckDB replay of [[fitTrajectory]] for the round count the query
+    * actually ran on `sfDir` — one mechanical CTE chain per round
+    * (assign → recenter → rounded means + carry → new centroid lists →
+    * delta). Absent until the query has run in this JVM (Verify's
+    * run-all-then-dump ordering guarantees presence; a partial dev run
+    * degrades to the rows-only check). */
+  def trajectoryOracleFor(sfDir: String, threshold: Double = 0.01,
+      scale: Int = 6): Option[String] =
+    trajectoryRounds.get(sfDir).map { rounds =>
+      val k = K
+      val head =
+        s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |cents0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+           |           FROM embeddings WHERE vec_id < $k)""".stripMargin
+      val perRound = (1 to rounds).map { r =>
+        val prev = s"cents${r - 1}"
+        s"""a$r AS (SELECT vec_id, cid FROM (
+           |        SELECT p.vec_id, c.cid,
+           |               row_number() OVER (PARTITION BY p.vec_id
+           |                                  ORDER BY list_distance(p.v, c.c), c.cid) AS rn
+           |        FROM pts p CROSS JOIN $prev c) WHERE rn = 1),
+           |l$r AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
+           |       FROM a$r a JOIN pts p USING (vec_id)),
+           |m$r AS (SELECT cid, dim, round(sum(x) / count(*), $scale) AS mean
+           |       FROM l$r GROUP BY cid, dim),
+           |p$r AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM $prev),
+           |n$r AS (SELECT p.cid, p.dim, coalesce(m.mean, p.x) AS nx
+           |       FROM p$r p LEFT JOIN m$r m USING (cid, dim)),
+           |cents$r AS (SELECT cid, list(nx ORDER BY dim) AS c FROM n$r GROUP BY cid),
+           |d$r AS (SELECT round(sum(list_distance(a.c, b.c)) / $k, 6) AS delta
+           |       FROM $prev a JOIN cents$r b USING (cid))""".stripMargin
+      }.mkString(",\n")
+      val rowsSql = (1 to rounds).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS iter, delta, CAST(delta < $threshold AS BIGINT) AS stopped FROM d$r"
+      }.mkString("\nUNION ALL ")
+      s"$head,\n$perRound\n$rowsSql\nORDER BY iter"
+    }
+
   /** Within-cluster sum of squares per cluster (the elbow-curve metric):
     * squared distance of every point to its assigned centroid, aggregated
     * per cluster. Distances square the sqrt'd kernel value so both

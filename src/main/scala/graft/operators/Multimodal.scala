@@ -370,9 +370,12 @@ object Multimodal {
     ((d * 7 + f * 19 + x * 3L + y * 5L) % 256).toInt
 
   /** Per-doc frame geometry: (width, height, frameCount). Variable frame
-    * counts exercise the container's frame directory for real. */
+    * counts exercise the container's frame directory for real — height
+    * and frame count derive from `d / 3`, NOT `d % 3`, because
+    * [[gifMedia]]'s mime filter only materializes `d % 3 == 2` docs and a
+    * `% 3` component would be constant across the whole media set. */
   private[operators] def gifDims(d: Long): (Int, Int, Int) =
-    ((32 + (d % 4) * 16).toInt, (32 + (d % 3) * 16).toInt, (2 + d % 3).toInt)
+    ((32 + (d % 4) * 16).toInt, (32 + (d / 3 % 3) * 16).toInt, (2 + d / 3 % 3).toInt)
 
   /** Real multi-frame media: every `video/mp4`-slot row becomes an actual
     * ANIMATED GIF via the JDK's `javax.imageio` sequence writer — the

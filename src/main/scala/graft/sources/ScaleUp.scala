@@ -77,6 +77,25 @@ object ScaleUp {
       * original column types preserved. Leaves `__r` in scope for
       * content transforms; callers drop it. */
     def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+      // shifted values are cast back to the column's ORIGINAL type below,
+      // and Spark's non-ANSI cast wraps silently on overflow — a 32-bit
+      // key at a large factor×stride would produce colliding keys and
+      // corrupt join semantics with no error. Refuse loudly instead: the
+      // largest shifted value must fit the source type.
+      import org.apache.spark.sql.types._
+      shifts.foreach { case (name, st) =>
+        val typeMax: Long = df.schema(name).dataType match {
+          case ByteType => Byte.MaxValue.toLong
+          case ShortType => Short.MaxValue.toLong
+          case IntegerType => Int.MaxValue.toLong
+          case _ => Long.MaxValue
+        }
+        val colMax = maxOf(df, name)
+        require(colMax <= (typeMax - (factor - 1L) * st),
+          s"scaleUp: $name max=$colMax + ${factor - 1}*$st overflows " +
+            s"${df.schema(name).dataType.simpleString}; use a smaller " +
+            "factor or widen the key column")
+      }
       val rep = df.withColumn("__r", explode(sequence(lit(0L), lit(factor - 1L))))
       val cols = df.schema.fields.map { f =>
         shifts.get(f.name) match {

@@ -221,6 +221,11 @@ object Sinks {
       .toUri.getPath.stripSuffix("/") + "/"
     require(!outAbs.startsWith(inAbs),
       s"compact: output $out must not be the input $dir or nested under it")
+    // ...and the converse: an output that is an ANCESTOR of the input is
+    // just as fatal — overwrite deletes the output tree first, taking the
+    // nested input with it before the scan runs
+    require(!inAbs.startsWith(outAbs),
+      s"compact: output $out must not contain the input $dir")
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(dir).repartition(n)

@@ -26,18 +26,30 @@ class EventStreamSpec extends AnyFunSuite {
   val SENTINEL_USER = 999999L
 
   /** events dir: real file + 2 sentinel files (written after, so the
-    * file source picks them up as later micro-batches). */
+    * file source picks them up as later micro-batches). The sentinels
+    * are staged as plain top-level FILES — the file stream source does
+    * not recurse into subdirectories, so a parquet DIRECTORY here would
+    * be silently invisible (caught by the r6 parity gate, whose exact
+    * assertions exposed that the directory-shaped sentinels never
+    * arrived). */
   lazy val dir: String = {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_stream").toString
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$d/a_events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
+    val base = new java.io.File(s"$d/a_events.parquet").lastModified()
     // sentinel ts: 2030-01-01 and 2030-02-01, as raw nanos
     Seq((9000000L, 1893456000000000000L, SENTINEL_USER, "noop", 0.0, "{}"),
       (9000001L, 1896134400000000000L, SENTINEL_USER, "noop", 0.0, "{}"))
       .zipWithIndex.foreach { case (row, i) =>
+        val stage = Files.createTempDirectory("graft_stream_sentinel").toString
         Seq(row).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .write.mode("overwrite").parquet(s"$d/z_sentinel$i.parquet")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, Paths.get(s"$d/z_sentinel$i.parquet"))
+        new java.io.File(s"$d/z_sentinel$i.parquet")
+          .setLastModified(base + (i + 1) * 10000L)
       }
     d
   }

@@ -1,0 +1,183 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming = batch PARITY GATE: every streaming twin, driven through a
+  * real micro-batched file source, must reproduce the output of its
+  * ORACLE-GREEN batch query (`SparkEntry.queries` entries, each
+  * hash-checked against DuckDB by the driver) bit-for-bit. The streaming
+  * surface thereby inherits the batch oracles transitively — the
+  * reference's chunked-ingest accumulation semantics
+  * (`main/master/master.go:60-96`: chunk arrivals must aggregate to the
+  * same state as a single-shot load) proven end-to-end, with real
+  * watermarks in place of transport acks.
+  *
+  * Unlike EventStreamSpec (which allows unflushed trailing state), these
+  * tests demand EXACT equality: two far-future sentinel batches advance
+  * the watermark past every real window/session/timeout, so append-mode
+  * results must be complete. Double sums are compared after the batch
+  * queries' own `round(_, 6)` — the same convention that makes the batch
+  * results hash-stable against DuckDB.
+  */
+class StreamBatchParitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+  val SENTINEL_USER = 999999L
+
+  private def batchQuery(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  /** events dir: the real file plus THREE far-future sentinel batches
+    * (2030-01/02/03 as raw nanos) so every real window finalizes and
+    * every real session times out before end-of-stream. Three because
+    * the watermark advances at the END of a batch and finalization
+    * happens in a LATER batch — with the real data in batch 1, batch 2's
+    * sentinel advances the watermark past 2024 and batch 3 emits
+    * everything real; the third sentinel covers the file source
+    * coalescing two same-mtime sentinel files into one micro-batch, so
+    * explicit strictly-increasing mtimes force the 1-file-per-trigger
+    * order as well. */
+  lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_parity").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$d/a_events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val base = new java.io.File(s"$d/a_events.parquet").lastModified()
+    Seq((9100000L, 1893456000000000000L, SENTINEL_USER, "noop", 0.0, "{}"),
+      (9100001L, 1896134400000000000L, SENTINEL_USER, "noop", 0.0, "{}"),
+      (9100002L, 1898553600000000000L, SENTINEL_USER, "noop", 0.0, "{}"))
+      .zipWithIndex.foreach { case (row, i) =>
+        // MUST land as a plain top-level FILE: the file stream source
+        // does not recurse into subdirectories, so a parquet DIRECTORY
+        // written here would be silently invisible to the stream
+        val stage = Files.createTempDirectory("graft_parity_sentinel").toString
+        Seq(row).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, Paths.get(s"$d/z_sentinel$i.parquet"))
+        // strictly increasing mtimes force 1-file-per-trigger order
+        new java.io.File(s"$d/z_sentinel$i.parquet")
+          .setLastModified(base + (i + 1) * 10000L)
+      }
+    d
+  }
+
+  private def runToCompletion(df: DataFrame, name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("parity: streaming hourlyAgg == oracle-green events_hourly, bit for bit") {
+    runToCompletion(EventStream.hourlyAgg(EventStream.readEvents(spark, dir)), "p_hourly")
+    val got = rows(spark.table("p_hourly")
+      .filter(col("hour_us") < 1800000000000000L) // sentinel windows are not in the batch table
+      .select(col("hour_us"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value")))
+    val want = rows(batchQuery("events_hourly"))
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+
+  test("parity: streaming funnelJoin pairs aggregate to oracle-green events_funnel") {
+    runToCompletion(EventStream.funnelJoin(EventStream.readEvents(spark, dir)), "p_funnel")
+    // the stream emits (purchase_id, view_id) pairs; the oracle-green
+    // query is their per-purchase aggregate (count + first view id).
+    // Aggregating the emitted pairs must reproduce every batch row with
+    // n_views > 0; a LEFT-join zero-view purchase has no pair to emit.
+    val got = rows(spark.table("p_funnel")
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_views"), min("view_id").as("first_view_id")))
+    val batch = batchQuery("events_funnel")
+    val want = rows(batch.filter(col("n_views") > 0))
+    assert(want.nonEmpty, "fixture must contain view→purchase pairs")
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    // ...and the zero-view purchases are exactly the ones the stream never saw
+    val zero = batch.filter(col("n_views") === 0).count()
+    assert(zero + got.size == batch.count())
+  }
+
+  test("parity: stateful sessionize == oracle-green events_sessions, bit for bit") {
+    runToCompletion(
+      EventStream.sessionize(spark, EventStream.readEvents(spark, dir)).toDF(), "p_sessions")
+    val got = rows(spark.table("p_sessions")
+      .filter(col("user_id") =!= SENTINEL_USER)
+      .select(col("user_id"), col("session_id"), col("n"),
+        col("start_us"), col("end_us"), round(col("sum_value"), 6).as("sum_value")))
+    val want = rows(batchQuery("events_sessions")
+      .select("user_id", "session_id", "n", "start_us", "end_us", "sum_value"))
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+
+  test("parity: streaming dedup output is exactly the batch-distinct event set") {
+    val d2 = Files.createTempDirectory("graft_parity_dedup").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$d2/a_events.parquet"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$d2/b_replay.parquet"))
+    runToCompletion(
+      EventStream.dedupEvents(EventStream.readEvents(spark, d2))
+        .select(col("event_id"), col("user_id"), col("event_type")), "p_dedup")
+    val got = rows(spark.table("p_dedup"))
+    val want = rows(graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .dropDuplicates("event_id"))
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+
+  test("parity: CDC upsert over the orders changelog == oracle-green scd_latest") {
+    // orders as a change stream: key = o_custkey, event time = o_orderdate,
+    // tie-break id = o_orderkey — the exact ordering scd_latest resolves
+    // by. Split into 3 files so the latest-per-key state accumulates
+    // ACROSS micro-batch merges, not within one batch's window function.
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_parity_scd_src").toString
+    val snap = Files.createTempDirectory("graft_parity_scd_snap").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").cast("long").as("event_id"),
+        (unix_micros(to_timestamp(col("o_orderdate"))) * 1000L).as("ts"),
+        col("o_custkey").cast("long").as("user_id"),
+        lit("ord").as("event_type"),
+        col("o_totalprice").cast("double").as("value"),
+        lit("{}").as("props"))
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_parity_scd_stage").toString
+      orders.filter(col("event_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+    }
+    val q = EventStream.upsertSnapshot(spark, EventStream.readEvents(spark, src), snap)
+    q.processAllAvailable(); q.stop()
+    val got = rows(EventStream.latestSnapshot(spark, snap).get
+      .select(col("user_id").as("o_custkey"),
+        col("event_id").as("o_orderkey"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("o_date"),
+        round(col("value") * 100).cast("long").as("price_cents")))
+    val want = rows(batchQuery("scd_latest"))
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+}
