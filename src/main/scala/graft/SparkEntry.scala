@@ -1184,12 +1184,15 @@ object SparkEntry {
       s"""WITH b AS (SELECT q_id, n_id FROM (${base("ann_brute_topk")})),
          |     i AS (SELECT q_id, n_id FROM (${base("ann_ivf_trained")})),
          |     s AS (SELECT q_id, n_id FROM (${base("ann_sq_topk")})),
+         |     l AS (SELECT q_id, n_id FROM (${base("ann_lsh_topk")})),
          |     c AS (SELECT (SELECT count(*) FROM b) AS n_brute,
          |                  (SELECT count(*) FROM b JOIN i USING (q_id, n_id)) AS n_hit_ivf,
-         |                  (SELECT count(*) FROM b JOIN s USING (q_id, n_id)) AS n_hit_sq)
-         |SELECT n_brute, n_hit_ivf, n_hit_sq,
+         |                  (SELECT count(*) FROM b JOIN s USING (q_id, n_id)) AS n_hit_sq,
+         |                  (SELECT count(*) FROM b JOIN l USING (q_id, n_id)) AS n_hit_lsh)
+         |SELECT n_brute, n_hit_ivf, n_hit_sq, n_hit_lsh,
          |       round(n_hit_ivf * 1.0 / n_brute, 6) AS recall_ivf,
-         |       round(n_hit_sq * 1.0 / n_brute, 6) AS recall_sq
+         |       round(n_hit_sq * 1.0 / n_brute, 6) AS recall_sq,
+         |       round(n_hit_lsh * 1.0 / n_brute, 6) AS recall_lsh
          |FROM c""".stripMargin)
   }
 

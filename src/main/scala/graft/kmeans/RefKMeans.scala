@@ -63,7 +63,18 @@ object RefKMeans {
 
   /** Maximin seeding (`master.go:157-190`). k driver-coordinated jobs,
     * each a narrow scan + top-1 (TakeOrderedAndProject = per-partition
-    * top-1 partials, the reference's `initCombine` `worker.go:95-101`). */
+    * top-1 partials, the reference's `initCombine` `worker.go:95-101`).
+    *
+    * SCALE BOUND: this is k−1 SEQUENTIAL full-corpus scans — the
+    * reference's algorithm, and fine at the reference's k (≤10ish): at
+    * k=8 on 100 TB that is 7 scans, each embarrassingly parallel. It
+    * does NOT scale in k: k=1000 would serialize 1000 corpus scans.
+    * The crossover ladder, all shipped here: [[seedPP]] (same one-job-
+    * per-round shape, classic D² quality) → MLlib's k-means||
+    * ([[MLlibKMeans]]: oversampling, O(log n) rounds independent of k)
+    * for large k. On unambiguous well-separated data the three agree on
+    * blob coverage (pinned by RefKMeansSpec's seeding-agreement
+    * property test). */
   def seed(points: DataFrame, cfg: Config): Array[Array[Double]] = {
     val first = cfg.firstId match {
       case Some(id) => collectPoint(points.filter(col("id") === id))._2

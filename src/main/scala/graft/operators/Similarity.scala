@@ -214,29 +214,33 @@ object Similarity {
   }
 
   /** ANN quality evaluation, mirroring [[Dedup]]'s `dedup_recall`:
-    * recall@k of the two approximate paths — the trained-IVF probe and
-    * the SQ8 integer scan — against the exact brute-force top-k, over
-    * one shared query sweep. All three pipelines are deterministic and
-    * oracle-exact, so the recall number itself is oracle-checkable: even
-    * the misses reproduce bit-for-bit in DuckDB. This is the number that
-    * justifies nprobe/rerank parameters before a 100 TB run; the
-    * comparison itself is q×k-sized (trivial) — the corpus work lives in
-    * the underlying pipelines. */
+    * recall@k of the three approximate paths — the trained-IVF probe,
+    * the SQ8 integer scan, and the hyperplane-LSH banding — against the
+    * exact brute-force top-k, over one shared query sweep. All four
+    * pipelines are deterministic and oracle-exact, so the recall number
+    * itself is oracle-checkable: even the misses reproduce bit-for-bit
+    * in DuckDB. This is the number that justifies nprobe/rerank/band
+    * parameters before a 100 TB run; the comparison itself is q×k-sized
+    * (trivial) — the corpus work lives in the underlying pipelines. */
   def recallEval(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val brute = bruteTopK(spark, sfDir).select(col("q_id"), col("n_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ivf = ivfTrainedTopK(spark, sfDir).select(col("q_id"), col("n_id"))
     val sq = sqTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+    val lsh = lshTopK(spark, sfDir).select(col("q_id"), col("n_id"))
     val hitIvf = brute.join(ivf, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit_ivf"))
     val hitSq = brute.join(sq, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit_sq"))
+    val hitLsh = brute.join(lsh, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit_lsh"))
     brute.agg(count(lit(1)).as("n_brute"))
-      .crossJoin(hitIvf).crossJoin(hitSq)
-      .select(col("n_brute"), col("n_hit_ivf"), col("n_hit_sq"),
+      .crossJoin(hitIvf).crossJoin(hitSq).crossJoin(hitLsh)
+      .select(col("n_brute"), col("n_hit_ivf"), col("n_hit_sq"), col("n_hit_lsh"),
         round(col("n_hit_ivf") * lit(1.0) / col("n_brute"), 6).as("recall_ivf"),
-        round(col("n_hit_sq") * lit(1.0) / col("n_brute"), 6).as("recall_sq"))
+        round(col("n_hit_sq") * lit(1.0) / col("n_brute"), 6).as("recall_sq"),
+        round(col("n_hit_lsh") * lit(1.0) / col("n_brute"), 6).as("recall_lsh"))
   }
 
   /** Shared exact finisher for the ANN variants: per-query cosine top-k.

@@ -111,6 +111,39 @@ class RefKMeansSpec extends AnyFunSuite {
     assert(sizes.sum == 6L)
   }
 
+  test("seeding agreement: maximin, D²++, and large-k path cover the same blobs " +
+      "when maximin is unambiguous (k <= 8)") {
+    // k tight, far-separated blobs (spread 1e-9, separation ~1e3): the
+    // maximin argmax is unambiguous, and seedPP's exponential race
+    // cannot flip — a covered-blob point's key is bounded by
+    // spread²·N/ln-floor, ~20 orders below an uncovered blob's
+    // sep²/ln(N). The property the Scaladoc crossover ladder claims:
+    // on unambiguous data all seeding strategies agree on BLOB COVERAGE
+    // (one seed per blob), differing only in which member they pick.
+    for (k <- Seq(2, 4, 8)) {
+      val perBlob = 5
+      val rows = for {
+        b <- 0 until k
+        i <- 0 until perBlob
+      } yield ((b * perBlob + i).toLong,
+        Seq(b * 1000.0 + i * 1e-9, (b % 3) * 1000.0 + i * 1e-9))
+      val df = pts(rows: _*)
+      def blobOf(v: Seq[Double]): Int = math.round(v.head / 1000.0).toInt
+      val maximin = RefKMeans.seed(df, RefKMeans.Config(k = k, firstId = Some(0L)))
+      val dpp = RefKMeans.seedPP(df, RefKMeans.Config(k = k, firstId = Some(0L),
+        seed = 7L, ppSeeding = true))
+      assert(maximin.map(c => blobOf(c.toSeq)).toSet == (0 until k).toSet,
+        s"k=$k: maximin must place exactly one seed per blob")
+      assert(dpp.map(c => blobOf(c.toSeq)).toSet == (0 until k).toSet,
+        s"k=$k: D² seeding must place exactly one seed per blob")
+      // the maximin pick inside each blob is the unambiguous argmax
+      // (lowest id on ties) — pinned exactly, not just by coverage
+      val data = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      assert(maximin.forall(c => data.values.exists(_ == c.toSeq)),
+        s"k=$k: every maximin seed must be an input point")
+    }
+  }
+
   test("concurrent fits on one session are deterministic and interference-free " +
       "(master.go:18-23,60-120)") {
     // the reference master serves concurrent clients from one process;

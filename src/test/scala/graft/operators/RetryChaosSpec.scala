@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kmeans.RefKMeans
+
+/** Retry-determinism chaos gate: at 100 TB, task retries and speculative
+  * execution re-run partitions as a matter of course — every operator
+  * must produce IDENTICAL results when any task's first attempt dies.
+  * The oracle conventions (sequential folds, rounded carries, integer
+  * arithmetic) all assume per-partition recomputation is deterministic;
+  * this suite proves that assumption survives the scheduler's actual
+  * failure path, not just clean runs.
+  *
+  * Mechanism: a `mapPartitions` wrapper that throws on every task's
+  * FIRST attempt (`TaskContext.attemptNumber == 0`) — the retry
+  * (attempt 1) recomputes the partition's whole narrow chain, including
+  * whatever pipeline stage the wrapper is fused into. Needs a context
+  * that allows task retries: local mode defaults to maxFailures = 1
+  * (fail-fast), so this suite owns a dedicated `local[4,4]` session and
+  * stops it afterwards (suites run sequentially in the forked test JVM;
+  * the next suite's getOrCreate builds a fresh default session).
+  *
+  * Covered stages: a full iterative fit (cache materialization +
+  * k×(d+1) partial aggregation per round), the MinHash LSH sweep
+  * (native signature kernel + banding + verification joins over a
+  * persisted intermediate), and the real GIF encode `mapPartitions`
+  * codec stage.
+  */
+class RetryChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    // a plain-config session may already exist (earlier suites) — this
+    // suite needs task retries, which are fixed at context creation
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4,4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    super.afterAll()
+  }
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** Pass-through wrapper that kills every task's first attempt. Fused
+    * into its input's stage (narrow), so the retry re-executes the
+    * input's per-partition work too. */
+  private def chaos(df: DataFrame): DataFrame =
+    df.mapPartitions { it =>
+      if (TaskContext.get().attemptNumber() == 0)
+        throw new RuntimeException("chaos: injected first-attempt failure")
+      it
+    }(Encoders.row(df.schema))
+
+  private def resultKey(r: RefKMeans.Result) =
+    (r.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq,
+      r.iterations, r.finalDelta, r.converged)
+
+  test("iterative fit is bit-identical when every first task attempt dies") {
+    val cfg = RefKMeans.Config(k = 4, firstId = Some(0L))
+    val points = graft.sources.Tables.points(spark, sf)
+    val clean = resultKey(RefKMeans.fit(points, cfg))
+    spark.catalog.clearCache()
+    val chaotic = resultKey(RefKMeans.fit(chaos(points), cfg))
+    spark.catalog.clearCache()
+    assert(chaotic == clean,
+      "fit under injected task failures diverged from the clean run")
+  }
+
+  test("MinHash LSH sweep is bit-identical when every first task attempt dies") {
+    def run(wrap: DataFrame => DataFrame): Set[(Long, Long, Double)] = {
+      val base = wrap(Dedup.hashedShingles(spark, sf))
+      val out = Dedup.minhashLSHFrom(base)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
+      out
+    }
+    val clean = run(identity)
+    val chaotic = run(chaos)
+    assert(clean.nonEmpty, "fixture must produce LSH pairs")
+    assert(chaotic == clean,
+      "LSH pairs under injected task failures diverged from the clean run")
+  }
+
+  test("GIF encode codec stage is byte-identical when every first task attempt dies") {
+    def run(wrap: DataFrame => DataFrame): Map[Long, String] = {
+      val out = wrap(Multimodal.gifMedia(spark, sf).toDF())
+        .select(col("doc_id"), md5(col("media")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      spark.catalog.clearCache()
+      out
+    }
+    val clean = run(identity)
+    val chaotic = run(chaos)
+    assert(clean.nonEmpty, "fixture must contain video-slot docs")
+    assert(chaotic == clean,
+      "encoded GIF bytes under injected task failures diverged from the clean run")
+  }
+}
