@@ -199,6 +199,9 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => Pipeline.packSequences(s, dir)),
     "text_pii_scrub" -> ((s, dir) => Pipeline.piiScrub(s, dir)),
     "sample_stratified" -> ((s, dir) => Pipeline.stratifiedSample(s, dir)),
+    // DSIR-style importance resampling: per-doc target/corpus unigram
+    // likelihood ratio + deterministic proportional keep decision
+    "sample_importance" -> ((s, dir) => Pipeline.importanceSample(s, dir)),
     "decontaminate" -> ((s, dir) => Pipeline.decontaminate(s, dir)),
     "text_repetition" -> ((s, dir) => Pipeline.repetitionStats(s, dir)),
     "profile_columns" -> ((s, dir) => Relational.profileColumns(s, dir)))
@@ -266,6 +269,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)),
     "dedup_components" -> ((s, dir) => Dedup.components(s, dir)),
+    // dedup ACTION: per duplicate cluster, keep the highest-quality
+    // member (lowest doc_id on ties) — the decision record before a
+    // 100 TB delete pass
+    "dedup_canonical" -> ((s, dir) => Dedup.canonical(s, dir)),
     "dedup_edit" -> ((s, dir) => Dedup.editDistancePairs(s, dir)))
 
   private def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -914,6 +921,7 @@ object SparkEntry {
         |FROM c GROUP BY 1, 2 ORDER BY shard, seq""".stripMargin,
     "text_pii_scrub" -> Pipeline.piiScrubOracle,
     "sample_stratified" -> Pipeline.stratifiedSampleOracle,
+    "sample_importance" -> Pipeline.importanceSampleOracle,
     "decontaminate" -> Pipeline.decontaminateOracle,
     "text_repetition" -> Pipeline.repetitionStatsOracle,
     "profile_columns" -> Relational.profileColumnsOracle)
@@ -1103,7 +1111,29 @@ object SparkEntry {
          |  (SELECT count(*) FROM (${base("dedup_minhash")})) AS n_lsh,
          |  (SELECT count(*)
          |   FROM (${base("dedup_ngram")}) e
-         |   JOIN (${base("dedup_minhash")}) l USING (doc_a, doc_b)) AS n_hit""".stripMargin)
+         |   JOIN (${base("dedup_minhash")}) l USING (doc_a, doc_b)) AS n_hit""".stripMargin) +
+    // canonical selection: the components pipeline verbatim as a
+    // subquery, joined to the text_quality score formula; per-component
+    // argmax by (score DESC, doc_id)
+    ("dedup_canonical" ->
+      s"""WITH comp AS (SELECT * FROM (${base("dedup_components")})),
+         |q AS (SELECT doc_id,
+         |        round(least(1.0, len(string_split(text, ' ')) / 100.0) * 0.4
+         |          + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |                   / CAST(length(text) AS DOUBLE)) * 0.3
+         |          + least(1.0, ${hits(TextAnalysis.stopwords)} * 5.0
+         |                       / len(string_split(text, ' '))) * 0.3, 6) AS score
+         |      FROM documents),
+         |j AS (SELECT c.component, c.doc_id, q.score,
+         |             row_number() OVER (PARTITION BY c.component
+         |                                ORDER BY q.score DESC, c.doc_id) AS rn
+         |      FROM comp c JOIN q USING (doc_id))
+         |SELECT component,
+         |       max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+         |       max(CASE WHEN rn = 1 THEN score END) AS canonical_score,
+         |       count(*) AS n_members,
+         |       count(*) - 1 AS n_dropped
+         |FROM j GROUP BY component ORDER BY component""".stripMargin)
   }
 
   private def dedupOracleBase: Map[String, String] = Map(

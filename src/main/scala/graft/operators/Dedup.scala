@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashOps
@@ -246,6 +247,35 @@ object Dedup {
         levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Canonical-document selection per duplicate cluster — the step that
+    * turns dedup DETECTION into dedup ACTION: each near-dup component
+    * keeps its highest-quality member (the heuristic quality score of
+    * [[TextAnalysis.quality]], lowest doc_id on score ties) and drops
+    * the rest — one row per component with the kept doc, its score, and
+    * the member/dropped counts. This is the decision record a training
+    * pipeline writes before deleting 100 TB of near-duplicates.
+    *
+    * Plan shape: [[components]] (LSH-bounded pair graph) joins the
+    * narrow per-doc quality projection on doc_id; the per-component
+    * argmax is a window over component ids — components are small by
+    * LSH construction (bucket caps bound the pair fan-out), so the
+    * window state per key is tiny at any corpus size. */
+  def canonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = components(spark, sfDir)
+    val q = Tables(spark, sfDir, "documents").select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("score"))
+    val w = Window.partitionBy("component").orderBy(desc("score"), asc("doc_id"))
+    comp.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(
+        max(when(col("rn") === 1, col("doc_id"))).as("canonical_doc"),
+        max(when(col("rn") === 1, col("score"))).as("canonical_score"),
+        count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1L).as("n_dropped"))
+      .orderBy("component")
   }
 
   /** Edge-count threshold below which [[components]] solves the graph

@@ -169,6 +169,78 @@ object Pipeline {
        |WHERE hk % 1000 < rate ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- importance resampling (DSIR)
+
+  /** Target-slice selector for [[importanceSample]]: a deterministic
+    * hash-free split (doc_id % 7 == 0) standing in for the "high-quality
+    * reference corpus" a real DSIR run scores against. */
+  val ImportanceTargetMod = 7L
+
+  /** DSIR-style importance resampling (Xie et al. 2023's
+    * data-selection-by-importance-resampling shape, unigram flavor):
+    * score every document by the mean likelihood ratio of its tokens
+    * under the TARGET unigram distribution vs the corpus distribution,
+    * then keep documents with probability proportional to the capped
+    * ratio — deterministically, via the same md5-permille device as the
+    * other sampling ops (reproducible, partition/retry stable).
+    *
+    * Arithmetic: per-word ratio r(w) = (cf_t(w)·N_c) / (cf_c(w)·N_t)
+    * from EXACT integer counts (every target token is by construction a
+    * corpus token, so no smoothing is needed; words absent from the
+    * target get r = 0); per-doc importance = round-6 mean of r over
+    * token occurrences (the same probability-space convention as
+    * `text_lm_score`). keep-rate permille = min(1000, importance·500) —
+    * an integer comparison both engines evaluate identically.
+    *
+    * Scale shape: one token explode feeding two word-keyed aggregates
+    * (corpus cf, target cf — co-partitioned), one word-keyed join back
+    * to occurrences, one doc-keyed aggregate. The 1-row totals ride a
+    * broadcast cross join. Nothing driver-side; vocab-sized relations
+    * shuffle, never the corpus bodies. */
+  def importanceSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val isTarget = col("doc_id") % ImportanceTargetMod === 0
+    val cf = tok.groupBy("w").agg(
+      count(lit(1)).as("cfc"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("cft"))
+    val totals = tok.agg(
+      count(lit(1)).as("n_c"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("n_t"))
+    val r = tok.join(cf, "w")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (col("cft") * col("n_c") * lit(1.0) / (col("cfc") * col("n_t"))).as("r"))
+    r.groupBy("doc_id")
+      .agg(round(avg("r"), 6).as("importance"))
+      .select(col("doc_id"), col("importance"),
+        // floor() explicitly: Spark's double→long cast truncates while
+        // DuckDB's rounds — floor on both sides is the shared semantics
+        (pmod(HashOps.wordHashN(concat(lit("imp:"), col("doc_id").cast("string")), 15),
+          lit(1000L)) <
+          floor(least(lit(1000.0), col("importance") * 500)).cast("long"))
+          .cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[importanceSample]]. */
+  def importanceSampleOracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tot AS (SELECT count(*) AS n_c,
+       |               sum(CASE WHEN doc_id % $ImportanceTargetMod = 0 THEN 1 ELSE 0 END) AS n_t
+       |        FROM tok),
+       |cf AS (SELECT w, count(*) AS cfc,
+       |              sum(CASE WHEN doc_id % $ImportanceTargetMod = 0 THEN 1 ELSE 0 END) AS cft
+       |       FROM tok GROUP BY w),
+       |r AS (SELECT t.doc_id, cf.cft * tot.n_c * 1.0 / (cf.cfc * tot.n_t) AS r
+       |      FROM tok t JOIN cf USING (w) CROSS JOIN tot),
+       |imp AS (SELECT doc_id, round(avg(r), 6) AS importance FROM r GROUP BY doc_id),
+       |k AS (SELECT doc_id, importance, ${HashOps.wordHashSqlN(15)} AS hk
+       |      FROM (SELECT doc_id, importance, md5('imp:' || doc_id) AS m FROM imp))
+       |SELECT doc_id, importance,
+       |       CAST(hk % 1000 < CAST(floor(least(1000.0, importance * 500)) AS BIGINT) AS BIGINT) AS kept
+       |FROM k ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ decontamination
 
   /** Word n-gram length for contamination matching (8 is the common

@@ -31,7 +31,8 @@ class PlanGateSpec extends AnyFunSuite {
     "ann_recall" -> "evaluation harness over brute/sq (their NLJs) + 1-row count cross-joins",
     "dedup_recall" -> "1-row count aggregates cross-joined into the single metric row",
     "dedup_cosine" -> "exact all-pairs cosine baseline (the LSH/banded paths are the scale route)",
-    "kmeans_dbi" -> "k x k centroid-pair relation - k rows, never data-sized")
+    "kmeans_dbi" -> "k x k centroid-pair relation - k rows, never data-sized",
+    "sample_importance" -> "1-row token-totals aggregate broadcast-cross-joined onto the ratio projection")
 
   test("no undeclared query plans a cartesian product or nested-loop join") {
     val offenders = Seq.newBuilder[String]

@@ -72,6 +72,21 @@ class DedupSpec extends AnyFunSuite {
       2L -> 2L, 4L -> 2L, 10L -> 10L, 20L -> 10L))
   }
 
+  test("canonical selection keeps the best-quality member per cluster, lowest id on ties") {
+    val rows = Dedup.canonical(spark, dir).collect()
+    // docs 0/1 identical + 2 near-dup form ONE cluster (component 0);
+    // their texts have identical length/punct/stopword structure, so
+    // scores tie and doc 0 wins the tie-break
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+    assert(r.getLong(3) == 3L && r.getLong(4) == 2L)
+    val q0 = TextAnalysis.quality(spark, dir)
+      .filter(col("doc_id") === 0L).collect().head.getDouble(4)
+    assert(r.getDouble(2) == q0,
+      "canonical score must equal the kept doc's quality score")
+  }
+
   test("simhash: identical docs have identical signatures, hamming 0") {
     val sigs = Dedup.simhashSignatures(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

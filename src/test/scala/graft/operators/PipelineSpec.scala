@@ -76,6 +76,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == want)
   }
 
+  test("importanceSample: likelihood ratios and keep decisions match hand math") {
+    import spark.implicits._
+    // corpus {0: "a a a b" (target), 1: "a b b b", 7: "b b" (target)}:
+    // cf_c(a)=4, cf_c(b)=6, cf_t(a)=3, cf_t(b)=3, N_c=10, N_t=6
+    // → r(a)=30/24=1.25, r(b)=30/36=0.8333…
+    val d = Files.createTempDirectory("graft_imp").toString
+    Seq((0L, "a a a b", "en", "s", 7L), (1L, "a b b b", "en", "s", 7L),
+      (7L, "b b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Pipeline.importanceSample(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val rb = 30.0 / 36.0
+    def imp(rs: Double*) = BigDecimal(rs.sum / rs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantImp = Map(
+      0L -> imp(1.25, 1.25, 1.25, rb),
+      1L -> imp(1.25, rb, rb, rb),
+      7L -> imp(rb, rb))
+    assert(got.view.mapValues(_._1).toMap == wantImp)
+    // keep rule: permille hash < floor(min(1000, importance·500))
+    got.foreach { case (id, (im, kept)) =>
+      val thr = math.floor(math.min(1000.0, im * 500)).toLong
+      val hk = graft.functions.HashOps.wordHashNScala(s"imp:$id", 15) % 1000
+      assert(kept == (if (hk < thr) 1L else 0L), s"keep decision doc $id")
+    }
+    // determinism across runs (retry/partition stability is the contract)
+    val again = Pipeline.importanceSample(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(again == got)
+  }
+
   test("cleanCorpus: funnel stages drop the designed offenders cumulatively") {
     import spark.implicits._
     val d2 = java.nio.file.Files.createTempDirectory("graft_clean").toString
