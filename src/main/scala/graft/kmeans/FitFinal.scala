@@ -197,11 +197,11 @@ object FitFinal {
         "rid")
   }
 
-  /** Oracle SQL for the frozen-state queries, available once the fit has
-    * run in this JVM for the variant (Verify's dump ordering guarantees
-    * that); absent otherwise so a partial dev run degrades to the
-    * rows-only check instead of emitting stale literals. */
-  /** Frozen-state oracles for `sfDir`, straight from the TrieMap. */
+  /** Frozen-state oracles for `sfDir`, straight from the TrieMap —
+    * present only once the fit has run in this JVM for the variant
+    * (Verify's dump ordering guarantees that); absent otherwise so a
+    * partial dev run degrades to the rows-only check instead of
+    * emitting stale literals. */
   def oracleSqlsFor(sfDir: String): Map[String, String] =
     render(cache.collect { case ((d, v), f) if d == sfDir => v -> f }.toMap)
 

@@ -192,11 +192,14 @@ object Pipeline {
     * `text_lm_score`). keep-rate permille = min(1000, importance·500) —
     * an integer comparison both engines evaluate identically.
     *
-    * Scale shape: one token explode feeding two word-keyed aggregates
-    * (corpus cf, target cf — co-partitioned), one word-keyed join back
-    * to occurrences, one doc-keyed aggregate. The 1-row totals ride a
-    * broadcast cross join. Nothing driver-side; vocab-sized relations
-    * shuffle, never the corpus bodies. */
+    * Scale shape: two token explodes total — one building the
+    * word-keyed count relation `cf` (corpus cf + target cf in a single
+    * aggregate, persisted: it is vocab-sized, safe to cache at any
+    * corpus scale), one for the join back to occurrences. The 1-row
+    * totals fold the persisted `cf` (sum(cfc)/sum(cft) ≡ the token
+    * counts) rather than re-scanning the corpus, and ride a broadcast
+    * cross join. Nothing driver-side; vocab-sized relations shuffle,
+    * never the corpus bodies. */
   def importanceSample(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -204,13 +207,18 @@ object Pipeline {
     val cf = tok.groupBy("w").agg(
       count(lit(1)).as("cfc"),
       sum(when(isTarget, 1L).otherwise(0L)).as("cft"))
-    val totals = tok.agg(
-      count(lit(1)).as("n_c"),
-      sum(when(isTarget, 1L).otherwise(0L)).as("n_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cf.agg(
+      sum("cfc").as("n_c"),
+      sum("cft").as("n_t"))
     val r = tok.join(cf, "w")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"),
-        (col("cft") * col("n_c") * lit(1.0) / (col("cfc") * col("n_t"))).as("r"))
+        // promote to DOUBLE before either product: cft·n_c as
+        // BIGINT·BIGINT overflows Long at ~1e13-token corpora (Spark
+        // wraps silently, DuckDB raises — divergent). Double keeps the
+        // ratio exact here anyway: both factors stay well under 2^53
+        (col("cft") * lit(1.0) * col("n_c") / (col("cfc") * lit(1.0) * col("n_t"))).as("r"))
     r.groupBy("doc_id")
       .agg(round(avg("r"), 6).as("importance"))
       .select(col("doc_id"), col("importance"),
@@ -232,7 +240,7 @@ object Pipeline {
        |cf AS (SELECT w, count(*) AS cfc,
        |              sum(CASE WHEN doc_id % $ImportanceTargetMod = 0 THEN 1 ELSE 0 END) AS cft
        |       FROM tok GROUP BY w),
-       |r AS (SELECT t.doc_id, cf.cft * tot.n_c * 1.0 / (cf.cfc * tot.n_t) AS r
+       |r AS (SELECT t.doc_id, cf.cft * 1.0 * tot.n_c / (cf.cfc * 1.0 * tot.n_t) AS r
        |      FROM tok t JOIN cf USING (w) CROSS JOIN tot),
        |imp AS (SELECT doc_id, round(avg(r), 6) AS importance FROM r GROUP BY doc_id),
        |k AS (SELECT doc_id, importance, ${HashOps.wordHashSqlN(15)} AS hk
