@@ -3,9 +3,17 @@
 graft.Verify, run the matching oracle SQL in DuckDB against the same sf dir
 and compare (columns sorted by name, rows sorted, exact values).
 
-Usage: compare_oracle.py <sfDir> <verifyOutDir>
+Usage: compare_oracle.py <sfDir> <verifyOutDir> [--json <path>]
+
+With --json, also writes a machine-readable per-query record in the
+driver's CORRECTNESS_r*.json schema:
+  {name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+          err}}
+Queries dumped by Verify but absent from oracle_sql.json (the declared
+rows-only contracts) are recorded with hash_match/oracle_rows null and
+rows_match = (spark_rows > 0), mirroring the driver's weaker check.
 """
-import json, math, sys
+import json, math, os, sys
 
 import duckdb
 
@@ -13,9 +21,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_path=None):
     con = duckdb.connect()
-    import os
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written tables (e.g. ScaleUp output) are parquet DIRECTORIES
@@ -23,24 +30,60 @@ def main(sf_dir, out_dir):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    record = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None, "oracle_rows": None,
+               "err": None}
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
             want = con.sql(sql).fetchdf()
+            rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
             got = got[sorted(got.columns)]
             want = want[sorted(want.columns)]
             status, detail = compare(got, want)
+            rec["schema_match"] = list(got.columns) == list(want.columns)
+            rec["rows_match"] = len(got) == len(want)
+            rec["hash_match"] = status == "OK"
+            if status != "OK":
+                rec["err"] = detail
         except Exception as e:
             status, detail = "ERROR", str(e).split("\n")[0][:200]
+            rec["err"] = detail
+        record[name] = rec
         if status == "OK":
             n_pass += 1
             print(f"  OK   {name} ({detail})")
         else:
             n_fail += 1
             print(f"  FAIL {name}: {detail}")
+    # rows-only queries: dumped by Verify, no oracle declared
+    for name in sorted(os.listdir(out_dir)):
+        if name in record or not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        rec = {"rows_match": False, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None,
+               "rows_only": True}
+        try:
+            n = con.sql(
+                f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'"
+            ).fetchone()[0]
+            rec["spark_rows"], rec["rows_match"] = n, n > 0
+        except Exception as e:
+            rec["err"] = str(e).split("\n")[0][:200]
+        record[name] = rec
+        print(f"  {'ROWS' if rec['rows_match'] else 'FAIL'} {name} "
+              f"(rows-only: {rec['spark_rows']} rows)")
+        if not rec["rows_match"]:
+            n_fail += 1
     print(f"{n_pass} pass / {n_fail} fail")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(dict(sorted(record.items())), f, indent=2)
+            f.write("\n")
+        print(f"wrote {json_path} ({len(record)} queries)")
     return 1 if n_fail else 0
 
 
@@ -66,4 +109,10 @@ def compare(got, want):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    jp = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        jp = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jp))
