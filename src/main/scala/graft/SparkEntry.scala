@@ -236,6 +236,10 @@ object SparkEntry {
     // the shape-clustering Lloyd loop (2 rounded rounds over z-windows),
     // DuckDB-replayed as nested CTEs — same contract as kmeans_fit_steps
     "ts_cluster_steps" -> ((s, dir) => TimeSeries.clusterSteps(s, dir)),
+    // the FULL shape-clustering trajectory (micro-unit space, cap 25) —
+    // every round's delta and stop flag DuckDB-replayed, closing the
+    // last daylight between ts_cluster_steps (2 rounds) and the end state
+    "ts_cluster_trajectory" -> ((s, dir) => TimeSeries.clusterTrajectory(s, dir)),
     "ts_cluster" -> ((s, dir) => TimeSeries.shapeClusters(s, dir)),
     // the ts fit's end state from frozen literals (converged claim only
     // when the fit converged — cap exits record the materialization)
@@ -371,6 +375,10 @@ object SparkEntry {
     // DuckDB replays every round as nested CTEs, so the loop is pinned
     // at each round, not just rounds 1-2 and the end state
     "kmeans_fit_trajectory" -> ((s, dir) => KMeansSteps.fitTrajectory(s, dir)),
+    // the cap-exit fit family's full trajectory: standardized lineitem
+    // features in integer micro-units, 20 rounds with stopped = 0
+    // throughout — the POST-update cap-exit quirk pinned round by round
+    "kmeans_fit_lineitem_trajectory" -> ((s, dir) => KMeansSteps.lineitemTrajectory(s, dir)),
     // M3 — full iterative fit (not SQL-expressible; rows-only check, but
     // its (cluster_id, n) is cross-pinned by kmeans_fit_final's oracle)
     "kmeans_fit" -> ((s, dir) =>
@@ -465,9 +473,10 @@ object SparkEntry {
       // converged-fit oracles carry the fit's frozen centroids as SQL
       // literals — generated after the queries run (Verify dumps last)
       graft.kmeans.FitFinal.oracleSqls ++
-      // trajectory oracle depends on the round count the query ran —
-      // same run-then-dump contract
-      KMeansSteps.trajectoryOracle.map("kmeans_fit_trajectory" -> _)
+      // trajectory oracles depend on the round count each query ran —
+      // same run-then-dump contract (one per fit family: embeddings,
+      // ts micro-units, standardized lineitem micro-units)
+      KMeansSteps.trajectoryOracles
 
   private def multimodalOracle: Map[String, String] = Map(
     "multimodal_phash" -> Multimodal.phashOracle,

@@ -224,21 +224,30 @@ object KMeansSteps {
     (out.result(), cents)
   }
 
-  /** Rounds actually run by [[fitTrajectory]] per sf directory — read by
+  /** Per-(sfDir, query) trajectory record: rounds actually run plus the
+    * head CTEs (`pts`/`cents0`) the oracle replay starts from — read by
     * the oracle generator (Verify dumps oracle SQL after the queries
-    * run, so the count is always present for the verified directory). */
-  private val trajectoryRounds =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+    * run, so the record is always present for the verified directory).
+    * The head is captured at run time because some feature spaces embed
+    * data-dependent literals (the lineitem standardization stats). */
+  private case class TrajState(rounds: Int, head: String, k: Int,
+      threshold: Double, scale: Int)
+  private val trajStates =
+    scala.collection.concurrent.TrieMap.empty[(String, String), TrajState]
 
   /** Most recently run trajectory's sf directory (selects the
-    * parameterless oracle's slice — same convention as
+    * parameterless oracles' slice — same convention as
     * [[FitFinal.oracleSqls]]). */
   @volatile private var trajectoryLastDir: Option[String] = None
 
-  /** Parameterless twin of [[trajectoryOracleFor]] for the
-    * [[graft.SparkEntry.oracleSql]] contract. */
-  def trajectoryOracle: Option[String] =
-    trajectoryLastDir.flatMap(trajectoryOracleFor(_))
+  /** All trajectory oracles for the most recently verified sf directory,
+    * keyed by query name — the [[graft.SparkEntry.oracleSql]] contract. */
+  def trajectoryOracles: Map[String, String] =
+    trajectoryLastDir.map { dir =>
+      trajStates.collect { case ((d, q), st) if d == dir =>
+        q -> trajectorySql(st)
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** The FULL Lloyd trajectory, oracle-checkable: the rounded-fixpoint
     * loop of [[fitSteps]] run from the literal seeds until the stop rule
@@ -265,86 +274,169 @@ object KMeansSteps {
   def fitTrajectory(spark: SparkSession, sfDir: String,
       threshold: Double = 0.01, cap: Int = 60): DataFrame = {
     val cs0 = centroids(spark, sfDir)
+    val head =
+      s"""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+         |           FROM embeddings WHERE vec_id < ${cs0.length})""".stripMargin
+    fitTrajectoryOf(spark, pts(spark, sfDir), cs0, threshold, cap, 6,
+      requireConverge = true, sfDir, "kmeans_fit_trajectory", head)
+  }
+
+  /** The FULL standardized-lineitem Lloyd trajectory — the cap-exit fit
+    * family (`kmeans_fit_lineitem`, k = 5, cap 20) pinned at EVERY round
+    * the way [[fitTrajectory]] pins the flagship: the loop runs in
+    * integer micro-units over the z-standardized features (standardized
+    * values are COMPUTED doubles whose cross-engine summation order can
+    * flip a 6-decimal boundary — the ts_cluster_steps lesson), and the
+    * oracle head embeds the per-dim standardization stats as
+    * full-precision literals so both engines build features as one
+    * subtract + one divide + two rounds on identical inputs.
+    *
+    * Seeds: the fit family's OWN maximin seeding
+    * ([[RefKMeans.seed]], k = 5, seed = 42 — `kmeans_fit_lineitem`'s
+    * config) run over the micro-unit points, then FROZEN into the
+    * oracle head as full-precision VALUES literals (the seeded xxhash64
+    * first-pick is not DuckDB-expressible). Only the k seed vectors are
+    * trusted from Spark — every one of the up-to-20 rounds after them
+    * is independently replayed, so this is strictly stronger than the
+    * end-state-only check of [[FitFinal]]. The oracle keys rows on an
+    * arbitrary rid (assignment is a pure function of `v` — id is NOT
+    * unique in the lineitem fixture — so every downstream aggregate is
+    * exact, same argument as [[FitFinal]]'s lineitem variant).
+    * Expected shape: the cap exit of the real fit — rounds up to the
+    * cap with `stopped = 0` throughout, each round's POST-update delta
+    * (`master.go:212-231`) independently recomputed by the replay. */
+  def lineitemTrajectory(spark: SparkSession, sfDir: String, k: Int = 5,
+      cap: Int = 20): DataFrame = {
+    val stats = Tables.lineitemStats(spark, sfDir)
+    val p = Tables.lineitemPointsStdWith(spark, sfDir, stats)
+      .select(col("id"),
+        transform(col("features"), x => round(round(x, 6) * 1e6, 0)).as("features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = RefKMeans.seed(p, RefKMeans.Config(k = k, seed = 42L))
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val dims = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val proj = stats.zip(dims).map { case ((m, s), c) =>
+      s"round(round(($c - ${java.lang.Double.toString(m)}) / ${java.lang.Double.toString(s)}, 6) * 1000000, 0)"
+    }.mkString("[", ", ", "]")
+    val head =
+      s"""WITH pts AS MATERIALIZED (SELECT row_number() OVER () AS vec_id,
+         |               $proj AS v FROM lineitem),
+         |${seedsValuesCte(seeds)}""".stripMargin
+    fitTrajectoryOf(spark, p, seeds, threshold = 0.01 * 1e6, cap = cap,
+      scale = 0, requireConverge = false, sfDir,
+      "kmeans_fit_lineitem_trajectory", head)
+  }
+
+  /** Frozen seed centroids as a DuckDB VALUES CTE `cents0(cid, c)` —
+    * `java.lang.Double.toString` round-trips to the identical IEEE
+    * double (same device as [[FitFinal]]'s frozen-state literals). */
+  private[graft] def seedsValuesCte(seeds: Seq[(Int, Array[Double])]): String =
+    seeds.sortBy(_._1).map { case (cid, v) =>
+      v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString("cents0 AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
+
+  /** [[fitTrajectory]] over an arbitrary (id, features) point set with
+    * explicit seeds — the full-loop sibling of [[fitStepsOf]], reused by
+    * the ts shape-clustering and standardized-lineitem feature spaces
+    * (both in integer micro-units, `scale = 0`, where every carried mean
+    * is an exact integer and summation order cannot flip a rounding
+    * boundary; the per-round delta is then a sqrt of exact integer sums,
+    * identically rounded in both engines).
+    *
+    * `requireConverge = false` lets a cap exit return normally with the
+    * last row's `stopped = 0` — that IS the contract being pinned for
+    * the lineitem fit, whose reference config exits via the iteration
+    * cap and reports POST-update centroids (`master.go:212-231`): each
+    * trajectory row is the post-update delta of its round, so the quirk
+    * is visible round by round.
+    *
+    * `headSql` is the oracle's data-dependent prologue (CTEs `pts` and
+    * `cents0`), captured at run time because some spaces embed fitted
+    * literals (the lineitem standardization stats); the replay itself is
+    * generated after Verify runs the query ([[trajectoryOracles]]). */
+  def fitTrajectoryOf(spark: SparkSession, points: DataFrame,
+      cs0: Seq[(Int, Array[Double])], threshold: Double, cap: Int,
+      scale: Int, requireConverge: Boolean, sfDir: String,
+      queryName: String, headSql: String): DataFrame = {
     val d = cs0.head._2.length
     val k = cs0.length
-    val p = pts(spark, sfDir)
+    val p = points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = centArr(cs0)
     val rows = Seq.newBuilder[(Long, Double, Long)]
     var iter = 0
     var stopped = false
-    while (!stopped && iter < cap) {
-      iter += 1
-      val assigned = p.select(
-        nearestCidK(col("features"), cents).as("cluster_id"), col("features"))
-      val m = recenterAggLong(assigned, d)
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3))
-        .toMap
-      val next = Array.tabulate(k, d) { (cid, dim) =>
-        m.getOrElse((cid, dim), cents(cid)(dim))
-      }
-      // per-cluster displacement: sequential fold over dims — the same
-      // IEEE evaluation order as DuckDB's list_distance
-      var sumDisp = 0.0
-      for (cid <- 0 until k) {
-        var s = 0.0
-        for (dim <- 0 until d) {
-          val diff = next(cid)(dim) - cents(cid)(dim)
-          s += diff * diff
+    try {
+      while (!stopped && iter < cap) {
+        iter += 1
+        // a FRESH DataFrame per round off the persisted base (memory:
+        // [[RefKMeans]]'s stage-reuse note — re-collecting one Dataset
+        // would replay round 1's shuffle output forever)
+        val assigned = p.select(
+          nearestCidK(col("features"), cents).as("cluster_id"), col("features"))
+        val m = recenterAggLong(assigned, d, scale)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3))
+          .toMap
+        val next = Array.tabulate(k, d) { (cid, dim) =>
+          m.getOrElse((cid, dim), cents(cid)(dim))
         }
-        sumDisp += math.sqrt(s)
+        // per-cluster displacement: sequential fold over dims — the same
+        // IEEE evaluation order as DuckDB's list_distance
+        var sumDisp = 0.0
+        for (cid <- 0 until k) {
+          var s = 0.0
+          for (dim <- 0 until d) {
+            val diff = next(cid)(dim) - cents(cid)(dim)
+            s += diff * diff
+          }
+          sumDisp += math.sqrt(s)
+        }
+        val delta = BigDecimal(sumDisp / k)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        stopped = delta < threshold
+        rows += ((iter.toLong, delta, if (stopped) 1L else 0L))
+        cents = next
       }
-      val delta = BigDecimal(sumDisp / k)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      stopped = delta < threshold
-      rows += ((iter.toLong, delta, if (stopped) 1L else 0L))
-      cents = next
-    }
-    require(stopped, s"fitTrajectory: no convergence within $cap rounds")
-    trajectoryRounds.put(sfDir, iter)
+    } finally p.unpersist(blocking = false)
+    require(stopped || !requireConverge,
+      s"$queryName: no convergence within $cap rounds")
+    trajStates.put((sfDir, queryName),
+      TrajState(iter, headSql, k, threshold, scale))
     trajectoryLastDir = Some(sfDir)
     spark.createDataFrame(rows.result())
       .toDF("iter", "delta", "stopped")
       .orderBy("iter")
   }
 
-  /** DuckDB replay of [[fitTrajectory]] for the round count the query
-    * actually ran on `sfDir` — one mechanical CTE chain per round
-    * (assign → recenter → rounded means + carry → new centroid lists →
-    * delta). Absent until the query has run in this JVM (Verify's
-    * run-all-then-dump ordering guarantees presence; a partial dev run
-    * degrades to the rows-only check). */
-  def trajectoryOracleFor(sfDir: String, threshold: Double = 0.01,
-      scale: Int = 6): Option[String] =
-    trajectoryRounds.get(sfDir).map { rounds =>
-      val k = K
-      val head =
-        s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |cents0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
-           |           FROM embeddings WHERE vec_id < $k)""".stripMargin
-      val perRound = (1 to rounds).map { r =>
-        val prev = s"cents${r - 1}"
-        s"""a$r AS (SELECT vec_id, cid FROM (
-           |        SELECT p.vec_id, c.cid,
-           |               row_number() OVER (PARTITION BY p.vec_id
-           |                                  ORDER BY list_distance(p.v, c.c), c.cid) AS rn
-           |        FROM pts p CROSS JOIN $prev c) WHERE rn = 1),
-           |l$r AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
-           |       FROM a$r a JOIN pts p USING (vec_id)),
-           |m$r AS (SELECT cid, dim, round(sum(x) / count(*), $scale) AS mean
-           |       FROM l$r GROUP BY cid, dim),
-           |p$r AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM $prev),
-           |n$r AS (SELECT p.cid, p.dim, coalesce(m.mean, p.x) AS nx
-           |       FROM p$r p LEFT JOIN m$r m USING (cid, dim)),
-           |cents$r AS (SELECT cid, list(nx ORDER BY dim) AS c FROM n$r GROUP BY cid),
-           |d$r AS (SELECT round(sum(list_distance(a.c, b.c)) / $k, 6) AS delta
-           |       FROM $prev a JOIN cents$r b USING (cid))""".stripMargin
-      }.mkString(",\n")
-      val rowsSql = (1 to rounds).map { r =>
-        s"SELECT CAST($r AS BIGINT) AS iter, delta, CAST(delta < $threshold AS BIGINT) AS stopped FROM d$r"
-      }.mkString("\nUNION ALL ")
-      s"$head,\n$perRound\n$rowsSql\nORDER BY iter"
-    }
+  /** DuckDB replay of a recorded trajectory — one mechanical CTE chain
+    * per round (assign → recenter → `scale`-rounded means + carry → new
+    * centroid lists → delta) appended to the recorded head, with every
+    * round's delta AND stop flag independently recomputed. */
+  private def trajectorySql(st: TrajState): String = {
+    val perRound = (1 to st.rounds).map { r =>
+      val prev = s"cents${r - 1}"
+      s"""a$r AS (SELECT vec_id, cid FROM (
+         |        SELECT p.vec_id, c.cid,
+         |               row_number() OVER (PARTITION BY p.vec_id
+         |                                  ORDER BY list_distance(p.v, c.c), c.cid) AS rn
+         |        FROM pts p CROSS JOIN $prev c) WHERE rn = 1),
+         |l$r AS (SELECT a.cid, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS x
+         |       FROM a$r a JOIN pts p USING (vec_id)),
+         |m$r AS (SELECT cid, dim, round(sum(x) / count(*), ${st.scale}) AS mean
+         |       FROM l$r GROUP BY cid, dim),
+         |p$r AS (SELECT cid, generate_subscripts(c, 1) - 1 AS dim, unnest(c) AS x FROM $prev),
+         |n$r AS (SELECT p.cid, p.dim, coalesce(m.mean, p.x) AS nx
+         |       FROM p$r p LEFT JOIN m$r m USING (cid, dim)),
+         |cents$r AS MATERIALIZED (SELECT cid, list(nx ORDER BY dim) AS c FROM n$r GROUP BY cid),
+         |d$r AS (SELECT round(sum(list_distance(a.c, b.c)) / ${st.k}, 6) AS delta
+         |       FROM $prev a JOIN cents$r b USING (cid))""".stripMargin
+    }.mkString(",\n")
+    val rowsSql = (1 to st.rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS iter, delta, CAST(delta < ${st.threshold} AS BIGINT) AS stopped FROM d$r"
+    }.mkString("\nUNION ALL ")
+    s"${st.head},\n$perRound\n$rowsSql\nORDER BY iter"
+  }
 
   /** Within-cluster sum of squares per cluster (the elbow-curve metric):
     * squared distance of every point to its assigned centroid, aggregated

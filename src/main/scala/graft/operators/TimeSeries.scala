@@ -112,13 +112,17 @@ object TimeSeries {
        |             FROM f))""".stripMargin
 
   /** DuckDB CTE chain ending in `pts(vec_id, v)` — the oracle twin of
-    * [[roundedPoints]] (shared grid, composite ids). Interpolated into
-    * frozen-state oracles by [[graft.kmeans.FitFinal]]. */
-  def ptsOracleCtes(stride: Int = 4): String =
+    * [[roundedPoints]] (shared grid, composite ids), or of the
+    * micro-unit scaling of it when `micro` is set. Interpolated into
+    * frozen-state oracles by [[graft.kmeans.FitFinal]] and into the
+    * trajectory head by [[clusterTrajectory]]. */
+  def ptsOracleCtes(stride: Int = 4, micro: Boolean = false): String = {
+    val v = if (micro) "round(round(x, 6) * 1000000, 0)" else "round(x, 6)"
     s"""$zwinOracleCte,
        |st AS (SELECT user_id, start_seq, zw FROM zz WHERE start_seq % $stride = 1),
-       |pts AS (SELECT CAST((user_id << 40) + start_seq AS BIGINT) AS vec_id,
-       |               list_transform(zw, x -> round(x, 6)) AS v FROM st)""".stripMargin
+       |pts AS MATERIALIZED (SELECT CAST((user_id << 40) + start_seq AS BIGINT) AS vec_id,
+       |               list_transform(zw, x -> $v) AS v FROM st)""".stripMargin
+  }
 
   /** The shape-clustering Lloyd LOOP itself, oracle-checkable: exactly
     * `iters` rounded rounds over the z-window point set, seeded with the
@@ -144,17 +148,55 @@ object TimeSeries {
     stridedPoints(spark, sfDir, stride)
       .select(col("id"), transform(col("features"), x => round(x, 6)).as("features"))
 
-  def clusterSteps(spark: SparkSession, sfDir: String, k: Int = 4,
-      stride: Int = 4, iters: Int = 2): DataFrame = {
-    val p = roundedPoints(spark, sfDir, stride)
+  /** [[roundedPoints]] scaled to integer micro-units (×1e6) — the exact,
+    * order-independent feature representation the loop queries run in. */
+  private def microPoints(spark: SparkSession, sfDir: String,
+      stride: Int): DataFrame =
+    roundedPoints(spark, sfDir, stride)
       .select(col("id"),
         transform(col("features"), x => round(x * 1e6, 0)).as("features"))
-    val seeds = p.orderBy("id").limit(k).collect()
+
+  /** The k lowest-id micro-unit windows as (cid, coords) seeds —
+    * composite window ids are unique, so id order alone is
+    * deterministic. */
+  private def microSeeds(p: DataFrame, k: Int): Seq[(Int, Array[Double])] =
+    p.orderBy("id").limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
-    graft.kmeans.KMeansSteps.fitStepsOf(spark, p, seeds, iters, scale = 0)
+
+  def clusterSteps(spark: SparkSession, sfDir: String, k: Int = 4,
+      stride: Int = 4, iters: Int = 2): DataFrame = {
+    val p = microPoints(spark, sfDir, stride)
+    graft.kmeans.KMeansSteps.fitStepsOf(spark, p, microSeeds(p, k), iters, scale = 0)
       .select(col("iter"), col("cluster_id"), col("dim"), col("n"),
         col("mean").cast("long").as("mean_micro"))
+  }
+
+  /** The FULL shape-clustering Lloyd trajectory — [[clusterSteps]]' loop
+    * run to the stop rule (or [[ClusterCfg]]'s 25-round cap), one
+    * (iter, delta, stopped) row per round, DuckDB-replaying every round:
+    * the same contract `kmeans_fit_trajectory` gives the flagship fit,
+    * here in the integer micro-unit z-window space (threshold scales
+    * with the units: 0.01 raw → 1e4 micro). Per-round deltas are sqrts
+    * of exact integer sums — identically rounded in both engines.
+    * Seeds: [[ClusterCfg]]'s own maximin seeding (k = 4, seed = 11 —
+    * the `ts_cluster` fit's config) over the micro points, frozen into
+    * the oracle head as VALUES literals; every round after them is
+    * independently replayed (see
+    * [[graft.kmeans.KMeansSteps.lineitemTrajectory]]'s contract note). */
+  def clusterTrajectory(spark: SparkSession, sfDir: String,
+      stride: Int = 4): DataFrame = {
+    val p = microPoints(spark, sfDir, stride)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = graft.kmeans.RefKMeans.seed(p,
+        ClusterCfg.copy(firstId = None, ppSeeding = false))
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val head =
+      s"""WITH ${ptsOracleCtes(stride, micro = true)},
+         |${graft.kmeans.KMeansSteps.seedsValuesCte(seeds)}""".stripMargin
+    graft.kmeans.KMeansSteps.fitTrajectoryOf(spark, p, seeds,
+      threshold = 0.01 * 1e6, cap = ClusterCfg.maxIter, scale = 0,
+      requireConverge = false, sfDir, "ts_cluster_trajectory", head)
   }
 
   /** Top-k nearest windows to the corpus's first window (lowest user id,
