@@ -182,6 +182,10 @@ object SparkEntry {
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)),
+    // deterministic %5 key sample on BOTH sides: the oracle leg that
+    // runs at every sweep sf (the full NLJ's DuckDB replay is O(N²))
+    "join_theta_sampled" -> ((s, dir) =>
+      Relational.joinTheta(s, dir, keepMod = Some(5L))),
     "map_funcs" -> ((s, dir) => Relational.mapFuncs(s, dir)),
     "approx_quantiles" -> ((s, dir) => Relational.approxQuantiles(s, dir)),
     "cross_join" -> ((s, dir) => Relational.crossJoin(s, dir)),
@@ -272,6 +276,10 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLSH(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)),
+    // deterministic %5 sample on BOTH sides: the oracle leg that runs
+    // at every sweep sf (the full all-pairs DuckDB replay is O(N²))
+    "dedup_cosine_sampled" -> ((s, dir) =>
+      Dedup.cosineNearDup(s, dir, keepMod = Some(5L))),
     "dedup_components" -> ((s, dir) => Dedup.components(s, dir)),
     // dedup ACTION: per duplicate cluster, keep the highest-quality
     // member (lowest doc_id on ties) — the decision record before a
@@ -822,6 +830,13 @@ object SparkEntry {
         |FROM part JOIN supplier
         |  ON s_acctbal >= p_retailprice * 0.5 AND s_acctbal < p_retailprice * 1.5
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_theta_sampled" ->
+      """SELECT p_brand, count(*) AS n_matches,
+        |       count(DISTINCT s_suppkey) AS n_suppliers
+        |FROM (SELECT * FROM part WHERE p_partkey % 5 = 0) part
+        |JOIN (SELECT * FROM supplier WHERE s_suppkey % 5 = 0) supplier
+        |  ON s_acctbal >= p_retailprice * 0.5 AND s_acctbal < p_retailprice * 1.5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "grouping_sets" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
          |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -1212,6 +1227,14 @@ object SparkEntry {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       round(${cosSql("a.v", "b.v")}, 6) AS cos
          |FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_cosine_sampled" ->
+      s"""WITH $COSP,
+         |ps AS (SELECT * FROM p WHERE vec_id % 5 = 0)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |FROM ps a JOIN ps b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin)
 

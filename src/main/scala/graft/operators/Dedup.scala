@@ -435,14 +435,21 @@ object Dedup {
   /** Embedding-cosine near-dup pairs (cos ≥ threshold). Exact O(N²)
     * pairwise at test scale; the LSH-bucketed scale path is
     * [[Similarity.ivfTopK]]'s coarse quantization — at 100 TB, run
-    * assignment first and only pair within buckets. */
+    * assignment first and only pair within buckets.
+    *
+    * `keepMod`: deterministic sample restriction (vec_id % keepMod = 0)
+    * applied to BOTH join sides — the `dedup_cosine_sampled` twin that
+    * keeps the DuckDB replay tractable at sweep scale factors where the
+    * full O(N²) oracle is too slow (sf1+): same kernels, same join,
+    * same rounding, 1/keepMod² of the pairs. */
   def cosineNearDup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, keepMod: Option[Long] = None): DataFrame = {
     // norms precomputed once per row (N values), so each of the O(N²)
     // pairs pays exactly one dot-product kernel — same arithmetic as
     // cosine() (norm = sqrt(dot(v,v)) bit-identically), 3× less work
-    val p = Tables(spark, sfDir, "embeddings")
+    val p0 = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val p = keepMod.foldLeft(p0)((d, m) => d.filter(col("vec_id") % m === 0))
       .select(col("vec_id"), col("v"), VectorOps.l2norm(col("v")).as("nrm"))
     val cos = VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))

@@ -245,9 +245,16 @@ object Relational {
     * task scans its part rows against the in-memory supplier list;
     * no shuffle). For two large sides, banding (see [[rangeJoin]]) is
     * the escape hatch. */
-  def joinTheta(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = Tables(spark, sfDir, "part")
-    val s = Tables(spark, sfDir, "supplier")
+  def joinTheta(spark: SparkSession, sfDir: String,
+      keepMod: Option[Long] = None): DataFrame = {
+    // keepMod: deterministic key-mod restriction on BOTH sides — the
+    // `join_theta_sampled` twin whose DuckDB replay stays tractable at
+    // sweep sfs where the full NLJ oracle is O(N²)-slow (same plan
+    // shape, 1/keepMod² of the candidate pairs)
+    val p = keepMod.foldLeft(Tables(spark, sfDir, "part"))(
+      (d, m) => d.filter(col("p_partkey") % m === 0))
+    val s = keepMod.foldLeft(Tables(spark, sfDir, "supplier"))(
+      (d, m) => d.filter(col("s_suppkey") % m === 0))
     p.join(broadcast(s),
         col("s_acctbal") >= col("p_retailprice") * 0.5 &&
           col("s_acctbal") < col("p_retailprice") * 1.5)
