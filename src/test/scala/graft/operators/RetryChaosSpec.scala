@@ -31,6 +31,13 @@ import graft.kmeans.RefKMeans
   * persisted intermediate), and the real GIF encode `mapPartitions`
   * codec stage.
   */
+object RetryChaosSpec {
+  /** In-JVM (local-mode) once-per-run injection latch for the
+    * fetch-failure test — must be static so task deserialization shares
+    * it instead of copying it. */
+  val failOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class RetryChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = {
@@ -93,6 +100,56 @@ class RetryChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean.nonEmpty, "fixture must produce LSH pairs")
     assert(chaotic == clean,
       "LSH pairs under injected task failures diverged from the clean run")
+  }
+
+  test("recenter aggregate is bit-identical after an injected FETCH failure re-runs the map stage") {
+    // The other half of the retry story: the first three tests kill
+    // tasks (plain task retry, map outputs intact). A 1000-executor run
+    // mostly sees the OTHER mode — a reduce task's fetch fails, the
+    // DAGScheduler unregisters the lost map output and RESUBMITS THE
+    // SHUFFLE-MAP STAGE, and the re-run reduce works over a mix of
+    // original and regenerated map outputs. ChaosBridge throws a
+    // genuine FetchFailedException (constructor marks the TaskContext,
+    // so the scheduler takes the fetch-failure path, not the user-error
+    // path) from inside the recenter aggregate's reduce stage, exactly
+    // once per run.
+    import graft.functions.VectorOps._
+    import RetryChaosSpec.failOnce
+    def chaosFetch(df: DataFrame): DataFrame =
+      df.mapPartitions { it =>
+        // once per run, not per attempt: the resubmitted reduce stage
+        // starts a fresh stage attempt whose tasks have attemptNumber 0
+        // again, so an attempt-keyed guard would fail forever. The flag
+        // lives in the COMPANION OBJECT — a local val would be
+        // serialized into each task closure and every attempt would see
+        // its own fresh copy (observed: three consecutive stage
+        // attempts all injected)
+        if (failOnce.compareAndSet(false, true))
+          org.apache.spark.graft.ChaosBridge.failFetch()
+        it
+      }(Encoders.row(df.schema))
+    def recenter(wrap: DataFrame => DataFrame): Set[Seq[Any]] = {
+      val points = graft.sources.Tables.points(spark, sf)
+      val cs = points.filter(col("id") < 4).orderBy("id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      val d = cs.head.length
+      val aggs = count(lit(1)).as("n") +:
+        (0 until d).map(i => sum(col("features").getItem(i)).as(s"s$i"))
+      val agg = points
+        .repartition(4, col("id")) // force a real multi-partition map stage
+        .select(nearestCidK(col("features"), cs).as("cid"), col("features"))
+        .groupBy("cid").agg(aggs.head, aggs.tail: _*)
+      val out = wrap(agg).collect().map(_.toSeq).toSet
+      spark.catalog.clearCache()
+      out
+    }
+    val clean = recenter(identity)
+    failOnce.set(false)
+    val chaotic = recenter(chaosFetch)
+    assert(failOnce.get(), "the fetch-failure injection never fired")
+    assert(clean.nonEmpty)
+    assert(chaotic == clean,
+      "recenter aggregate diverged across a fetch-failure map-stage re-run")
   }
 
   test("GIF encode codec stage is byte-identical when every first task attempt dies") {

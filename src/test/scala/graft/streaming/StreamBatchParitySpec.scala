@@ -145,6 +145,87 @@ class StreamBatchParitySpec extends AnyFunSuite {
       s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
   }
 
+  test("parity: StreamingKMeans micro-batch fit == independent batch replay of the same schedule") {
+    // The last streaming operator outside the gate: stream the sf0.001
+    // points in THREE mtime-ordered micro-batches (maxFilesPerTrigger=1)
+    // through StreamingKMeans, then replay the identical per-batch
+    // update schedule INDEPENDENTLY — plain driver-side Scala over the
+    // same per-file row order: naive nearest-centroid loop (strict <,
+    // lowest-cid tie-break, the kernel's contract), row-order sums, the
+    // same count-weighted merge — and demand the final centroids equal
+    // BIT FOR BIT. A 1-partition file scan folds sums in row order on
+    // both sides, so exact equality is the correct bar (same argument
+    // as the batch queries' DuckDB hash parity).
+    val k = 4
+    val d = 64
+    val decay = 0.9
+    val src = Files.createTempDirectory("graft_parity_skm").toString
+    val pts = graft.sources.Tables.points(spark, sf)
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_parity_skm_stage").toString
+      pts.filter(col("id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    val model = new StreamingKMeans(k, d, decay)
+    val stream = spark.readStream
+      .schema(pts.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = model.fitStream(stream)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_parity_skm_ck").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // independent replay: same files, same order, plain Scala arithmetic
+    var cents: Array[Array[Double]] = Array.empty
+    val weights = Array.fill(k)(0.0)
+    (0 until 3).foreach { i =>
+      val rows = spark.read.parquet(s"$src/b$i.parquet")
+        .select(col("features")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      if (cents.isEmpty) {
+        cents = rows.take(k).map(_.clone())
+        assert(cents.length == k, "first batch must hold at least k rows")
+      }
+      val ns = Array.fill(k)(0L)
+      val sums = Array.fill(k, d)(0.0)
+      rows.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        for (c <- 0 until k) {
+          var s = 0.0
+          var j = 0
+          while (j < d) { val df = v(j) - cents(c)(j); s += df * df; j += 1 }
+          if (s < bestD) { bestD = s; best = c } // strict <: lowest-cid ties
+        }
+        ns(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += v(j); j += 1 }
+      }
+      for (c <- 0 until k if ns(c) > 0) {
+        val w = weights(c) * decay
+        var j = 0
+        while (j < d) {
+          cents(c)(j) = (w * cents(c)(j) + sums(c)(j)) / (w + ns(c))
+          j += 1
+        }
+        weights(c) = w + ns(c)
+      }
+    }
+    assert(model.centroids.length == k)
+    (0 until k).foreach { c =>
+      assert(model.centroids(c).toSeq == cents(c).toSeq,
+        s"centroid $c diverged: stream=${model.centroids(c).take(4).toSeq}... " +
+          s"replay=${cents(c).take(4).toSeq}...")
+    }
+  }
+
   test("parity: CDC upsert over the orders changelog == oracle-green scd_latest") {
     // orders as a change stream: key = o_custkey, event time = o_orderdate,
     // tie-break id = o_orderkey — the exact ordering scd_latest resolves
