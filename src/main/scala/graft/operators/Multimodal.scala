@@ -68,6 +68,19 @@ object Multimodal {
     * At 100 TB this is the classic decode stage: byte blobs in, byte
     * blobs out, bytes never shuffled (only the tiny metadata rows move,
     * see below), codec init amortized per partition. */
+  /** `javax.imageio` streams over in-memory bytes default to a
+    * DISK-backed cache (`FileCacheImage{In,Out}putStream`): one temp file
+    * + file descriptor per stream — per DOCUMENT in these codec stages —
+    * and the fd lives until the stream is closed or GC'd. At sf10 (≈60×
+    * the gate's doc count) the churn outruns GC and the executor JVM dies
+    * with "Too many open files" (caught by the round-7 scale probe; at
+    * 100 TB it would also be pointless disk I/O on every row). Media here
+    * is always a small in-memory byte[], so use the memory cache: zero
+    * files, zero fds. JVM-wide flag; idempotent, called at the head of
+    * every codec closure (≈ once per executor). */
+  private[operators] def memoryCachedImageIO(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def pngMedia(spark: SparkSession, sfDir: String): Dataset[PngRow] = {
     import spark.implicits._
     mediaTable(spark, sfDir)
@@ -82,6 +95,7 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int, Int)]
       .mapPartitions { rows =>
+        memoryCachedImageIO()
         rows.map { case (d, w, h) =>
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -119,6 +133,7 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, sfDir: String, grid: Int = 2): DataFrame = {
     import spark.implicits._
     val pooled = pngMedia(spark, sfDir).mapPartitions { rows =>
+      memoryCachedImageIO()
       rows.flatMap { p =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(p.media))
@@ -393,6 +408,7 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { ids =>
+        memoryCachedImageIO()
         ids.map { d =>
           val (w, h, nf) = gifDims(d)
           val bos = new java.io.ByteArrayOutputStream()
@@ -435,10 +451,12 @@ object Multimodal {
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val stats = gifMedia(spark, sfDir).mapPartitions { rows =>
+      memoryCachedImageIO()
       rows.flatMap { r =>
         val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.media)))
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        rd.setInput(iis)
         val nf = rd.getNumImages(true)
         val out = (0 until nf).map { f =>
           val img = rd.read(f)
@@ -460,6 +478,7 @@ object Multimodal {
           FrameStats(r.doc_id, f.toLong, w.toLong * h, sum, mx)
         }
         rd.dispose()
+        iis.close()
         out
       }
     }
