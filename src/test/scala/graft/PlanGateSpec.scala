@@ -31,6 +31,7 @@ class PlanGateSpec extends AnyFunSuite {
     "ann_recall" -> "evaluation harness over brute/sq (their NLJs) + 1-row count cross-joins",
     "dedup_recall" -> "1-row count aggregates cross-joined into the single metric row",
     "dedup_cosine" -> "exact all-pairs cosine baseline (the LSH/banded paths are the scale route)",
+    "dedup_cosine_sampled" -> "the same declared-quadratic baseline, %5-sample-restricted so its oracle runs at every sweep sf",
     "kmeans_dbi" -> "k x k centroid-pair relation - k rows, never data-sized",
     "sample_importance" -> "1-row token-totals aggregate broadcast-cross-joined onto the ratio projection")
 
