@@ -1,0 +1,31 @@
+#!/bin/bash
+# sf10 scale probe: run the bench at 100x the sf0.1 bench fixture
+# (1000x the sf0.01 correctness gate) — the strongest in-sandbox answer
+# to "would this plan survive a 100x scale-up".
+#
+# Derives /tmp/sf10 from /tmp/sf1 via ScaleUp if either is missing
+# (ScaleUp widens key columns and refuses on overflow), then runs the
+# full bench there. The two declared-quadratic baselines are excluded
+# BY CONTRACT (dedup_cosine ~100x pairs ≈ 1.6 h, join_theta ~30 min);
+# their %5-sampled oracle twins stay in as the designed scale legs.
+#
+# Measurement caveat (PERF.md "sf10 probe (r7)"): in-pass ratios
+# over-report growth for late queries — prior heavy queries leave
+# heap/GC debris in the one shared JVM. Before calling a query
+# superlinear, re-measure BOTH scale points standalone:
+#   SPARK_GRAFT_ONLY=array_funcs,<q> (array_funcs absorbs JIT warmup).
+set -e
+cd /root/repo
+SF10=${SPARK_GRAFT_SF10_DIR:-/tmp/sf10}
+if [[ ! -f "$SF10/lineitem.parquet/_SUCCESS" ]]; then
+  if [[ ! -f /tmp/sf1/lineitem.parquet/_SUCCESS ]]; then
+    echo "[probe] deriving /tmp/sf1 (10x) from the sf0.1 fixture"
+    sbt -batch "runMain graft.sources.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10"
+  fi
+  echo "[probe] deriving $SF10 (10x) from /tmp/sf1"
+  sbt -batch "runMain graft.sources.ScaleUp /tmp/sf1 $SF10 10"
+fi
+env SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=200 \
+    SPARK_GRAFT_SKIP=dedup_cosine,join_theta \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*'
