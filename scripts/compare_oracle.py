@@ -30,6 +30,12 @@ def main(sf_dir, out_dir, json_path=None):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # queries that crashed before dumping (graft.Verify writes the actual
+    # exception per query) — these MUST surface as err entries; the r7
+    # driver artifact silently omitted six crashed queries
+    errors_path = f"{out_dir}/errors.json"
+    dump_errors = (json.load(open(errors_path))
+                   if os.path.exists(errors_path) else {})
     record = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -37,6 +43,8 @@ def main(sf_dir, out_dir, json_path=None):
                "hash_match": False, "spark_rows": None, "oracle_rows": None,
                "err": None}
         try:
+            if name in dump_errors:
+                raise RuntimeError(f"spark dump failed: {dump_errors[name]}")
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
             want = con.sql(sql).fetchdf()
@@ -59,14 +67,21 @@ def main(sf_dir, out_dir, json_path=None):
         else:
             n_fail += 1
             print(f"  FAIL {name}: {detail}")
-    # rows-only queries: dumped by Verify, no oracle declared
-    for name in sorted(os.listdir(out_dir)):
-        if name in record or not os.path.isdir(f"{out_dir}/{name}"):
+    # rows-only queries: dumped by Verify, no oracle declared. Include
+    # crashed-before-dump names too (no dir exists, but errors.json has
+    # the exception) so a rows-only crash can't vanish from the record.
+    rows_only_names = sorted(
+        set(n for n in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{n}"))
+        | (set(dump_errors) - set(oracle)))
+    for name in rows_only_names:
+        if name in record:
             continue
         rec = {"rows_match": False, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": None,
                "rows_only": True}
         try:
+            if name in dump_errors:
+                raise RuntimeError(f"spark dump failed: {dump_errors[name]}")
             n = con.sql(
                 f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'"
             ).fetchone()[0]

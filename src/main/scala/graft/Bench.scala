@@ -17,6 +17,9 @@ object Bench {
       // per-task overhead × partitions (the 200-partition stress run
       // showed dedup_ngram 2.3 s → 23 s from exactly this)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // match Verify: the events NTZ→TIMESTAMP cast (Tables.events) must
+      // not depend on the machine's time zone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -128,7 +131,12 @@ object Bench {
         if (ok2) (name, math.min(dt, dt2), true) else (name, dt, ok)
       }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // the queries map and total carry SUCCESSFUL timings only: a crashed
+    // query's time-to-failure is not a performance observation, and this
+    // record becomes the next run's regression anchor (prior/min) — a
+    // fast crash would otherwise anchor a spurious 2× trip once fixed
+    // (exactly what the r7 events crashes did to BENCH_LAST)
+    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a crashed query must be visible in the JSON, not silently folded
     // into the total as its time-to-failure
@@ -140,7 +148,7 @@ object Bench {
       .map { case (n, a, b) => s"\"$n\":[$a,$b]" }.mkString("{", ",", "}")
     val priorName =
       if (prior.nonEmpty) "\"" + priorFile.getName + "\"" else "null"
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v, true) => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"remeasured":$rem,"prior_record":$priorName,"sf":"$sfDir"}"""
     println(line)
     // persist the full record as the next run's cross-round baseline —

@@ -28,11 +28,17 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     def keep(name: String): Boolean =
       only.forall(_.contains(name)) && !skip.contains(name)
+    // Queries that crash before dumping must still be visible in the
+    // correctness record (the r7 driver artifact silently omitted six
+    // crashed queries): collect name → exception and write errors.json
+    // alongside the dumps for compare_oracle.py to merge as err entries.
+    val errors = Seq.newBuilder[(String, String)]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
       }
       spark.catalog.clearCache()
     }
@@ -51,6 +57,9 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.result()
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -31,16 +31,26 @@ object Tables {
       df.createOrReplaceTempView(n)
     }
 
-  /** Events with `ts` normalized to a microsecond TIMESTAMP. The driver
-    * parquet stores TIMESTAMP(NANOS), which Spark 4 only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (as raw nano longs);
-    * `div 1000` (exact integer division — a double roundtrip would lose
-    * precision above 2^53) matches DuckDB's own nanos→micros read. */
+  /** Events with `ts` normalized to a microsecond TIMESTAMP, whatever the
+    * fixture generation encoded:
+    *  - TIMESTAMP(NANOS): Spark 4 only reads it with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (raw nano longs);
+    *    `div 1000` (exact integer division — a double roundtrip would
+    *    lose precision above 2^53) matches DuckDB's nanos→micros read.
+    *  - TIMESTAMP(MICROS) isAdjustedToUTC=false: Spark reads
+    *    TIMESTAMP_NTZ; downstream `unix_micros`/window functions need
+    *    TimestampType, so cast. The cast interprets the naive value in
+    *    the session time zone — callers (Verify/Bench/specs) pin
+    *    `spark.sql.session.timeZone=UTC` so it is machine-independent
+    *    and equal to DuckDB's naive read.
+    *  - TIMESTAMP(MICROS) adjusted to UTC: already TimestampType. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = apply(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

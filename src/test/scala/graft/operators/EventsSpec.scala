@@ -110,4 +110,35 @@ class EventsSpec extends AnyFunSuite {
     // session membership agrees with the lag+cumsum formulation
     assert(Events.sessionize(spark, d2).count() == got.length.toLong)
   }
+
+  test("Tables.events normalizes every fixture ts encoding to TIMESTAMP") {
+    // The driver regenerates the fixtures between rounds and has shipped
+    // three encodings so far: TIMESTAMP(NANOS) (read as raw Long under
+    // nanosAsLong), TIMESTAMP_NTZ micros (the r7 regen — crashed six
+    // queries), and UTC-adjusted micros. Pin that all three normalize to
+    // TimestampType with identical instants under the UTC session TZ.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
+    val base = spark.read.parquet(s"$dir/events.parquet")
+    val d3 = Files.createTempDirectory("graft_ts_enc").toString
+    base.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$d3/events.parquet")
+    val d4 = Files.createTempDirectory("graft_ts_long").toString
+    base.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      .write.mode("overwrite").parquet(s"$d4/events.parquet")
+    assert(spark.read.parquet(s"$d3/events.parquet")
+      .schema("ts").dataType == TimestampNTZType)
+    assert(spark.read.parquet(s"$d4/events.parquet")
+      .schema("ts").dataType == LongType)
+    val want = graft.sources.Tables.events(spark, dir)
+    val wantUs = want.select(col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (d <- Seq(d3, d4)) {
+      val got = graft.sources.Tables.events(spark, d)
+      assert(got.schema("ts").dataType == TimestampType)
+      val gotUs = got.select(col("event_id"), unix_micros(col("ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotUs == wantUs)
+    }
+  }
 }
