@@ -15,26 +15,51 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** File-source schema for the driver's events parquet, read with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (ts arrives as raw
-    * nanosecond longs; normalized below). */
+  /** File-source schema template for the driver's events parquet. The
+    * `ts` field's on-disk encoding has varied across fixture
+    * regenerations — TIMESTAMP(NANOS) (raw longs under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), then TIMESTAMP_NTZ
+    * micros — so [[readEvents]] substitutes the encoding it actually
+    * finds in the directory; this template carries the current fixture
+    * default (NTZ micros). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) as long
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Normalize an events relation's `ts` to TIMESTAMP whatever the
+    * source encoding — same contract as [[graft.sources.Tables.events]]
+    * (NTZ casts interpret in the session time zone; all entry points pin
+    * UTC, matching DuckDB's naive read). */
+  def normalize(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+    case _ => df
+  }
+
   /** Streaming read of an events directory (files appearing in `dir`
     * become micro-batches — the principled version of the reference's
-    * 100k-point ingest chunks, `main/client/client.go:49-63`). */
-  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+    * 100k-point ingest chunks, `main/client/client.go:49-63`).
+    *
+    * A file stream source needs its schema up front, and the fixture's
+    * ts encoding has changed across regenerations — so peek at whatever
+    * parquet is already in the directory (every caller drops at least
+    * the seed file before starting the stream; later files must match
+    * it) and fall back to the [[rawSchema]] default for an empty dir. */
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: Throwable => rawSchema("ts").dataType }
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    normalize(spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
+  }
 
   /** Tumbling 1-hour event-time aggregation with a watermark: late data
     * beyond 1 hour is dropped, finalized windows emit in append mode.

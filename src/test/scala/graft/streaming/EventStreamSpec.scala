@@ -38,18 +38,14 @@ class EventStreamSpec extends AnyFunSuite {
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$d/a_events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     val base = new java.io.File(s"$d/a_events.parquet").lastModified()
-    // sentinel ts: 2030-01-01 and 2030-02-01, as raw nanos
+    // sentinel ts: 2030-01-01 and 2030-02-01, given as raw nanos and
+    // re-encoded by the helper to match the copied fixture file
     Seq((9000000L, 1893456000000000000L, SENTINEL_USER, "noop", 0.0, "{}"),
       (9000001L, 1896134400000000000L, SENTINEL_USER, "noop", 0.0, "{}"))
       .zipWithIndex.foreach { case (row, i) =>
-        val stage = Files.createTempDirectory("graft_stream_sentinel").toString
-        Seq(row).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        Files.copy(part.toPath, Paths.get(s"$d/z_sentinel$i.parquet"))
-        new java.io.File(s"$d/z_sentinel$i.parquet")
-          .setLastModified(base + (i + 1) * 10000L)
+        StreamTestData.writeEventsFile(spark, d, s"z_sentinel$i.parquet",
+          Seq(row).toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          mtime = Some(base + (i + 1) * 10000L))
       }
     d
   }
@@ -123,13 +119,9 @@ class EventStreamSpec extends AnyFunSuite {
     assert(n1 > 0)
     // phase 2: a new file arrives while the query is DOWN (written as a
     // plain parquet FILE like a real ingest drop, not a directory)
-    val stage = Files.createTempDirectory("graft_ckpt_stage").toString
-    Seq((8000000L, 1893456000000000000L, SENTINEL_USER, "late", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = new java.io.File(stage).listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    Files.copy(part.toPath, Paths.get(s"$src/b_more.parquet"))
+    StreamTestData.writeEventsFile(spark, src, "b_more.parquet",
+      Seq((8000000L, 1893456000000000000L, SENTINEL_USER, "late", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
     run() // restart from the same checkpoint
     val back = spark.read.parquet(out)
     assert(back.count() == n1 + 1, "restart must process exactly the new file")
@@ -147,14 +139,9 @@ class EventStreamSpec extends AnyFunSuite {
     // set-to-NULL change for the inserted user (must really set NULL)
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$src/a_events.parquet"))
     def stageBatch(name: String,
-        rows: Seq[(Long, Long, Long, String, Option[Double], String)]): Unit = {
-      val stage = Files.createTempDirectory("graft_upsert_stage").toString
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.copy(part.toPath, Paths.get(s"$src/$name"))
-    }
+        rows: Seq[(Long, Long, Long, String, Option[Double], String)]): Unit =
+      StreamTestData.writeEventsFile(spark, src, name,
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
     stageBatch("b_updates.parquet", Seq(
       (7000000L, 1893456000000000000L, 0L, "upd", Some(42.5), "{}"),
       (7000001L, 1893456000000000000L, 8888888L, "ins", Some(7.25), "{}")))
@@ -168,8 +155,8 @@ class EventStreamSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
     // batch oracle: latest (ts, event_id) row per user over ALL files
-    val all = spark.read.parquet(s"$src/*.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+    val all = EventStream.normalize(spark.read.parquet(s"$src/*.parquet"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("value"), col("event_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
@@ -192,13 +179,9 @@ class EventStreamSpec extends AnyFunSuite {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_mig_src").toString
     val snap = Files.createTempDirectory("graft_mig_snap").toString
-    def stage(name: String, rows: Seq[(Long, Long, Long, String, Option[Double], String)]): Unit = {
-      val st = Files.createTempDirectory("graft_mig_stage").toString
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(st)
-      val part = new java.io.File(st).listFiles().find(_.getName.endsWith(".parquet")).get
-      Files.copy(part.toPath, Paths.get(s"$src/$name"))
-    }
+    def stage(name: String, rows: Seq[(Long, Long, Long, String, Option[Double], String)]): Unit =
+      StreamTestData.writeEventsFile(spark, src, name,
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
     stage("a_base.parquet", Seq(
       (1L, 1000000000000L, 1L, "ins", Some(1.0), "{}"),
       (2L, 2000000000000L, 2L, "ins", Some(2.0), "{}")))
@@ -236,8 +219,8 @@ class EventStreamSpec extends AnyFunSuite {
       EventStream.dedupEvents(EventStream.readEvents(spark, d2))
         .select("event_id"), "dedup")
     val got = spark.table("dedup").count()
-    val want = spark.read.schema(EventStream.rawSchema)
-      .parquet(s"$sf/events.parquet").select("event_id").distinct().count()
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id").distinct().count()
     assert(got == want, s"deduped stream: $got vs distinct batch: $want")
   }
 

@@ -59,18 +59,13 @@ class StreamBatchParitySpec extends AnyFunSuite {
       (9100001L, 1896134400000000000L, SENTINEL_USER, "noop", 0.0, "{}"),
       (9100002L, 1898553600000000000L, SENTINEL_USER, "noop", 0.0, "{}"))
       .zipWithIndex.foreach { case (row, i) =>
-        // MUST land as a plain top-level FILE: the file stream source
-        // does not recurse into subdirectories, so a parquet DIRECTORY
-        // written here would be silently invisible to the stream
-        val stage = Files.createTempDirectory("graft_parity_sentinel").toString
-        Seq(row).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        Files.copy(part.toPath, Paths.get(s"$d/z_sentinel$i.parquet"))
-        // strictly increasing mtimes force 1-file-per-trigger order
-        new java.io.File(s"$d/z_sentinel$i.parquet")
-          .setLastModified(base + (i + 1) * 10000L)
+        // lands as a plain top-level FILE (the file stream source does
+        // not recurse into subdirectories), ts re-encoded to match the
+        // copied fixture file; strictly increasing mtimes force the
+        // 1-file-per-trigger order
+        StreamTestData.writeEventsFile(spark, d, s"z_sentinel$i.parquet",
+          Seq(row).toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          mtime = Some(base + (i + 1) * 10000L))
       }
     d
   }
