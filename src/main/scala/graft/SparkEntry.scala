@@ -281,6 +281,10 @@ object SparkEntry {
     "dedup_cosine_sampled" -> ((s, dir) =>
       Dedup.cosineNearDup(s, dir, keepMod = Some(5L))),
     "dedup_components" -> ((s, dir) => Dedup.components(s, dir)),
+    // SemDeDup: within-cluster-only cosine pairs over the frozen
+    // converged fit — the cluster-bucketed scale path whose exact
+    // baseline is dedup_cosine's all-pairs sweep
+    "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(s, dir)),
     // dedup ACTION: per duplicate cluster, keep the highest-quality
     // member (lowest doc_id on ties) — the decision record before a
     // 100 TB delete pass
@@ -481,6 +485,8 @@ object SparkEntry {
       // converged-fit oracles carry the fit's frozen centroids as SQL
       // literals — generated after the queries run (Verify dumps last)
       graft.kmeans.FitFinal.oracleSqls ++
+      // SemDeDup shares the frozen fit's centroid literals
+      Dedup.semanticOracleSqls ++
       // trajectory oracles depend on the round count each query ran —
       // same run-then-dump contract (one per fit family: embeddings,
       // ts micro-units, standardized lineitem micro-units)

@@ -210,6 +210,14 @@ object FitFinal {
   def oracleSqls: Map[String, String] =
     lastDir.map(oracleSqlsFor).getOrElse(Map.empty)
 
+  /** Frozen converged 'fit' centroids (sorted by cid) for the most
+    * recently verified directory — shared with
+    * [[graft.operators.Dedup.semanticDedup]], whose oracle must carry
+    * the exact same literals. Same run-then-dump contract as
+    * [[oracleSqls]]: present only after the fit ran in this JVM. */
+  def frozenFitCentroids: Option[Array[(Int, Array[Double])]] =
+    lastDir.flatMap(d => cache.get((d, "fit"))).map(_.res.centroids.sortBy(_._1))
+
   private def render(byVariant: Map[String, Frozen]): Map[String, String] =
     byVariant match {
     case m if m.isEmpty => Map.empty

@@ -458,4 +458,92 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): duplicate pairs are searched only WITHIN each
+    * cluster of the frozen converged k-means fit
+    * ([[graft.kmeans.FitFinal]] 'fit' variant — the same centroids the
+    * `kmeans_fit_final` oracle verifies), so pair work is Σ n_c² instead
+    * of N². This is the scale path over [[cosineNearDup]]'s exact
+    * all-pairs baseline: grow k ∝ N (the paper runs 50k clusters on
+    * LAION) and per-cluster buckets stay bounded, one cid shuffle plus
+    * bounded equi-join work at any corpus size.
+    *
+    * Decision rule, fully deterministic: for each within-cluster pair
+    * with cos ≥ `threshold`, the member with the HIGHER
+    * (cos-to-assigned-centroid, vec_id) is marked removed — SemDeDup's
+    * keep-low-centroid-similarity choice with a total tie-break. Output
+    * is the removal decision record: one row per removed vector,
+    * (vec_id, cluster_id, cos_centroid, n_dups = pairs it lost).
+    * Assumes no zero vectors (cosine undefined); the fixtures hold none.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val cs = graft.kmeans.FitFinal.result(spark, sfDir, "fit")
+      .centroids.sortBy(_._1)
+    // cos to the ASSIGNED centroid: k literal dots per row picked by the
+    // argmin kernel's cid — same per-row cost class as the assignment
+    // itself, no join, no shuffle
+    val cosC = element_at(
+      array(cs.map { case (_, c) =>
+        val cl = array(c.toIndexedSeq.map(lit(_)): _*)
+        VectorOps.dot(col("v"), cl) / (col("nrm") * VectorOps.l2norm(cl))
+      }: _*), col("cid") + 1)
+    val a = Tables.points(spark, sfDir)
+      .select(col("id").as("vec_id"), col("features").as("v"),
+        VectorOps.l2norm(col("features")).as("nrm"),
+        VectorOps.nearestCidK(col("features"), cs.map(_._2)).as("cid"))
+      .withColumn("cosc", cosC)
+    val cos = VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    val pairs = a.as("a").join(a.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= threshold)
+    // explicit lexicographic (cosc, vec_id) dominance — written as plain
+    // boolean algebra so the DuckDB oracle states the identical rule
+    val aLoses = col("a.cosc") > col("b.cosc") ||
+      (col("a.cosc") === col("b.cosc") && col("a.vec_id") > col("b.vec_id"))
+    pairs
+      .select(
+        when(aLoses, struct(col("a.vec_id").as("vec_id"),
+            col("a.cid").as("cid"), col("a.cosc").as("cosc")))
+          .otherwise(struct(col("b.vec_id").as("vec_id"),
+            col("b.cid").as("cid"), col("b.cosc").as("cosc"))).as("r"))
+      .select(col("r.vec_id").as("vec_id"),
+        col("r.cid").cast("long").as("cluster_id"), col("r.cosc").as("cosc"))
+      .groupBy("vec_id", "cluster_id")
+      .agg(round(max("cosc"), 6).as("cos_centroid"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[semanticDedup]], carrying the frozen fit
+    * centroids as literals — same run-then-dump contract as
+    * [[graft.kmeans.FitFinal.oracleSqls]] (empty until the fit ran). */
+  def semanticOracleSqls: Map[String, String] =
+    graft.kmeans.FitFinal.frozenFitCentroids.map { cs =>
+      val cents = cs.map { case (cid, v) =>
+        v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
+      }.mkString("cents AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
+      def cosSql(x: String, y: String) =
+        s"list_inner_product($x, $y) / (sqrt(list_inner_product($x, $x)) * sqrt(list_inner_product($y, $y)))"
+      Map("dedup_semantic" ->
+        s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |$cents,
+           |d AS (SELECT p.vec_id, p.v, c.cid, list_distance(p.v, c.c) AS dist,
+           |             ${cosSql("p.v", "c.c")} AS cosc
+           |      FROM pts p CROSS JOIN cents c),
+           |a AS (SELECT vec_id, v, cid, cosc FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |        FROM d) WHERE rn = 1),
+           |hits AS (SELECT x.cid, x.vec_id AS va, x.cosc AS ca, y.vec_id AS vb, y.cosc AS cb
+           |         FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |         WHERE ${cosSql("x.v", "y.v")} >= 0.4),
+           |rem AS (SELECT CASE WHEN ca > cb OR (ca = cb AND va > vb) THEN va ELSE vb END AS vec_id,
+           |               cid,
+           |               CASE WHEN ca > cb OR (ca = cb AND va > vb) THEN ca ELSE cb END AS cosc
+           |        FROM hits)
+           |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+           |       round(max(cosc), 6) AS cos_centroid, count(*) AS n_dups
+           |FROM rem GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin)
+    }.getOrElse(Map.empty)
 }

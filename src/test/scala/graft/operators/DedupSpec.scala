@@ -87,6 +87,47 @@ class DedupSpec extends AnyFunSuite {
       "canonical score must equal the kept doc's quality score")
   }
 
+  test("semantic dedup = dominance rule over exact within-cluster pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // independent re-derivation: the exact all-pairs baseline
+    // (cosineNearDup) restricted to same-cluster pairs; per pair the
+    // loser is the higher (cos-to-assigned-centroid, vec_id)
+    val assign = graft.kmeans.FitFinal.finalAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = graft.kmeans.FitFinal.result(spark, sf)
+      .centroids.sortBy(_._1).map(_._2)
+    val vecs = graft.sources.Tables.points(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // same sequential left-to-right fold as the DotProduct kernel
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosc(id: Long): Double = {
+      val v = vecs(id); val c = cents(assign(id).toInt)
+      dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c)))
+    }
+    val losers = Dedup.cosineNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => assign(a) == assign(b) }
+      .map { case (a, b) =>
+        val ca = cosc(a); val cb = cosc(b)
+        if (ca > cb || (ca == cb && a > b)) a else b }
+    assert(losers.nonEmpty, "fixture must contain within-cluster near-dups")
+    val want = losers.groupBy(identity).map { case (id, ls) =>
+      (id, assign(id), ls.size.toLong) }.toSet
+    assert(got.map(t => (t._1, t._2, t._4)).toSet == want)
+    got.foreach { case (id, _, cosC, _) =>
+      assert(math.abs(cosC - cosc(id)) < 1e-6, s"cos_centroid drift for $id") }
+    // removals must be a strict subset of the corpus, never a whole pair
+    // family: every removed vector lost to SOMEONE still standing or not,
+    // but each pair retains at least one member by construction
+    val removed = got.map(_._1).toSet
+    assert(removed.size < vecs.size)
+  }
+
   test("simhash: identical docs have identical signatures, hamming 0") {
     val sigs = Dedup.simhashSignatures(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
