@@ -5,9 +5,11 @@
 #
 # Derives /tmp/sf10 from /tmp/sf1 via ScaleUp if either is missing
 # (ScaleUp widens key columns and refuses on overflow), then runs the
-# full bench there. The two declared-quadratic baselines are excluded
-# BY CONTRACT (dedup_cosine ~100x pairs ≈ 1.6 h, join_theta ~30 min);
-# their %5-sampled oracle twins stay in as the designed scale legs.
+# full bench there. The declared-quadratic/fixed-k baselines are
+# excluded BY CONTRACT (dedup_cosine ~100x pairs ≈ 1.6 h, join_theta
+# ~30 min, dedup_semantic N²/8 pair work at fixed k=8); their designed
+# scale legs stay in (%5-sampled oracle twins, dedup_semantic_scaled's
+# k∝N schedule — measured 10.6x wall for 10x corpus at sf1→sf10, r8).
 #
 # Measurement caveat (PERF.md "sf10 probe (r7)"): in-pass ratios
 # over-report growth for late queries — prior heavy queries leave
@@ -27,5 +29,5 @@ if [[ ! -f "$SF10/lineitem.parquet/_SUCCESS" ]]; then
 fi
 env SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=200 \
-    SPARK_GRAFT_SKIP=dedup_cosine,join_theta \
+    SPARK_GRAFT_SKIP=dedup_cosine,join_theta,dedup_semantic \
     sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*'

@@ -285,6 +285,10 @@ object SparkEntry {
     // converged fit — the cluster-bucketed scale path whose exact
     // baseline is dedup_cosine's all-pairs sweep
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(s, dir)),
+    // the k∝N schedule (~1 bucket / 2500 vecs): one-pass sampled seeds,
+    // 5 capped Lloyd rounds, same pair+dominance pipeline — per-bucket
+    // work stays bounded as the corpus grows
+    "dedup_semantic_scaled" -> ((s, dir) => Dedup.semanticDedupAuto(s, dir)),
     // dedup ACTION: per duplicate cluster, keep the highest-quality
     // member (lowest doc_id on ties) — the decision record before a
     // 100 TB delete pass

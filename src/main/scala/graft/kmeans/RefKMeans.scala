@@ -48,7 +48,12 @@ object RefKMeans {
       firstId: Option[Long] = None,
       /** false → the reference's maximin seeding ([[seed]]); true → classic
         * D²-weighted k-means++ sampling ([[seedPP]]). */
-      ppSeeding: Boolean = false)
+      ppSeeding: Boolean = false,
+      /** Pre-chosen seeds, bypassing both seeders (which run k−1
+        * SEQUENTIAL corpus scans — see [[seed]]'s scale bound).
+        * Partitioner use-cases (SemDeDup bucketing, IVF training) grow
+        * k with the corpus and sample their seeds in ONE pass instead. */
+      initialCentroids: Option[Array[Array[Double]]] = None)
 
   final case class Result(
       centroids: Array[(Int, Array[Double])],
@@ -153,8 +158,10 @@ object RefKMeans {
     val points = points0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val d = points.head().getSeq[Double](1).length
-      var cents: Array[Array[Double]] =
-        if (cfg.ppSeeding) seedPP(points, cfg) else seed(points, cfg)
+      var cents: Array[Array[Double]] = cfg.initialCentroids.getOrElse(
+        if (cfg.ppSeeding) seedPP(points, cfg) else seed(points, cfg))
+      require(cents.length == cfg.k,
+        s"initialCentroids: ${cents.length} seeds for k=${cfg.k}")
       var iter = 0
       var delta = Double.MaxValue
       var converged = false

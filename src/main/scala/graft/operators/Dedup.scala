@@ -478,21 +478,75 @@ object Dedup {
     * Assumes no zero vectors (cosine undefined); the fixtures hold none.
     */
   def semanticDedup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.4): DataFrame = {
-    val cs = graft.kmeans.FitFinal.result(spark, sfDir, "fit")
-      .centroids.sortBy(_._1)
+      threshold: Double = 0.4): DataFrame =
+    semanticFromCentroids(spark, sfDir,
+      graft.kmeans.FitFinal.result(spark, sfDir, "fit")
+        .centroids.sortBy(_._1).map(_._2), threshold)
+
+  /** [[semanticDedup]]'s k∝N form: buckets from a FRESH capped-iteration
+    * fit with caller-chosen k instead of the frozen k=8 oracle fit.
+    * Bucketing quality needs no convergence (SemDeDup's clustering is a
+    * partitioner, not an estimand), so a handful of Lloyd rounds
+    * suffices; growing k with the corpus holds per-cluster pair work at
+    * N²/k — the knob that keeps the operator linear-ish at 100 TB while
+    * the k=8 twin stays pinned to the DuckDB oracle at gate scale.
+    * `k = 1` degenerates to the exact all-pairs baseline (spec-pinned
+    * equal to [[cosineNearDup]]-derived removals). */
+  def semanticDedupScaled(spark: SparkSession, sfDir: String, k: Int,
+      maxIter: Int = 5, threshold: Double = 0.4): DataFrame =
+    semanticFromCentroids(spark, sfDir,
+      trainBuckets(spark, sfDir, k, maxIter), threshold)
+
+  /** ~1 bucket per 2500 vectors, floor 8 — the k∝N schedule
+    * `dedup_semantic_scaled` runs: gate fixtures (500 vecs) stay at the
+    * oracle-friendly k=8; the sf10 probe (200k vecs) gets k=80. */
+  def scaledK(n: Long): Int = math.max(8L, (n + 2499) / 2500).toInt
+
+  /** Bucketing centroids: ONE hash-ordered top-k pass for seeds (no k
+    * sequential seeding scans — [[graft.kmeans.RefKMeans.seed]]'s scale
+    * bound does not apply), then `maxIter` capped Lloyd rounds. A
+    * partitioner needs no convergence; 5 rounds give stable buckets. */
+  private def trainBuckets(spark: SparkSession, sfDir: String, k: Int,
+      maxIter: Int): Array[Array[Double]] = {
+    val pts = Tables.points(spark, sfDir)
+    val seeds = pts
+      .orderBy(xxhash64(col("id"), lit(4242L)), col("id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cfg = graft.kmeans.RefKMeans.Config(k = k, maxIter = maxIter,
+      initialCentroids = Some(seeds))
+    graft.kmeans.RefKMeans.fit(pts, cfg).centroids.sortBy(_._1).map(_._2)
+  }
+
+  /** [[semanticDedupScaled]] with the [[scaledK]] schedule — the
+    * `queries` entry. Trained centroids land in a registry so the
+    * oracle dump can carry the identical literals (run-then-dump, the
+    * [[graft.kmeans.FitFinal]] contract). */
+  def semanticDedupAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = scaledK(Tables.points(spark, sfDir).count())
+    val cs = trainBuckets(spark, sfDir, k, maxIter = 5)
+    scaledReg.put(sfDir, cs)
+    lastScaledDir = Some(sfDir)
+    semanticFromCentroids(spark, sfDir, cs, threshold = 0.4)
+  }
+
+  private val scaledReg =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  @volatile private var lastScaledDir: Option[String] = None
+
+  private def semanticFromCentroids(spark: SparkSession, sfDir: String,
+      cs: Array[Array[Double]], threshold: Double): DataFrame = {
     // cos to the ASSIGNED centroid: k literal dots per row picked by the
     // argmin kernel's cid — same per-row cost class as the assignment
     // itself, no join, no shuffle
     val cosC = element_at(
-      array(cs.map { case (_, c) =>
+      array(cs.map { c =>
         val cl = array(c.toIndexedSeq.map(lit(_)): _*)
         VectorOps.dot(col("v"), cl) / (col("nrm") * VectorOps.l2norm(cl))
-      }: _*), col("cid") + 1)
+      }.toIndexedSeq: _*), col("cid") + 1)
     val a = Tables.points(spark, sfDir)
       .select(col("id").as("vec_id"), col("features").as("v"),
         VectorOps.l2norm(col("features")).as("nrm"),
-        VectorOps.nearestCidK(col("features"), cs.map(_._2)).as("cid"))
+        VectorOps.nearestCidK(col("features"), cs).as("cid"))
       .withColumn("cosc", cosC)
     val cos = VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     val pairs = a.as("a").join(a.as("b"),
@@ -516,18 +570,27 @@ object Dedup {
       .orderBy("vec_id")
   }
 
-  /** DuckDB oracle for [[semanticDedup]], carrying the frozen fit
-    * centroids as literals — same run-then-dump contract as
-    * [[graft.kmeans.FitFinal.oracleSqls]] (empty until the fit ran). */
-  def semanticOracleSqls: Map[String, String] =
-    graft.kmeans.FitFinal.frozenFitCentroids.map { cs =>
-      val cents = cs.map { case (cid, v) =>
+  /** DuckDB oracles for [[semanticDedup]] and [[semanticDedupAuto]],
+    * carrying each pipeline's centroids as literals — same run-then-dump
+    * contract as [[graft.kmeans.FitFinal.oracleSqls]] (entries appear
+    * only after the corresponding query ran in this JVM). */
+  def semanticOracleSqls: Map[String, String] = {
+    val frozen = graft.kmeans.FitFinal.frozenFitCentroids
+      .map(cs => Map("dedup_semantic" -> semanticSql(cs.map(_._2))))
+      .getOrElse(Map.empty)
+    val scaled = lastScaledDir.flatMap(scaledReg.get)
+      .map(cs => Map("dedup_semantic_scaled" -> semanticSql(cs)))
+      .getOrElse(Map.empty)
+    frozen ++ scaled
+  }
+
+  private def semanticSql(cs: Array[Array[Double]]): String = {
+      val cents = cs.zipWithIndex.map { case (v, cid) =>
         v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
       }.mkString("cents AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
       def cosSql(x: String, y: String) =
         s"list_inner_product($x, $y) / (sqrt(list_inner_product($x, $x)) * sqrt(list_inner_product($y, $y)))"
-      Map("dedup_semantic" ->
-        s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |$cents,
            |d AS (SELECT p.vec_id, p.v, c.cid, list_distance(p.v, c.c) AS dist,
            |             ${cosSql("p.v", "c.c")} AS cosc
@@ -544,6 +607,6 @@ object Dedup {
            |        FROM hits)
            |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
            |       round(max(cosc), 6) AS cos_centroid, count(*) AS n_dups
-           |FROM rem GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin)
-    }.getOrElse(Map.empty)
+           |FROM rem GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin
+  }
 }

@@ -128,6 +128,37 @@ class DedupSpec extends AnyFunSuite {
     assert(removed.size < vecs.size)
   }
 
+  test("semanticDedupScaled k=1 degenerates to all-pairs dominance") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Dedup.semanticDedupScaled(spark, sf, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // with ONE bucket, every exact pair is within-cluster: removals must
+    // equal the dominance losers of the full cosineNearDup pair set,
+    // with cosc taken against the same k=1 trained centroid
+    val c = graft.kmeans.RefKMeans.fit(
+      graft.sources.Tables.points(spark, sf),
+      graft.kmeans.RefKMeans.Config(k = 1, maxIter = 5))
+      .centroids.head._2
+    val vecs = graft.sources.Tables.points(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosc(id: Long): Double = {
+      val v = vecs(id)
+      dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c)))
+    }
+    val losers = Dedup.cosineNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) =>
+        val ca = cosc(a); val cb = cosc(b)
+        if (ca > cb || (ca == cb && a > b)) a else b }
+    val want = losers.groupBy(identity)
+      .map { case (id, ls) => (id, 0L, ls.size.toLong) }.toSet
+    assert(got.toSet == want)
+  }
+
   test("simhash: identical docs have identical signatures, hamming 0") {
     val sigs = Dedup.simhashSignatures(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
