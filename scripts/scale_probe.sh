@@ -29,5 +29,5 @@ if [[ ! -f "$SF10/lineitem.parquet/_SUCCESS" ]]; then
 fi
 env SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=200 \
-    SPARK_GRAFT_SKIP=dedup_cosine,join_theta,dedup_semantic \
+    SPARK_GRAFT_SKIP=dedup_cosine,join_theta,dedup_semantic,dedup_semantic_recall \
     sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*'

@@ -289,6 +289,9 @@ object SparkEntry {
     // 5 capped Lloyd rounds, same pair+dominance pipeline — per-bucket
     // work stays bounded as the corpus grows
     "dedup_semantic_scaled" -> ((s, dir) => Dedup.semanticDedupAuto(s, dir)),
+    // bucketing recall of both semantic paths vs the exact sweep — the
+    // cross-cluster pair loss as a measured, oracle-checked number
+    "dedup_semantic_recall" -> ((s, dir) => Dedup.semanticRecall(s, dir)),
     // dedup ACTION: per duplicate cluster, keep the highest-quality
     // member (lowest doc_id on ties) — the decision record before a
     // 100 TB delete pass

@@ -521,17 +521,58 @@ object Dedup {
     * `queries` entry. Trained centroids land in a registry so the
     * oracle dump can carry the identical literals (run-then-dump, the
     * [[graft.kmeans.FitFinal]] contract). */
-  def semanticDedupAuto(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = scaledK(Tables.points(spark, sfDir).count())
-    val cs = trainBuckets(spark, sfDir, k, maxIter = 5)
-    scaledReg.put(sfDir, cs)
+  def semanticDedupAuto(spark: SparkSession, sfDir: String): DataFrame =
+    semanticFromCentroids(spark, sfDir, scaledCentroids(spark, sfDir),
+      threshold = 0.4)
+
+  /** Registry-backed [[scaledK]]-schedule bucketing centroids for
+    * `sfDir`: trained once per JVM (deterministic — one-pass seeds +
+    * capped Lloyd), shared by [[semanticDedupAuto]] and
+    * [[semanticRecall]] so the oracle literals match whichever query
+    * runs first. */
+  private[operators] def scaledCentroids(spark: SparkSession,
+      sfDir: String): Array[Array[Double]] = {
+    val cs = scaledReg.getOrElseUpdate(sfDir, {
+      val k = scaledK(Tables.points(spark, sfDir).count())
+      trainBuckets(spark, sfDir, k, maxIter = 5)
+    })
     lastScaledDir = Some(sfDir)
-    semanticFromCentroids(spark, sfDir, cs, threshold = 0.4)
+    cs
   }
 
   private val scaledReg =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   @volatile private var lastScaledDir: Option[String] = None
+
+  /** Bucketing recall of BOTH semantic-dedup paths vs the exact
+    * all-pairs sweep: what fraction of [[cosineNearDup]]'s pairs lands
+    * within one bucket under (a) the frozen k=8 fit and (b) the
+    * [[scaledK]] schedule. SemDeDup's known tradeoff is the
+    * cross-cluster pair it never examines — this query makes that loss
+    * a measured, oracle-checked number (the [[Similarity]] `ann_recall`
+    * convention). Contains the exact O(N²) baseline by construction, so
+    * it shares `dedup_cosine`'s declared scale contract (probe-excluded
+    * above gate scale). */
+  def semanticRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val frozen = graft.kmeans.FitFinal.result(spark, sfDir, "fit")
+      .centroids.sortBy(_._1).map(_._2)
+    val scaled = scaledCentroids(spark, sfDir)
+    val assign = Tables.points(spark, sfDir).select(col("id"),
+      VectorOps.nearestCidK(col("features"), frozen).as("cf"),
+      VectorOps.nearestCidK(col("features"), scaled).as("cs"))
+    cosineNearDup(spark, sfDir).select("vec_a", "vec_b")
+      .join(assign.select(col("id").as("vec_a"),
+        col("cf").as("cfa"), col("cs").as("csa")), "vec_a")
+      .join(assign.select(col("id").as("vec_b"),
+        col("cf").as("cfb"), col("cs").as("csb")), "vec_b")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("cfa") === col("cfb"), 1L).otherwise(0L)).as("n_frozen"),
+        sum(when(col("csa") === col("csb"), 1L).otherwise(0L)).as("n_scaled"))
+      .select(col("n_exact"), col("n_frozen"), col("n_scaled"),
+        round(col("n_frozen") / col("n_exact"), 6).as("recall_frozen"),
+        round(col("n_scaled") / col("n_exact"), 6).as("recall_scaled"))
+  }
 
   private def semanticFromCentroids(spark: SparkSession, sfDir: String,
       cs: Array[Array[Double]], threshold: Double): DataFrame = {
@@ -581,13 +622,50 @@ object Dedup {
     val scaled = lastScaledDir.flatMap(scaledReg.get)
       .map(cs => Map("dedup_semantic_scaled" -> semanticSql(cs)))
       .getOrElse(Map.empty)
-    frozen ++ scaled
+    val recall = for {
+      f <- graft.kmeans.FitFinal.frozenFitCentroids
+      s <- lastScaledDir.flatMap(scaledReg.get)
+    } yield Map("dedup_semantic_recall" -> recallSql(f.map(_._2), s))
+    frozen ++ scaled ++ recall.getOrElse(Map.empty)
+  }
+
+  private def centsValues(cs: Array[Array[Double]], name: String): String =
+    cs.zipWithIndex.map { case (v, cid) =>
+      v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(s"$name AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
+
+  private def recallSql(frozen: Array[Array[Double]],
+      scaled: Array[Array[Double]]): String = {
+    def cosSql(x: String, y: String) =
+      s"list_inner_product($x, $y) / (sqrt(list_inner_product($x, $x)) * sqrt(list_inner_product($y, $y)))"
+    def assignCte(cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, cid FROM (
+         |  SELECT p.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY p.vec_id
+         |                            ORDER BY list_distance(p.v, c.c), c.cid) AS rn
+         |  FROM pts p CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${centsValues(frozen, "cf")},
+       |${centsValues(scaled, "cs2")},
+       |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |        FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+       |        WHERE ${cosSql("a.v", "b.v")} >= 0.4),
+       |${assignCte("cf", "af")},
+       |${assignCte("cs2", "asc2")}
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN fa.cid = fb.cid THEN 1 ELSE 0 END) AS BIGINT) AS n_frozen,
+       |       CAST(sum(CASE WHEN sa.cid = sb.cid THEN 1 ELSE 0 END) AS BIGINT) AS n_scaled,
+       |       round(sum(CASE WHEN fa.cid = fb.cid THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall_frozen,
+       |       round(sum(CASE WHEN sa.cid = sb.cid THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall_scaled
+       |FROM prs
+       |JOIN af fa ON fa.vec_id = prs.va
+       |JOIN af fb ON fb.vec_id = prs.vb
+       |JOIN asc2 sa ON sa.vec_id = prs.va
+       |JOIN asc2 sb ON sb.vec_id = prs.vb""".stripMargin
   }
 
   private def semanticSql(cs: Array[Array[Double]]): String = {
-      val cents = cs.zipWithIndex.map { case (v, cid) =>
-        v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
-      }.mkString("cents AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
+      val cents = centsValues(cs, "cents")
       def cosSql(x: String, y: String) =
         s"list_inner_product($x, $y) / (sqrt(list_inner_product($x, $x)) * sqrt(list_inner_product($y, $y)))"
       s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -32,6 +32,7 @@ class PlanGateSpec extends AnyFunSuite {
     "dedup_recall" -> "1-row count aggregates cross-joined into the single metric row",
     "dedup_cosine" -> "exact all-pairs cosine baseline (the LSH/banded paths are the scale route)",
     "dedup_cosine_sampled" -> "the same declared-quadratic baseline, %5-sample-restricted so its oracle runs at every sweep sf",
+    "dedup_semantic_recall" -> "recall eval contains the exact all-pairs baseline by construction (dedup_cosine's declared contract)",
     "kmeans_dbi" -> "k x k centroid-pair relation - k rows, never data-sized",
     "sample_importance" -> "1-row token-totals aggregate broadcast-cross-joined onto the ratio projection")
 
