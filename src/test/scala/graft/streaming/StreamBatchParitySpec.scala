@@ -256,4 +256,65 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(got == want,
       s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
   }
+
+  test("parity: online SemDeDup == batch greedy replay, independent of micro-batch slicing") {
+    // Stream the sf0.001 embeddings in three vec_id-RANGE files with
+    // increasing mtimes, so the stream's arrival order (batch, then
+    // vec_id within batch) equals global vec_id order — the order the
+    // batch greedy replay processes. Then assert: (a) the survivors
+    // equal the replay exactly; (b) re-running with ALL files in one
+    // micro-batch yields the same survivors (slicing independence — the
+    // determinism a 100 TB ingest pipeline needs across repartitioned
+    // retries); (c) a capacity cap degrades both sides identically.
+    val pts = graft.sources.Tables.points(spark, sf)
+    val n = pts.count()
+    val cuts = Seq(n / 3, 2 * n / 3)
+    val src = Files.createTempDirectory("graft_semdedup_src").toString
+    val ranges = Seq(
+      col("id") < cuts(0),
+      col("id") >= cuts(0) && col("id") < cuts(1),
+      col("id") >= cuts(1))
+    ranges.zipWithIndex.foreach { case (pred, i) =>
+      val stage = Files.createTempDirectory("graft_semdedup_stage").toString
+      pts.filter(pred).coalesce(1)
+        .select(col("id").as("vec_id"), col("features"))
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    val cents = graft.kmeans.FitFinal.result(spark, sf, "fit")
+      .centroids.sortBy(_._1).map(_._2)
+    val points = pts.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val want = SemanticDedupStream.greedyReplay(points, cents)
+      .map(k => (k.vec_id, k.cid)).toSet
+    assert(want.nonEmpty && want.size < n,
+      "fixture must contain semantic dups so the filter actually drops rows")
+
+    def runStream(maxFiles: Int, capacity: Int, name: String): Set[(Long, Int)] = {
+      val stream = spark.readStream
+        .schema("vec_id LONG, features ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .parquet(src)
+      val q = SemanticDedupStream
+        .dedupStream(spark, stream, cents, capacity = capacity)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+
+    assert(runStream(1, 0, "p_semdedup") == want,
+      "per-file micro-batches must equal the batch greedy replay")
+    assert(runStream(10, 0, "p_semdedup_onebatch") == want,
+      "one-big-batch slicing must not change the survivor set")
+    val capWant = SemanticDedupStream.greedyReplay(points, cents, capacity = 3)
+      .map(k => (k.vec_id, k.cid)).toSet
+    assert(runStream(1, 3, "p_semdedup_cap") == capWant,
+      "FIFO capacity eviction must degrade stream and replay identically")
+  }
 }
