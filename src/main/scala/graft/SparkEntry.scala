@@ -206,6 +206,9 @@ object SparkEntry {
     // DSIR-style importance resampling: per-doc target/corpus unigram
     // likelihood ratio + deterministic proportional keep decision
     "sample_importance" -> ((s, dir) => Pipeline.importanceSample(s, dir)),
+    // temperature mixture rebalancing (T=2: sqrt is IEEE-exact, so both
+    // engines derive bit-identical weights from integer counts)
+    "sample_temperature" -> ((s, dir) => Pipeline.temperatureSample(s, dir)),
     "decontaminate" -> ((s, dir) => Pipeline.decontaminate(s, dir)),
     "text_repetition" -> ((s, dir) => Pipeline.repetitionStats(s, dir)),
     "profile_columns" -> ((s, dir) => Relational.profileColumns(s, dir)))
@@ -959,6 +962,7 @@ object SparkEntry {
     "text_pii_scrub" -> Pipeline.piiScrubOracle,
     "sample_stratified" -> Pipeline.stratifiedSampleOracle,
     "sample_importance" -> Pipeline.importanceSampleOracle,
+    "sample_temperature" -> Pipeline.temperatureSampleOracle,
     "decontaminate" -> Pipeline.decontaminateOracle,
     "text_repetition" -> Pipeline.repetitionStatsOracle,
     "profile_columns" -> Relational.profileColumnsOracle)

@@ -231,6 +231,54 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based source-mixture rebalancing (the multilingual
+    * sampling step of mBERT/XLM-R-style pipelines: sample languages
+    * ∝ share^(1/T) to up-weight the tail): per-language keep rates for
+    * a half-corpus budget at T = 2 — chosen because p^(1/2) = sqrt is
+    * IEEE-correctly-rounded, so both engines derive bit-identical
+    * mixture weights from the same integer counts (a pow-based T would
+    * ride libm differences). keep_permille_g =
+    * min(1000, floor(round(1000·(N/2)·(sqrt(n_g)/Z)/n_g, 6))) with
+    * Z = Σ sqrt(n_h); the per-doc admit is the shared md5-permille
+    * device (reproducible, partition/retry stable).
+    *
+    * Scale shape: counts are a lang-sized aggregate (broadcast), the
+    * totals a 1-row broadcast cross join — the corpus never reshuffles;
+    * the decision projection is one narrow codegen pass. */
+  def temperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+    val z = counts.agg(sum(sqrt(col("n_g"))).as("z"), sum("n_g").as("n"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_g"),
+        least(lit(1000L),
+          floor(round(lit(1000.0) * (col("n") * lit(0.5)) *
+            (sqrt(col("n_g")) / col("z")) / col("n_g"), 6)).cast("long"))
+          .as("keep_permille"))
+    docs.join(broadcast(rates.select("lang", "keep_permille")), "lang")
+      .select(col("doc_id"), col("lang"), col("keep_permille"),
+        (pmod(HashOps.wordHashN(concat(lit("temp:"), col("doc_id").cast("string")), 15),
+          lit(1000L)) < col("keep_permille")).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[temperatureSample]] — identical expression order
+    * in the rate arithmetic. */
+  def temperatureSampleOracle: String =
+    s"""WITH d AS (SELECT doc_id, lang FROM documents),
+       |c AS (SELECT lang, count(*) AS n_g FROM d GROUP BY lang),
+       |z AS (SELECT sum(sqrt(n_g)) AS z, sum(n_g) AS n FROM c),
+       |rates AS (SELECT c.lang, c.n_g,
+       |                 least(1000, CAST(floor(round(1000.0 * (z.n * 0.5)
+       |                   * (sqrt(c.n_g) / z.z) / c.n_g, 6)) AS BIGINT)) AS keep_permille
+       |          FROM c CROSS JOIN z),
+       |k AS (SELECT doc_id, lang, keep_permille, ${HashOps.wordHashSqlN(15)} AS hk
+       |      FROM (SELECT d.doc_id, d.lang, r.keep_permille, md5('temp:' || d.doc_id) AS m
+       |            FROM d JOIN rates r USING (lang)))
+       |SELECT doc_id, lang, keep_permille,
+       |       CAST(hk % 1000 < keep_permille AS BIGINT) AS kept
+       |FROM k ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of [[importanceSample]]. */
   def importanceSampleOracle: String =
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

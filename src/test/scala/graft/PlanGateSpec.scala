@@ -34,7 +34,8 @@ class PlanGateSpec extends AnyFunSuite {
     "dedup_cosine_sampled" -> "the same declared-quadratic baseline, %5-sample-restricted so its oracle runs at every sweep sf",
     "dedup_semantic_recall" -> "recall eval contains the exact all-pairs baseline by construction (dedup_cosine's declared contract)",
     "kmeans_dbi" -> "k x k centroid-pair relation - k rows, never data-sized",
-    "sample_importance" -> "1-row token-totals aggregate broadcast-cross-joined onto the ratio projection")
+    "sample_importance" -> "1-row token-totals aggregate broadcast-cross-joined onto the ratio projection",
+    "sample_temperature" -> "1-row corpus-totals aggregate broadcast-cross-joined onto the lang-sized rate relation")
 
   test("no undeclared query plans a cartesian product or nested-loop join") {
     val offenders = Seq.newBuilder[String]

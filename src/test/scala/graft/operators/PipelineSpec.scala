@@ -29,6 +29,32 @@ class PipelineSpec extends AnyFunSuite {
     d
   }
 
+  test("temperatureSample: uniform mixture keeps the budget rate; skew flattens toward the tail") {
+    import spark.implicits._
+    // the shared fixture is UNIFORM (5 langs x 8 docs): T=2 leaves a
+    // uniform mixture at exactly the half-corpus budget — permille 500
+    // for every language
+    val rows = Pipeline.temperatureSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 40)
+    assert(rows.forall(_._3 == 500L), "uniform mixture must rate 500 everywhere")
+    // deterministic admit: identical on re-run
+    val again = Pipeline.temperatureSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+    // skewed twin: 30 en / 10 zh. Z = sqrt(30)+sqrt(10) = 8.639528...;
+    // en: floor(1000*20*(sqrt(30)/Z)/30) = 422, zh: ... = 732 — the
+    // head is cut below its share (500-equivalent) and the tail raised
+    val d2 = Files.createTempDirectory("graft_pipeline_skew").toString
+    (0 until 40).map { i =>
+      (i.toLong, "w", if (i < 30) "en" else "zh", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val rates = Pipeline.temperatureSample(spark, d2).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rates == Map("en" -> 422L, "zh" -> 732L))
+  }
+
   test("packSequences: per-shard greedy concat-split accounting") {
     val rows = Pipeline.packSequences(spark, dir, budget = 10L, nShards = 4)
       .collect()
