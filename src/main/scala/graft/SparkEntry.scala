@@ -310,6 +310,9 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_sq_topk" -> ((s, dir) => Similarity.sqTopK(s, dir)),
+    // product quantization: 8 nibble codes per vector (64x compression),
+    // asymmetric-distance candidate scan + exact rerank
+    "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)))
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -497,6 +500,8 @@ object SparkEntry {
       graft.kmeans.FitFinal.oracleSqls ++
       // SemDeDup shares the frozen fit's centroid literals
       Dedup.semanticOracleSqls ++
+      // PQ carries its frozen per-subspace codebooks the same way
+      Similarity.pqOracleSqls ++
       // trajectory oracles depend on the round count each query ran —
       // same run-then-dump contract (one per fit family: embeddings,
       // ts micro-units, standardized lineitem micro-units)

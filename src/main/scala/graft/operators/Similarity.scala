@@ -213,6 +213,137 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // --------------------------------------------------- product quantization
+
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16-entry codebooks →
+    * 8 nibble codes (64 bits) per vector, 64× smaller than float64. */
+  val PQ_M = 8
+  val PQ_DS = 8
+  val PQ_KS = 16
+
+  /** Product-quantized ANN (Jégou et al. 2011 — the FAISS PQ shape,
+    * completing the compression family next to [[sqTopK]]'s SQ8):
+    * each vector compresses to [[PQ_M]] nibble codes against per-subspace
+    * codebooks trained by a seeded capped Lloyd fit over the subspace
+    * projections (a codebook is a partitioner — one-pass sampled seeds,
+    * 2 rounds, no convergence claim: the IVF-trainer contract). Queries
+    * stay full precision and candidates rank by ASYMMETRIC distance:
+    * the per-subspace exact squared distance between the query
+    * sub-vector and the codebook entry the candidate's code names,
+    * summed in fixed subspace order. This is the memory-bandwidth play
+    * at 100 TB — the scan touches 8 bytes per vector (a production
+    * deployment precomputes the per-query m×ks lookup table instead of
+    * re-deriving entries; arithmetic and ranks are identical). Top
+    * `rerank` by (adc, n_id), then the exact-cosine tail shared with
+    * SQ8. Codebooks freeze into a registry so the DuckDB oracle replays
+    * encode + ADC + both ranks from identical literals. */
+  def pqTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, rerank: Int = 20): DataFrame = {
+    val p = points(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbs = pqCodebooks(spark, sfDir)
+    def sub(c: Column, s: Int) = slice(c, s * PQ_DS + 1, PQ_DS)
+    val enc = p.select(col("vec_id") +: (0 until PQ_M).map(s =>
+      nearestCidK(sub(col("v"), s), cbs(s)).as(s"c$s")): _*)
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cbLits = cbs.map(cb => array(cb.map(e =>
+      array(e.toIndexedSeq.map(lit(_)): _*)).toIndexedSeq: _*))
+    // ADC: per-subspace sqDist kernels summed left-associatively — the
+    // oracle parenthesizes each subspace sum the same way (IEEE addition
+    // is not associative; grouping is part of the cross-engine contract)
+    val adc = (0 until PQ_M).map(s =>
+      sqDist(sub(col("qv"), s), element_at(cbLits(s), col(s"c$s") + 1)))
+      .reduce(_ + _)
+    val candScored = enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), adc.as("adc"))
+    val candOrd = Seq(asc("adc"), asc("n_id"))
+    val cand = Relational.topkPerGroup(candScored, Seq(col("q_id")), candOrd, rerank)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(candOrd: _*)))
+      .filter(col("rn") <= rerank)
+      .select(col("q_id"), col("n_id"))
+    val scored = cand
+      .join(p.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Registry-backed per-subspace codebooks for `sfDir` (trained once
+    * per JVM, deterministic) — shared by [[pqTopK]] and the oracle dump
+    * (run-then-dump, the [[graft.kmeans.FitFinal]] contract). */
+  private[operators] def pqCodebooks(spark: SparkSession,
+      sfDir: String): Array[Array[Array[Double]]] = {
+    val cbs = pqReg.getOrElseUpdate(sfDir, {
+      val p = points(spark, sfDir)
+      (0 until PQ_M).map { s =>
+        val subPts = p.select(col("vec_id").as("id"),
+          slice(col("v"), s * PQ_DS + 1, PQ_DS).as("features"))
+        val seeds = subPts
+          .orderBy(xxhash64(col("id"), lit(1000L + s)), col("id"))
+          .limit(PQ_KS).collect().map(_.getSeq[Double](1).toArray)
+        graft.kmeans.RefKMeans.fit(subPts, graft.kmeans.RefKMeans.Config(
+          k = PQ_KS, maxIter = 2, initialCentroids = Some(seeds)))
+          .centroids.sortBy(_._1).map(_._2)
+      }.toArray
+    })
+    pqLastDir = Some(sfDir)
+    cbs
+  }
+
+  private val pqReg = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+  @volatile private var pqLastDir: Option[String] = None
+
+  /** DuckDB oracle for [[pqTopK]] — frozen codebook literals, encode via
+    * per-subspace argmin, ADC with the identical per-subspace grouping,
+    * both ranking stages. Empty until the query ran in this JVM. */
+  def pqOracleSqls: Map[String, String] =
+    pqLastDir.flatMap(pqReg.get).map { cbs =>
+      def cbCte(s: Int): String =
+        cbs(s).zipWithIndex.map { case (v, cid) =>
+          v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
+        }.mkString(s"cb$s AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
+      def distExpr(vec: String, cb: String, s: Int): String =
+        (0 until PQ_DS).map { i =>
+          val t = s"($vec[${s * PQ_DS + i + 1}] - $cb.c[${i + 1}])"
+          s"$t * $t"
+        }.mkString("(", " + ", ")")
+      val encCtes = (0 until PQ_M).map { s =>
+        s"""e$s AS (SELECT vec_id, cid AS c$s FROM (
+           |  SELECT p.vec_id, b.cid,
+           |         row_number() OVER (PARTITION BY p.vec_id
+           |                            ORDER BY ${distExpr("p.v", "b", s)}, b.cid) AS rn
+           |  FROM p CROSS JOIN cb$s b) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val encJoin = (0 until PQ_M).map(s => s"JOIN e$s USING (vec_id)").mkString(" ")
+      val adcJoins = (0 until PQ_M).map(s => s"JOIN cb$s b$s ON b$s.cid = enc.c$s").mkString(" ")
+      val adcExpr = (0 until PQ_M).map(s => distExpr("q.qv", s"b$s", s)).mkString(" + ")
+      Map("ann_pq_topk" ->
+        s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${(0 until PQ_M).map(cbCte).mkString(",\n")},
+           |$encCtes,
+           |enc AS (SELECT p.vec_id, ${(0 until PQ_M).map(s => s"e$s.c$s").mkString(", ")}
+           |        FROM p $encJoin),
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $nQueriesDefault),
+           |sc AS (SELECT q.q_id, enc.vec_id AS n_id, $adcExpr AS adc
+           |       FROM enc JOIN q ON enc.vec_id <> q.q_id $adcJoins),
+           |cand AS (SELECT q_id, n_id FROM
+           |           (SELECT q_id, n_id,
+           |              row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM sc)
+           |         WHERE rn <= 20),
+           |s AS (SELECT c.q_id, c.n_id,
+           |             list_inner_product(qp.v, np.v) / (sqrt(list_inner_product(qp.v, qp.v)) * sqrt(list_inner_product(np.v, np.v))) AS cos
+           |      FROM cand c JOIN p qp ON qp.vec_id = c.q_id JOIN p np ON np.vec_id = c.n_id)
+           |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+           |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+           |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin)
+    }.getOrElse(Map.empty)
+
+  private val nQueriesDefault = 10
+
   /** ANN quality evaluation, mirroring [[Dedup]]'s `dedup_recall`:
     * recall@k of the three approximate paths — the trained-IVF probe,
     * the SQ8 integer scan, and the hyperplane-LSH banding — against the

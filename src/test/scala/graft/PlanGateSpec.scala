@@ -28,6 +28,7 @@ class PlanGateSpec extends AnyFunSuite {
     "join_theta" -> "the operator under test IS a non-equi theta join",
     "ann_brute_topk" -> "exact baseline: query batch (10 rows) broadcast against the corpus by design",
     "ann_sq_topk" -> "quantized exact scan: same broadcast-query-batch shape as brute",
+    "ann_pq_topk" -> "PQ code scan: same broadcast-query-batch shape as brute (8 bytes/vector at scale)",
     "ann_recall" -> "evaluation harness over brute/sq (their NLJs) + 1-row count cross-joins",
     "dedup_recall" -> "1-row count aggregates cross-joined into the single metric row",
     "dedup_cosine" -> "exact all-pairs cosine baseline (the LSH/banded paths are the scale route)",

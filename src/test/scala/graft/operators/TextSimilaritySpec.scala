@@ -39,7 +39,8 @@ class TextSimilaritySpec extends AnyFunSuite {
 
   test("every ANN variant returns contiguous ranks, bounded cosines, no self-matches") {
     for (df <- Seq(Similarity.bruteTopK(spark, sf), Similarity.ivfTopK(spark, sf),
-        Similarity.lshTopK(spark, sf), Similarity.sqTopK(spark, sf))) {
+        Similarity.lshTopK(spark, sf), Similarity.sqTopK(spark, sf),
+        Similarity.pqTopK(spark, sf))) {
       val rows = df.collect()
       assert(rows.nonEmpty)
       rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
@@ -57,7 +58,7 @@ class TextSimilaritySpec extends AnyFunSuite {
     val best = Similarity.bruteTopK(spark, sf).filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     for (df <- Seq(Similarity.ivfTopK(spark, sf), Similarity.lshTopK(spark, sf),
-        Similarity.sqTopK(spark, sf))) {
+        Similarity.sqTopK(spark, sf), Similarity.pqTopK(spark, sf))) {
       df.filter(col("rank") === 1).collect().foreach { r =>
         assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-9,
           s"approximate variant exceeded the exact optimum for query ${r.getLong(0)}")
@@ -74,6 +75,16 @@ class TextSimilaritySpec extends AnyFunSuite {
     val want = Similarity.bruteTopK(spark, sf).collect().map(_.toSeq).toSeq
     assert(got == want && want.nonEmpty)
     spark.catalog.clearCache() // sqTopK's cache contract: caller releases
+  }
+
+  test("PQ with a full-corpus rerank pool degenerates to exact brute force") {
+    // same argument as SQ8: when every candidate is reranked, the ADC
+    // scan is only a candidate ORDER and cannot change the answer
+    val n = graft.sources.Tables(spark, sf, "embeddings").count().toInt
+    val got = Similarity.pqTopK(spark, sf, rerank = n).collect().map(_.toSeq).toSeq
+    val want = Similarity.bruteTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == want && want.nonEmpty)
+    spark.catalog.clearCache()
   }
 
   test("IVF layout probe: partition-pruned scan, identical results") {
