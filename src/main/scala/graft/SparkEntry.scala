@@ -1262,22 +1262,32 @@ object SparkEntry {
 
   private def annOracle: Map[String, String] = {
     val base = annOracleBase
-    // recall metric: the three top-k pipelines verbatim as subqueries
-    // (DuckDB allows WITH inside a FROM subquery), joined on (q_id, n_id)
-    base + ("ann_recall" ->
-      s"""WITH b AS (SELECT q_id, n_id FROM (${base("ann_brute_topk")})),
-         |     i AS (SELECT q_id, n_id FROM (${base("ann_ivf_trained")})),
-         |     s AS (SELECT q_id, n_id FROM (${base("ann_sq_topk")})),
-         |     l AS (SELECT q_id, n_id FROM (${base("ann_lsh_topk")})),
-         |     c AS (SELECT (SELECT count(*) FROM b) AS n_brute,
-         |                  (SELECT count(*) FROM b JOIN i USING (q_id, n_id)) AS n_hit_ivf,
-         |                  (SELECT count(*) FROM b JOIN s USING (q_id, n_id)) AS n_hit_sq,
-         |                  (SELECT count(*) FROM b JOIN l USING (q_id, n_id)) AS n_hit_lsh)
-         |SELECT n_brute, n_hit_ivf, n_hit_sq, n_hit_lsh,
-         |       round(n_hit_ivf * 1.0 / n_brute, 6) AS recall_ivf,
-         |       round(n_hit_sq * 1.0 / n_brute, 6) AS recall_sq,
-         |       round(n_hit_lsh * 1.0 / n_brute, 6) AS recall_lsh
-         |FROM c""".stripMargin)
+    // recall metric: the four top-k pipelines verbatim as subqueries
+    // (DuckDB allows WITH inside a FROM subquery), joined on (q_id, n_id).
+    // The PQ leg's SQL is dynamic (frozen codebook literals, present once
+    // recallEval ran pqTopK in this JVM — Verify's run-then-dump order
+    // guarantees that); without it the oracle degrades to absent, i.e.
+    // the rows-only check, never to stale literals.
+    Similarity.pqOracleSqls.get("ann_pq_topk") match {
+      case None => base
+      case Some(pqSql) => base + ("ann_recall" ->
+        s"""WITH b AS (SELECT q_id, n_id FROM (${base("ann_brute_topk")})),
+           |     i AS (SELECT q_id, n_id FROM (${base("ann_ivf_trained")})),
+           |     s AS (SELECT q_id, n_id FROM (${base("ann_sq_topk")})),
+           |     l AS (SELECT q_id, n_id FROM (${base("ann_lsh_topk")})),
+           |     pq AS (SELECT q_id, n_id FROM ($pqSql)),
+           |     c AS (SELECT (SELECT count(*) FROM b) AS n_brute,
+           |                  (SELECT count(*) FROM b JOIN i USING (q_id, n_id)) AS n_hit_ivf,
+           |                  (SELECT count(*) FROM b JOIN s USING (q_id, n_id)) AS n_hit_sq,
+           |                  (SELECT count(*) FROM b JOIN l USING (q_id, n_id)) AS n_hit_lsh,
+           |                  (SELECT count(*) FROM b JOIN pq USING (q_id, n_id)) AS n_hit_pq)
+           |SELECT n_brute, n_hit_ivf, n_hit_sq, n_hit_lsh, n_hit_pq,
+           |       round(n_hit_ivf * 1.0 / n_brute, 6) AS recall_ivf,
+           |       round(n_hit_sq * 1.0 / n_brute, 6) AS recall_sq,
+           |       round(n_hit_lsh * 1.0 / n_brute, 6) AS recall_lsh,
+           |       round(n_hit_pq * 1.0 / n_brute, 6) AS recall_pq
+           |FROM c""".stripMargin)
+    }
   }
 
   private def annOracleBase: Map[String, String] = Map(

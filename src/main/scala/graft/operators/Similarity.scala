@@ -360,18 +360,23 @@ object Similarity {
     val ivf = ivfTrainedTopK(spark, sfDir).select(col("q_id"), col("n_id"))
     val sq = sqTopK(spark, sfDir).select(col("q_id"), col("n_id"))
     val lsh = lshTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+    val pq = pqTopK(spark, sfDir).select(col("q_id"), col("n_id"))
     val hitIvf = brute.join(ivf, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit_ivf"))
     val hitSq = brute.join(sq, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit_sq"))
     val hitLsh = brute.join(lsh, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit_lsh"))
+    val hitPq = brute.join(pq, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit_pq"))
     brute.agg(count(lit(1)).as("n_brute"))
-      .crossJoin(hitIvf).crossJoin(hitSq).crossJoin(hitLsh)
-      .select(col("n_brute"), col("n_hit_ivf"), col("n_hit_sq"), col("n_hit_lsh"),
+      .crossJoin(hitIvf).crossJoin(hitSq).crossJoin(hitLsh).crossJoin(hitPq)
+      .select(col("n_brute"), col("n_hit_ivf"), col("n_hit_sq"),
+        col("n_hit_lsh"), col("n_hit_pq"),
         round(col("n_hit_ivf") * lit(1.0) / col("n_brute"), 6).as("recall_ivf"),
         round(col("n_hit_sq") * lit(1.0) / col("n_brute"), 6).as("recall_sq"),
-        round(col("n_hit_lsh") * lit(1.0) / col("n_brute"), 6).as("recall_lsh"))
+        round(col("n_hit_lsh") * lit(1.0) / col("n_brute"), 6).as("recall_lsh"),
+        round(col("n_hit_pq") * lit(1.0) / col("n_brute"), 6).as("recall_pq"))
   }
 
   /** Shared exact finisher for the ANN variants: per-query cosine top-k.
