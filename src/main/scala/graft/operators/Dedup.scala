@@ -575,6 +575,13 @@ object Dedup {
   }
 
   private def semanticFromCentroids(spark: SparkSession, sfDir: String,
+      cs: Array[Array[Double]], threshold: Double): DataFrame =
+    semanticFromPoints(Tables.points(spark, sfDir), cs, threshold)
+
+  /** Pipeline over an explicit (id, features) relation — the injection
+    * point the retry-chaos gate wraps (production entry points pass the
+    * sfDir tables). */
+  private[operators] def semanticFromPoints(points: DataFrame,
       cs: Array[Array[Double]], threshold: Double): DataFrame = {
     // cos to the ASSIGNED centroid: k literal dots per row picked by the
     // argmin kernel's cid — same per-row cost class as the assignment
@@ -584,7 +591,7 @@ object Dedup {
         val cl = array(c.toIndexedSeq.map(lit(_)): _*)
         VectorOps.dot(col("v"), cl) / (col("nrm") * VectorOps.l2norm(cl))
       }.toIndexedSeq: _*), col("cid") + 1)
-    val a = Tables.points(spark, sfDir)
+    val a = points
       .select(col("id").as("vec_id"), col("features").as("v"),
         VectorOps.l2norm(col("features")).as("nrm"),
         VectorOps.nearestCidK(col("features"), cs).as("cid"))

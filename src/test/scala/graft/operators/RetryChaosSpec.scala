@@ -152,6 +152,30 @@ class RetryChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       "recenter aggregate diverged across a fetch-failure map-stage re-run")
   }
 
+  test("semantic dedup is bit-identical when every first task attempt dies") {
+    // round-8 family: self-join on bucket + float dominance + max/count
+    // aggregate. The dominance rule compares UNROUNDED cos-to-centroid
+    // values, so this gate proves the kernel recompute on the retried
+    // partition reproduces them bit-for-bit (the assumption the oracle
+    // convention rests on — FIXTURES.md r8).
+    val points = graft.sources.Tables.points(spark, sf)
+    val cents = graft.kmeans.RefKMeans.fit(points,
+      RefKMeans.Config(k = 4, firstId = Some(0L)))
+      .centroids.sortBy(_._1).map(_._2)
+    spark.catalog.clearCache()
+    def run(wrap: DataFrame => DataFrame): Set[Seq[Any]] = {
+      val out = Dedup.semanticFromPoints(wrap(points), cents, threshold = 0.4)
+        .collect().map(_.toSeq).toSet
+      spark.catalog.clearCache()
+      out
+    }
+    val clean = run(identity)
+    val chaotic = run(chaos)
+    assert(clean.nonEmpty, "fixture must contain within-cluster near-dups")
+    assert(chaotic == clean,
+      "semantic dedup under injected task failures diverged from the clean run")
+  }
+
   test("GIF encode codec stage is byte-identical when every first task attempt dies") {
     def run(wrap: DataFrame => DataFrame): Map[Long, String] = {
       val out = wrap(Multimodal.gifMedia(spark, sf).toDF())
