@@ -326,6 +326,9 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(s, dir)),
     "sketch_cms" -> ((s, dir) => TextAnalysis.cmsEstimates(s, dir)),
     "text_chargrams" -> ((s, dir) => TextAnalysis.charTrigrams(s, dir)),
+    // MOSS winnowing: windowed-min fingerprint selection — matches of
+    // length >= w+k-1 always share a fingerprint
+    "text_winnow" -> ((s, dir) => TextAnalysis.winnow(s, dir)),
     "text_bigrams" -> ((s, dir) => TextAnalysis.bigramLM(s, dir)),
     // per-doc LM quality score vs the corpus bigram model (CCNet-style
     // perplexity-filter signal, in oracle-exact probability space)
@@ -1457,6 +1460,29 @@ object SparkEntry {
           |           FROM documents)
           |SELECT g, count(*) AS cf FROM g GROUP BY g
           |ORDER BY cf DESC, g LIMIT 30""".stripMargin,
+      // winnowing: k=8 grams, w=4 windows, 40-bit hash, rightmost-min
+      // packed as hm*2^20 + (2^20-1-pos) so the frame argmin is one
+      // integer MIN in both engines
+      "text_winnow" ->
+        s"""WITH g0 AS (SELECT doc_id,
+           |              CASE WHEN length(text) >= 8
+           |                   THEN list_transform(generate_series(1, length(text) - 7),
+           |                                       i -> substring(text, i, 8))
+           |                   ELSE [] END AS gs
+           |            FROM documents),
+           |g1 AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS g FROM g0),
+           |gh AS (SELECT doc_id, pos,
+           |              ((${HashOps.wordHashSqlN(15)}) % 1099511627776) * 1048576
+           |                + (1048575 - pos) AS packed
+           |       FROM (SELECT doc_id, pos, md5(g) AS m FROM g1 WHERE pos < 1048575)),
+           |w AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS cnt,
+           |             min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+           |                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+           |      FROM gh),
+           |f AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos <= cnt - 4)
+           |SELECT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp,
+           |       CAST(1048575 - (sel % 1048576) AS BIGINT) AS fp_pos
+           |FROM f ORDER BY doc_id, fp_pos, fp""".stripMargin,
       "sketch_cms" -> {
         val W = TextAnalysis.CMS_WIDTH
         val D = TextAnalysis.CMS_DEPTH

@@ -149,6 +149,52 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * — the MOSS local fingerprinting algorithm): hash every k-char
+    * gram, slide a w-gram window, and per FULL window select the
+    * minimal hash — RIGHTMOST position on ties, the paper's rule;
+    * distinct selections are the document's fingerprints. Guarantees at
+    * least one fingerprint in every w consecutive grams, so any shared
+    * substring of length ≥ w+k−1 is always detected — the robust middle
+    * ground between exact window stats ([[graft.operators.Dedup
+    * .substringDupStats]]) and whole-document hashes ([[fingerprint]]).
+    *
+    * Determinism device: the (hash, rightmost-pos) argmin packs into
+    * ONE BIGINT — hm·2^20 + (2^20−1−pos), hm the 40-bit word hash — so
+    * the frame reduction is an integer MIN both engines evaluate
+    * identically and the fingerprint + position decode back out of the
+    * packed value. Positions cap at 2^20 grams/doc (filtered
+    * identically on both sides; the fixtures max far below).
+    *
+    * Scale shape: one narrow gram pass (native [[graft.plans.CharGrams]]
+    * kernel), one per-doc window (the only shuffle, keyed by doc_id),
+    * one distinct. Expected fingerprint density is 2/(w+1) of the gram
+    * stream — the index a 100 TB near-dup system actually stores. */
+  def winnow(spark: SparkSession, sfDir: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.expressions.Window
+    val posCap = (1L << 20) - 1
+    val grams = column(graft.plans.CharGrams(expression(col("text")), k))
+    val g = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
+      .filter(col("pos") < posCap)
+      .select(col("doc_id"), col("pos"),
+        (pmod(graft.functions.HashOps.wordHashN(col("g"), 15), lit(1L << 40)) * lit(posCap + 1)
+          + (lit(posCap) - col("pos"))).as("packed"))
+    val byDoc = Window.partitionBy("doc_id")
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, w - 1)
+    g.withColumn("cnt", count(lit(1)).over(byDoc))
+      .withColumn("sel", min("packed").over(frame))
+      .filter(col("pos") <= col("cnt") - w)
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"),
+        expr(s"sel div ${posCap + 1}").as("fp"),
+        (lit(posCap) - pmod(col("sel"), lit(posCap + 1))).as("fp_pos"))
+      .orderBy("doc_id", "fp_pos", "fp")
+  }
+
   /** TF-IDF top-k terms per document. idf is the rational N/df (NOT
     * log-scaled: ln is libm-dependent and not bit-portable across
     * engines — FIXTURES.md §C; the induced ranking is identical for

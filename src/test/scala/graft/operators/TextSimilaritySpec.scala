@@ -17,6 +17,34 @@ class TextSimilaritySpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("winnowing guarantee: docs sharing a >= w+k-1 substring share a fingerprint") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    // k=8, w=4: any shared substring of length >= 11 must always yield a
+    // shared fingerprint HASH (Schleimer et al. theorem 1); doc 2 shares
+    // no 8-gram with the others, so it must share no fingerprint
+    val shared = "thequickbrownfox" // 16 chars >> 11
+    Seq(
+      (0L, s"aaaaaaaaaa${shared}aaaaaaaaaa", "en", "s", 36L),
+      (1L, s"zzzz${shared}zzzzzzzzzzzzzzzz", "en", "s", 36L),
+      (2L, "0123456789012345678901234567890123456789", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val fps = TextAnalysis.winnow(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "a 16-char shared substring must produce a shared fingerprint")
+    assert((fps(0L) & fps(2L)).isEmpty && (fps(1L) & fps(2L)).isEmpty,
+      "disjoint gram sets must not share fingerprints")
+    // selection density: every window of w grams contains a selection,
+    // so gaps between consecutive selected positions are < w + w
+    val pos0 = TextAnalysis.winnow(spark, d).filter(col("doc_id") === 0L)
+      .select("fp_pos").collect().map(_.getLong(0)).sorted
+    assert(pos0.zip(pos0.tail).forall { case (a, b) => b - a <= 4 },
+      "winnowing must select at least one fingerprint per window stride")
+  }
+
   test("count-min estimates are always >= the true frequency") {
     val rows = TextAnalysis.cmsEstimates(spark, sf).collect()
     assert(rows.nonEmpty)
