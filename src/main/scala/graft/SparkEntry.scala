@@ -505,6 +505,9 @@ object SparkEntry {
       Dedup.semanticOracleSqls ++
       // PQ carries its frozen per-subspace codebooks the same way
       Similarity.pqOracleSqls ++
+      // temperature mixture carries its driver-folded (n, Z) literals
+      // (pinned summation order — ADVICE r9)
+      Pipeline.temperatureSampleOracles ++
       // trajectory oracles depend on the round count each query ran —
       // same run-then-dump contract (one per fit family: embeddings,
       // ts micro-units, standardized lineitem micro-units)
@@ -970,7 +973,6 @@ object SparkEntry {
     "text_pii_scrub" -> Pipeline.piiScrubOracle,
     "sample_stratified" -> Pipeline.stratifiedSampleOracle,
     "sample_importance" -> Pipeline.importanceSampleOracle,
-    "sample_temperature" -> Pipeline.temperatureSampleOracle,
     "decontaminate" -> Pipeline.decontaminateOracle,
     "text_repetition" -> Pipeline.repetitionStatsOracle,
     "profile_columns" -> Relational.profileColumnsOracle)

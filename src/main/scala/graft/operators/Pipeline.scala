@@ -247,13 +247,21 @@ object Pipeline {
     * the decision projection is one narrow codegen pass. */
   def temperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+    // Z = Σ sqrt(n_g) is an order-dependent double sum: Spark's partial-
+    // agg combine order and DuckDB's scan order can differ in the last
+    // ulp and flip floor(round(·,6)) exactly at a permille boundary
+    // (ADVICE r8). Pin it: collect the lang-sized counts (bounded — one
+    // row per language, single digits here, thousands at worst in a real
+    // corpus) and fold sqrt in sorted-lang order on the driver; both the
+    // plan and the oracle then carry the SAME (n, z) literals, so the
+    // rate arithmetic is bit-identical across engines.
+    val (n, z) = tempStats(spark, sfDir)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
-    val z = counts.agg(sum(sqrt(col("n_g"))).as("z"), sum("n_g").as("n"))
-    val rates = counts.crossJoin(broadcast(z))
+    val rates = counts
       .select(col("lang"), col("n_g"),
         least(lit(1000L),
-          floor(round(lit(1000.0) * (col("n") * lit(0.5)) *
-            (sqrt(col("n_g")) / col("z")) / col("n_g"), 6)).cast("long"))
+          floor(round(lit(1000.0) * (lit(n) * lit(0.5)) *
+            (sqrt(col("n_g")) / lit(z)) / col("n_g"), 6)).cast("long"))
           .as("keep_permille"))
     docs.join(broadcast(rates.select("lang", "keep_permille")), "lang")
       .select(col("doc_id"), col("lang"), col("keep_permille"),
@@ -262,22 +270,47 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** (total docs, Z = Σ_g sqrt(n_g) folded in sorted-lang order) for
+    * `sfDir` — registry-backed so the oracle dump replays the exact
+    * literals the plan used (run-then-dump, the
+    * [[graft.kmeans.FitFinal]] contract). */
+  private def tempStats(spark: SparkSession, sfDir: String): (Long, Double) = {
+    val st = tempReg.getOrElseUpdate(sfDir, {
+      val counts = Tables(spark, sfDir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_g"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      (counts.map(_._2).sum,
+        counts.foldLeft(0.0) { case (acc, (_, ng)) => acc + math.sqrt(ng.toDouble) })
+    })
+    tempLastDir = Some(sfDir)
+    st
+  }
+  private val tempReg =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Double)]
+  @volatile private var tempLastDir: Option[String] = None
+
   /** DuckDB twin of [[temperatureSample]] — identical expression order
-    * in the rate arithmetic. */
-  def temperatureSampleOracle: String =
-    s"""WITH d AS (SELECT doc_id, lang FROM documents),
-       |c AS (SELECT lang, count(*) AS n_g FROM d GROUP BY lang),
-       |z AS (SELECT sum(sqrt(n_g)) AS z, sum(n_g) AS n FROM c),
-       |rates AS (SELECT c.lang, c.n_g,
-       |                 least(1000, CAST(floor(round(1000.0 * (z.n * 0.5)
-       |                   * (sqrt(c.n_g) / z.z) / c.n_g, 6)) AS BIGINT)) AS keep_permille
-       |          FROM c CROSS JOIN z),
-       |k AS (SELECT doc_id, lang, keep_permille, ${HashOps.wordHashSqlN(15)} AS hk
-       |      FROM (SELECT d.doc_id, d.lang, r.keep_permille, md5('temp:' || d.doc_id) AS m
-       |            FROM d JOIN rates r USING (lang)))
-       |SELECT doc_id, lang, keep_permille,
-       |       CAST(hk % 1000 < keep_permille AS BIGINT) AS kept
-       |FROM k ORDER BY doc_id""".stripMargin
+    * in the rate arithmetic, with (n, z) frozen to the literals the plan
+    * used (`java.lang.Double.toString` is the shortest round-trip form,
+    * so DuckDB parses back the identical double). Run-then-dump:
+    * present only after the query ran in this JVM. */
+  def temperatureSampleOracles: Map[String, String] =
+    tempLastDir.flatMap(tempReg.get).map { case (n, z) =>
+      Map("sample_temperature" ->
+        s"""WITH d AS (SELECT doc_id, lang FROM documents),
+           |c AS (SELECT lang, count(*) AS n_g FROM d GROUP BY lang),
+           |rates AS (SELECT c.lang, c.n_g,
+           |                 least(1000, CAST(floor(round(1000.0 * ($n * 0.5)
+           |                   * (sqrt(c.n_g) / $z) / c.n_g, 6)) AS BIGINT)) AS keep_permille
+           |          FROM c),
+           |k AS (SELECT doc_id, lang, keep_permille, ${HashOps.wordHashSqlN(15)} AS hk
+           |      FROM (SELECT d.doc_id, d.lang, r.keep_permille, md5('temp:' || d.doc_id) AS m
+           |            FROM d JOIN rates r USING (lang)))
+           |SELECT doc_id, lang, keep_permille,
+           |       CAST(hk % 1000 < keep_permille AS BIGINT) AS kept
+           |FROM k ORDER BY doc_id""".stripMargin)
+    }.getOrElse(Map.empty)
 
   /** DuckDB twin of [[importanceSample]]. */
   def importanceSampleOracle: String =

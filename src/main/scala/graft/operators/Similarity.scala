@@ -238,7 +238,8 @@ object Similarity {
     * SQ8. Codebooks freeze into a registry so the DuckDB oracle replays
     * encode + ADC + both ranks from identical literals. */
   def pqTopK(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5, rerank: Int = 20): DataFrame = {
+      nQueries: Int = nQueriesDefault, k: Int = kDefault,
+      rerank: Int = rerankDefault): DataFrame = {
     val p = points(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cbs = pqCodebooks(spark, sfDir)
@@ -333,16 +334,21 @@ object Similarity {
            |cand AS (SELECT q_id, n_id FROM
            |           (SELECT q_id, n_id,
            |              row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM sc)
-           |         WHERE rn <= 20),
+           |         WHERE rn <= $rerankDefault),
            |s AS (SELECT c.q_id, c.n_id,
            |             list_inner_product(qp.v, np.v) / (sqrt(list_inner_product(qp.v, qp.v)) * sqrt(list_inner_product(np.v, np.v))) AS cos
            |      FROM cand c JOIN p qp ON qp.vec_id = c.q_id JOIN p np ON np.vec_id = c.n_id)
            |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
            |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
-           |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin)
+           |WHERE rn <= $kDefault ORDER BY q_id, rank""".stripMargin)
     }.getOrElse(Map.empty)
 
+  // Shared by the query defaults AND the oracle SQL above: the registry
+  // is keyed only by sfDir, so oracle and plan must agree on these even
+  // if another caller ran pqTopK with overrides first (ADVICE r8)
   private val nQueriesDefault = 10
+  private val kDefault = 5
+  private val rerankDefault = 20
 
   /** ANN quality evaluation, mirroring [[Dedup]]'s `dedup_recall`:
     * recall@k of the three approximate paths — the trained-IVF probe,

@@ -39,6 +39,10 @@ object ScaleUp {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // machine-independence: Tables.events casts NTZ ts in the session
+      // time zone — an unpinned zone would shift every derived event
+      // instant by the local offset (ADVICE r8)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

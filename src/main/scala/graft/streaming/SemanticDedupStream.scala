@@ -15,11 +15,16 @@ import graft.functions.VectorOps
   * operator's partitioner — identical kernel, identical tie-break); per
   * bucket, `flatMapGroupsWithState` holds the survivor list and a new
   * vector is emitted (and stored) only when its cosine to EVERY stored
-  * survivor is under the threshold. Greedy arrival-order semantics,
-  * deterministic: a micro-batch's group events process in vec_id order,
-  * so the kept set equals a batch greedy replay of the same arrival
-  * sequence (parity-tested bit-for-bit) and does not depend on how the
-  * stream was sliced into micro-batches.
+  * survivor is under the threshold. Greedy ARRIVAL-order semantics,
+  * deterministic given the slicing: events process batch-by-batch, in
+  * vec_id order within each micro-batch, so the kept set equals a batch
+  * greedy replay of exactly that sequence (parity-tested bit-for-bit
+  * for both contiguous and round-robin slicings). Slicing-INdependence
+  * holds only for id-order-preserving slicings (every id in batch i+1
+  * greater than every id in batch i): an out-of-order source that
+  * delivers a smaller id in a later batch yields the replay of that
+  * arrival order, not of global id order — the same contract as any
+  * online greedy dedup.
   *
   * Scale posture: state is one survivor list per bucket, bounded by
   * `capacity` (0 = unbounded); at the cap the OLDEST survivor is
@@ -79,12 +84,15 @@ object SemanticDedupStream {
   }
 
   /** The batch greedy replay the stream must equal: survivors of
-    * processing `points` in vec_id order per bucket (driver-side,
-    * test/oracle use — the distributed set-level operator is
-    * [[graft.operators.Dedup.semanticDedup]]). */
+    * processing `points` — in vec_id order by default (the id-ordered
+    * ingest contract), or in the EXACT sequence given when
+    * `sortById = false` (to replay an arbitrary arrival order, e.g. a
+    * non-id-ordered micro-batch slicing). Driver-side, test/oracle use
+    * — the distributed set-level operator is
+    * [[graft.operators.Dedup.semanticDedup]]. */
   def greedyReplay(points: Seq[(Long, Array[Double])],
       centroids: Array[Array[Double]], threshold: Double = 0.4,
-      capacity: Int = 0): Seq[Kept] = {
+      capacity: Int = 0, sortById: Boolean = true): Seq[Kept] = {
     def nearestCid(v: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < centroids.length) {
@@ -98,7 +106,7 @@ object SemanticDedupStream {
     val byBucket = scala.collection.mutable.Map
       .empty[Int, List[(Long, Array[Double])]]
     val out = Seq.newBuilder[Kept]
-    points.sortBy(_._1).foreach { case (id, v) =>
+    (if (sortById) points.sortBy(_._1) else points).foreach { case (id, v) =>
       val cid = nearestCid(v)
       val kept = byBucket.getOrElse(cid, Nil)
       if (!kept.exists { case (_, u) => cos(v, u) >= threshold }) {

@@ -317,4 +317,60 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(runStream(1, 3, "p_semdedup_cap") == capWant,
       "FIFO capacity eviction must degrade stream and replay identically")
   }
+
+  test("parity: online SemDeDup pins ARRIVAL-order semantics under a non-id-ordered slicing") {
+    // The Scaladoc contract (SemanticDedupStream): survivors equal the
+    // greedy replay of the ARRIVAL sequence — batches in trigger order,
+    // vec_id-sorted within each batch. A round-robin id%3 slicing is
+    // deliberately NOT id-order-preserving (file b1 holds ids 1,4,7,…
+    // arriving after b0's 0,3,6,…), so this test fails if anyone
+    // "fixes" the stream to global-id order or weakens within-batch
+    // sorting — either would silently change 100 TB ingest results.
+    val pts = graft.sources.Tables.points(spark, sf)
+    val src = Files.createTempDirectory("graft_semdedup_rr_src").toString
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_semdedup_rr_stage").toString
+      pts.filter(col("id") % 3 === i).coalesce(1)
+        .select(col("id").as("vec_id"), col("features"))
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    val cents = graft.kmeans.FitFinal.result(spark, sf, "fit")
+      .centroids.sortBy(_._1).map(_._2)
+    val byId = pts.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    // expected arrival sequence: each residue class in id order, classes
+    // in file-mtime (= residue) order. Aggressive threshold: at 0.4 the
+    // sf0.001 survivor SET happens to coincide across orders (few dups);
+    // a tight threshold makes admission chains long enough that arrival
+    // order changes who survives — which is what this test pins.
+    val thr = 0.15
+    val arrival = (0 until 3).flatMap(i => byId.filter(_._1 % 3 == i))
+    val want = SemanticDedupStream
+      .greedyReplay(arrival, cents, threshold = thr, sortById = false)
+      .map(k => (k.vec_id, k.cid)).toSet
+    val globalWant = SemanticDedupStream.greedyReplay(byId.toSeq, cents, threshold = thr)
+      .map(k => (k.vec_id, k.cid)).toSet
+    assert(want != globalWant,
+      "fixture must distinguish arrival-order from global-id-order replay " +
+        "(otherwise this test pins nothing)")
+    val stream = spark.readStream
+      .schema("vec_id LONG, features ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = SemanticDedupStream
+      .dedupStream(spark, stream, cents, threshold = thr)
+      .writeStream.format("memory").queryName("p_semdedup_rr")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("p_semdedup_rr").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want,
+      s"stream≠arrival-order replay: extra=${(got -- want).take(3)} " +
+        s"missing=${(want -- got).take(3)}")
+  }
 }
