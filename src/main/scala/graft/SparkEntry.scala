@@ -278,6 +278,8 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLSH(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    // MOSS match pairs over the winnow fingerprint index
+    "dedup_winnow" -> ((s, dir) => Dedup.winnowPairs(s, dir)),
     "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)),
     // deterministic %5 sample on BOTH sides: the oracle leg that runs
     // at every sweep sf (the full all-pairs DuckDB replay is O(N²))
@@ -1192,6 +1194,7 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_substring" -> Dedup.substringDupOracle,
+    "dedup_winnow" -> Dedup.winnowPairsOracle,
     "dedup_ngram" ->
       s"""WITH $SHROWS,
          |rare AS (SELECT shh FROM sh GROUP BY shh HAVING count(*) <= 50),
@@ -1464,27 +1467,11 @@ object SparkEntry {
           |ORDER BY cf DESC, g LIMIT 30""".stripMargin,
       // winnowing: k=8 grams, w=4 windows, 40-bit hash, rightmost-min
       // packed as hm*2^20 + (2^20-1-pos) so the frame argmin is one
-      // integer MIN in both engines
+      // integer MIN in both engines; CTEs shared with dedup_winnow
       "text_winnow" ->
-        s"""WITH g0 AS (SELECT doc_id,
-           |              CASE WHEN length(text) >= 8
-           |                   THEN list_transform(generate_series(1, length(text) - 7),
-           |                                       i -> substring(text, i, 8))
-           |                   ELSE [] END AS gs
-           |            FROM documents),
-           |g1 AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS g FROM g0),
-           |gh AS (SELECT doc_id, pos,
-           |              ((${HashOps.wordHashSqlN(15)}) % 1099511627776) * 1048576
-           |                + (1048575 - pos) AS packed
-           |       FROM (SELECT doc_id, pos, md5(g) AS m FROM g1 WHERE pos < 1048575)),
-           |w AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS cnt,
-           |             min(packed) OVER (PARTITION BY doc_id ORDER BY pos
-           |                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-           |      FROM gh),
-           |f AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos <= cnt - 4)
-           |SELECT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp,
-           |       CAST(1048575 - (sel % 1048576) AS BIGINT) AS fp_pos
-           |FROM f ORDER BY doc_id, fp_pos, fp""".stripMargin,
+        s"""WITH ${TextAnalysis.winnowOracleCtes}
+           |SELECT doc_id, fp, fp_pos
+           |FROM wfp ORDER BY doc_id, fp_pos, fp""".stripMargin,
       "sketch_cms" -> {
         val W = TextAnalysis.CMS_WIDTH
         val D = TextAnalysis.CMS_DEPTH

@@ -430,6 +430,60 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------------------ MOSS match pairs
+
+  /** MOSS match pairs — the consumer of [[TextAnalysis.winnow]]'s
+    * fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 §5: two
+    * documents match when their fingerprint sets intersect; the shared
+    * count ranks match strength). Fingerprints dedup to (doc_id, fp)
+    * first (one fingerprint selected at several positions counts once),
+    * then hot fingerprints — shared by more than `cap` docs, i.e.
+    * corpus boilerplate — are dropped before any pairing (the
+    * [[ngramJaccard]] stop-bucket guard: no fingerprint can go
+    * quadratic). Pairs expand from per-fingerprint posting lists, the
+    * same narrow per-group loop as [[ngramJaccardFrom]] — never a
+    * two-sided self-join shuffle — so candidate fan-out is bounded by
+    * cap·(cap−1)/2 per fingerprint at any corpus size. The winnowing
+    * guarantee transfers: any shared substring of length ≥ w+k−1 (= 11
+    * at the defaults) produces ≥ 1 shared fingerprint, so
+    * `minShared = 1` finds every such overlap among non-boilerplate
+    * fingerprints; the default 2 keeps only corroborated matches (the
+    * rank-by-overlap shape MOSS reports). */
+  def winnowPairs(spark: SparkSession, sfDir: String,
+      cap: Int = 50, minShared: Long = 2): DataFrame = {
+    // fingerprint identity only: strip the position nibble from the RAW
+    // window selections and dedup inside collect_set — its map-side
+    // partials dedup locally on the window's doc_id partitioning, so
+    // the pipeline pays ONE data shuffle (by fp) instead of a distinct
+    // shuffle followed by a list-building shuffle
+    val fps = TextAnalysis.winnowRaw(spark, sfDir, 8, 4)
+      .select(expr(s"sel div ${1L << 20}").as("fp"), col("doc_id"))
+    val lists = fps.groupBy("fp")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= cap)
+    val pairExpr = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+        struct(x.as("doc_a"), y.as("doc_b")))))
+    lists.select(explode(pairExpr).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[winnowPairs]] (defaults cap=50, minShared=2) —
+    * replays the shared fingerprint CTEs, the df cap, and the pair
+    * count. */
+  def winnowPairsOracle: String =
+    s"""WITH ${TextAnalysis.winnowOracleCtes},
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+       |kf AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |FROM kf a JOIN kf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-dup pairs (cos ≥ threshold). Exact O(N²)

@@ -172,6 +172,29 @@ object TextAnalysis {
     * stream — the index a 100 TB near-dup system actually stores. */
   def winnow(spark: SparkSession, sfDir: String,
       k: Int = 8, w: Int = 4): DataFrame = {
+    val posCap = (1L << 20) - 1
+    winnowSelections(spark, sfDir, k, w)
+      .select(col("doc_id"),
+        expr(s"sel div ${posCap + 1}").as("fp"),
+        (lit(posCap) - pmod(col("sel"), lit(posCap + 1))).as("fp_pos"))
+      .orderBy("doc_id", "fp_pos", "fp")
+  }
+
+  /** [[winnow]]'s core: the distinct packed (fingerprint, rightmost
+    * position) selections per document, UNordered and UNdecoded. */
+  private[operators] def winnowSelections(spark: SparkSession,
+      sfDir: String, k: Int, w: Int): DataFrame =
+    winnowRaw(spark, sfDir, k, w).distinct()
+
+  /** The winnow window's raw per-gram selections `(doc_id, sel)` —
+    * NOT yet deduplicated (adjacent windows select the same packed
+    * value repeatedly). Consumers that aggregate per doc or per
+    * fingerprint dedup inside their own aggregate (e.g.
+    * [[Dedup.winnowPairs]]'s `collect_set`, whose map-side partials
+    * dedup locally on the window's existing doc_id partitioning) and
+    * so skip the standalone distinct's full-data shuffle. */
+  private[operators] def winnowRaw(spark: SparkSession,
+      sfDir: String, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     import org.apache.spark.sql.expressions.Window
     val posCap = (1L << 20) - 1
@@ -188,11 +211,35 @@ object TextAnalysis {
     g.withColumn("cnt", count(lit(1)).over(byDoc))
       .withColumn("sel", min("packed").over(frame))
       .filter(col("pos") <= col("cnt") - w)
-      .select(col("doc_id"), col("sel")).distinct()
-      .select(col("doc_id"),
-        expr(s"sel div ${posCap + 1}").as("fp"),
-        (lit(posCap) - pmod(col("sel"), lit(posCap + 1))).as("fp_pos"))
-      .orderBy("doc_id", "fp_pos", "fp")
+      .select(col("doc_id"), col("sel"))
+  }
+
+  /** DuckDB CTE chain (no leading WITH) ending in
+    * `wfp(doc_id, fp, fp_pos)` — the winnow fingerprint relation at
+    * [[winnow]]'s defaults (k=8, w=4, 40-bit hash, rightmost-min
+    * packing). Shared by the `text_winnow` and `dedup_winnow` oracles
+    * so both replay the identical fingerprint derivation. */
+  def winnowOracleCtes: String = {
+    import graft.functions.HashOps
+    s"""g0 AS (SELECT doc_id,
+       |         CASE WHEN length(text) >= 8
+       |              THEN list_transform(generate_series(1, length(text) - 7),
+       |                                  i -> substring(text, i, 8))
+       |              ELSE [] END AS gs
+       |       FROM documents),
+       |g1 AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS g FROM g0),
+       |gh AS (SELECT doc_id, pos,
+       |              ((${HashOps.wordHashSqlN(15)}) % 1099511627776) * 1048576
+       |                + (1048575 - pos) AS packed
+       |       FROM (SELECT doc_id, pos, md5(g) AS m FROM g1 WHERE pos < 1048575)),
+       |w AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS cnt,
+       |             min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+       |                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+       |      FROM gh),
+       |f AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos <= cnt - 4),
+       |wfp AS (SELECT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp,
+       |               CAST(1048575 - (sel % 1048576) AS BIGINT) AS fp_pos
+       |        FROM f)""".stripMargin
   }
 
   /** TF-IDF top-k terms per document. idf is the rational N/df (NOT

@@ -168,4 +168,26 @@ class DedupSpec extends AnyFunSuite {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(pairs((0L, 1L)) == 0L)
   }
+
+  test("winnow pairs find every dedup_ngram near-dup pair and nothing unrelated") {
+    // The mini corpus's near-dup pairs all share runs far beyond the
+    // winnowing guarantee length w+k-1 = 11 chars, so every pair
+    // ngramJaccard reports must also surface as a MOSS match — with
+    // shared counts ranking the identical pair at the top. Doc 3 shares
+    // no 11-char run with anything; doc 4 is shorter than one k-gram
+    // window and must produce no fingerprints at all.
+    val ngramPairs = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngramPairs.nonEmpty)
+    val winnow = Dedup.winnowPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(ngramPairs.subsetOf(winnow.keySet),
+      s"ngram pairs missing from winnow: ${ngramPairs -- winnow.keySet}")
+    assert(!winnow.keySet.exists { case (a, b) =>
+      a == 3L || b == 3L || a == 4L || b == 4L })
+    // identical docs share every fingerprint: their count dominates the
+    // one-word-changed pairs
+    assert(winnow((0L, 1L)) >= winnow.getOrElse((0L, 2L), 0L))
+    assert(winnow((0L, 1L)) >= winnow.getOrElse((1L, 2L), 0L))
+  }
 }
