@@ -297,6 +297,12 @@ object SparkEntry {
     // bucketing recall of both semantic paths vs the exact sweep — the
     // cross-cluster pair loss as a measured, oracle-checked number
     "dedup_semantic_recall" -> ((s, dir) => Dedup.semanticRecall(s, dir)),
+    // the %5-sampled twin (dedup_cosine_sampled device): recall of the
+    // FULL-corpus bucketings measured over the sampled pair sweep, so
+    // the k∝N schedule's recall stays oracle-checked at sf1+ where
+    // scaledK actually moves
+    "dedup_semantic_recall_sampled" -> ((s, dir) =>
+      Dedup.semanticRecall(s, dir, keepMod = Some(5L))),
     // dedup ACTION: per duplicate cluster, keep the highest-quality
     // member (lowest doc_id on ties) — the decision record before a
     // 100 TB delete pass
@@ -308,7 +314,17 @@ object SparkEntry {
     // brute-force sweep — deterministic end-to-end, so even the recall
     // misses reproduce in the oracle
     "ann_recall" -> ((s, dir) => Similarity.recallEval(s, dir)),
+    // the swept-scale twin: the same five pipelines over the
+    // vec_id%5=0 sample (their own trained quantizers, 10 queries from
+    // vec_id<50) — keeps recall oracle-measured at sf1+ where the full
+    // replay is intractable and bucket geometry actually differs
+    "ann_recall_sampled" -> ((s, dir) =>
+      Similarity.recallEval(s, dir, keepMod = Some(5L), nQueries = 50)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
+    // contrastive hard-negative mining: per-anchor top-k inside the
+    // cosine band [0.15, 0.35) — related-but-not-duplicate corpus rows,
+    // the negatives an embedding-model trainer actually wants
+    "ann_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_sq_topk" -> ((s, dir) => Similarity.sqTopK(s, dir)),
@@ -1276,34 +1292,52 @@ object SparkEntry {
     // recallEval ran pqTopK in this JVM — Verify's run-then-dump order
     // guarantees that); without it the oracle degrades to absent, i.e.
     // the rows-only check, never to stale literals.
-    Similarity.pqOracleSqls.get("ann_pq_topk") match {
-      case None => base
-      case Some(pqSql) => base + ("ann_recall" ->
-        s"""WITH b AS (SELECT q_id, n_id FROM (${base("ann_brute_topk")})),
-           |     i AS (SELECT q_id, n_id FROM (${base("ann_ivf_trained")})),
-           |     s AS (SELECT q_id, n_id FROM (${base("ann_sq_topk")})),
-           |     l AS (SELECT q_id, n_id FROM (${base("ann_lsh_topk")})),
-           |     pq AS (SELECT q_id, n_id FROM ($pqSql)),
-           |     c AS (SELECT (SELECT count(*) FROM b) AS n_brute,
-           |                  (SELECT count(*) FROM b JOIN i USING (q_id, n_id)) AS n_hit_ivf,
-           |                  (SELECT count(*) FROM b JOIN s USING (q_id, n_id)) AS n_hit_sq,
-           |                  (SELECT count(*) FROM b JOIN l USING (q_id, n_id)) AS n_hit_lsh,
-           |                  (SELECT count(*) FROM b JOIN pq USING (q_id, n_id)) AS n_hit_pq)
-           |SELECT n_brute, n_hit_ivf, n_hit_sq, n_hit_lsh, n_hit_pq,
-           |       round(n_hit_ivf * 1.0 / n_brute, 6) AS recall_ivf,
-           |       round(n_hit_sq * 1.0 / n_brute, 6) AS recall_sq,
-           |       round(n_hit_lsh * 1.0 / n_brute, 6) AS recall_lsh,
-           |       round(n_hit_pq * 1.0 / n_brute, 6) AS recall_pq
-           |FROM c""".stripMargin)
-    }
+    def recallSql(sqls: Map[String, String], pqSql: String): String =
+      s"""WITH b AS (SELECT q_id, n_id FROM (${sqls("ann_brute_topk")})),
+         |     i AS (SELECT q_id, n_id FROM (${sqls("ann_ivf_trained")})),
+         |     s AS (SELECT q_id, n_id FROM (${sqls("ann_sq_topk")})),
+         |     l AS (SELECT q_id, n_id FROM (${sqls("ann_lsh_topk")})),
+         |     pq AS (SELECT q_id, n_id FROM ($pqSql)),
+         |     c AS (SELECT (SELECT count(*) FROM b) AS n_brute,
+         |                  (SELECT count(*) FROM b JOIN i USING (q_id, n_id)) AS n_hit_ivf,
+         |                  (SELECT count(*) FROM b JOIN s USING (q_id, n_id)) AS n_hit_sq,
+         |                  (SELECT count(*) FROM b JOIN l USING (q_id, n_id)) AS n_hit_lsh,
+         |                  (SELECT count(*) FROM b JOIN pq USING (q_id, n_id)) AS n_hit_pq)
+         |SELECT n_brute, n_hit_ivf, n_hit_sq, n_hit_lsh, n_hit_pq,
+         |       round(n_hit_ivf * 1.0 / n_brute, 6) AS recall_ivf,
+         |       round(n_hit_sq * 1.0 / n_brute, 6) AS recall_sq,
+         |       round(n_hit_lsh * 1.0 / n_brute, 6) AS recall_lsh,
+         |       round(n_hit_pq * 1.0 / n_brute, 6) AS recall_pq
+         |FROM c""".stripMargin
+    val full = Similarity.pqOracleSqls.get("ann_pq_topk")
+      .map(pq => Map("ann_recall" -> recallSql(base, pq))).getOrElse(Map.empty)
+    val sampled = Similarity.pqOracleSqlSampled(5L, 50)
+      .map(pq => Map("ann_recall_sampled" -> recallSql(annSqlsSampled, pq)))
+      .getOrElse(Map.empty)
+    base ++ full ++ sampled
   }
 
-  private def annOracleBase: Map[String, String] = Map(
+  private def annOracleBase: Map[String, String] =
+    annSqls(COSP, PTS, CENTS, qLim = 10, seedLim = KMeansSteps.K) +
+      ("ann_hard_negatives" -> Similarity.hardNegativesOracle)
+
+  /** Sampled-corpus ANN twin SQLs (`vec_id % 5 = 0`, 10 queries from
+    * `vec_id < 50`, seeds = the K lowest SAMPLED ids): identical
+    * pipelines with the p/pts/cents CTEs restricted BEFORE any
+    * training — the SQL mirror of `Similarity.points(keepMod)`. */
+  private def annSqlsSampled: Map[String, String] = annSqls(
+    "p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0)",
+    "pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0)",
+    s"cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < ${5 * KMeansSteps.K})",
+    qLim = 50, seedLim = 5 * KMeansSteps.K)
+
+  private def annSqls(cosp: String, ptsCte: String, centsCte: String,
+      qLim: Int, seedLim: Int): Map[String, String] = Map(
     // trained IVF: the 2-round Lloyd TRAINING is replayed in SQL
     // (shared LLOYD2 chain), then bucket/probe/rerank over the learned
     // centroids — the full production ANN pipeline under one oracle
     "ann_ivf_trained" ->
-      s"""WITH $PTS, $CENTS, $ASSIGN, $LLOYD2,
+      s"""WITH $ptsCte, $centsCte, $ASSIGN, $LLOYD2,
          |cents2 AS (SELECT cid, list(coalesce(m2.mean, n1.nx) ORDER BY dim) AS c
          |           FROM n1 LEFT JOIN m2 USING (cid, dim) GROUP BY cid),
          |bkt AS (SELECT vec_id, v, cid AS bucket FROM (
@@ -1311,7 +1345,7 @@ object SparkEntry {
          |                 row_number() OVER (PARTITION BY p.vec_id
          |                   ORDER BY list_distance(p.v, c.c), c.cid) AS rn
          |          FROM pts p CROSS JOIN cents2 c) WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM pts WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM pts WHERE vec_id < $qLim),
          |probes AS (SELECT q_id, qv, cid AS bucket FROM (
          |             SELECT q.q_id, q.qv, c.cid,
          |                    row_number() OVER (PARTITION BY q.q_id
@@ -1323,15 +1357,15 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
          |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
     "ann_brute_topk" ->
-      s"""WITH $COSP,
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
+      s"""WITH $cosp,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $qLim),
          |s AS (SELECT q.q_id, p.vec_id AS n_id, ${cosSql("q.qv", "p.v")} AS cos
          |      FROM q JOIN p ON p.vec_id <> q.q_id)
          |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
          |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
     "ann_sq_topk" ->
-      s"""WITH $COSP,
+      s"""WITH $cosp,
          |u AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM p),
          |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM u GROUP BY dim),
          |qz AS (SELECT vec_id, dim,
@@ -1341,7 +1375,7 @@ object SparkEntry {
          |dq AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
          |              CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dq
          |       FROM qz a JOIN qz b USING (dim)
-         |       WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+         |       WHERE a.vec_id < $qLim AND b.vec_id <> a.vec_id GROUP BY 1, 2),
          |cand AS (SELECT q_id, n_id FROM
          |           (SELECT q_id, n_id,
          |              row_number() OVER (PARTITION BY q_id ORDER BY dq, n_id) AS rn FROM dq)
@@ -1352,14 +1386,14 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
          |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
     "ann_ivf_topk" ->
-      s"""WITH $COSP,
-         |cents AS (SELECT vec_id AS cid, v AS c FROM p WHERE vec_id < ${KMeansSteps.K}),
+      s"""WITH $cosp,
+         |cents AS (SELECT vec_id AS cid, v AS c FROM p WHERE vec_id < $seedLim),
          |bkt AS (SELECT vec_id, v, cid AS bucket FROM (
          |          SELECT p.vec_id, p.v, c.cid,
          |                 row_number() OVER (PARTITION BY p.vec_id
          |                   ORDER BY list_distance(p.v, c.c), c.cid) AS rn
          |          FROM p CROSS JOIN cents c) WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $qLim),
          |probes AS (SELECT q_id, qv, cid AS bucket FROM (
          |             SELECT q.q_id, q.qv, c.cid,
          |                    row_number() OVER (PARTITION BY q.q_id
@@ -1371,7 +1405,7 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
          |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
     "ann_lsh_topk" ->
-      s"""WITH $COSP,
+      s"""WITH $cosp,
          |pl0 AS (SELECT g.p, h.i, md5('plane_' || g.p || ':' || h.i) AS m
          |        FROM (SELECT unnest(generate_series(0, ${Similarity.LSH_PLANES - 1})) AS p) g
          |        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) h),
@@ -1385,11 +1419,11 @@ object SparkEntry {
          |bk AS (SELECT vec_id, CAST(p // ${Similarity.LSH_BAND_BITS} AS BIGINT) AS band,
          |              CAST(sum(bit << (p % ${Similarity.LSH_BAND_BITS})) AS BIGINT) AS key
          |       FROM bits GROUP BY vec_id, band),
-         |qb AS (SELECT vec_id AS q_id, band, key FROM bk WHERE vec_id < 10),
+         |qb AS (SELECT vec_id AS q_id, band, key FROM bk WHERE vec_id < $qLim),
          |cand AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id
          |         FROM bk b JOIN qb ON b.band = qb.band AND b.key = qb.key
          |                           AND b.vec_id <> qb.q_id),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $qLim),
          |s AS (SELECT c.q_id, c.n_id, ${cosSql("q.qv", "n.v")} AS cos
          |      FROM cand c JOIN q ON c.q_id = q.q_id JOIN p n ON c.n_id = n.vec_id)
          |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos

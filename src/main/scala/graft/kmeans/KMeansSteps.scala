@@ -189,6 +189,17 @@ object KMeansSteps {
     cents.zipWithIndex.map { case (v, cid) => (cid, v) }.toSeq
   }
 
+  /** [[trainedCentroids]] over an explicit (id, features) relation with
+    * explicit seeds — the sampled-corpus ANN twin's trainer
+    * (`ann_recall_sampled` trains its quantizer on the vec_id%m=0
+    * sample; its DuckDB oracle replays the same rounds from a sampled
+    * `pts` CTE). */
+  def trainedCentroidsOf(spark: SparkSession, p: DataFrame,
+      seeds: Seq[(Int, Array[Double])], iters: Int = 2): Seq[(Int, Array[Double])] = {
+    val (_, cents) = lloydRoundsOf(spark, p, seeds, iters)
+    cents.zipWithIndex.map { case (v, cid) => (cid, v) }.toSeq
+  }
+
   /** Shared core of [[fitSteps]]/[[trainedCentroids]]: runs the rounded
     * Lloyd rounds, returning the long-format per-round rows and the
     * final centroid array (carried coordinates stay unrounded, matching

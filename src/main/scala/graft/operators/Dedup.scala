@@ -606,15 +606,27 @@ object Dedup {
     * a measured, oracle-checked number (the [[Similarity]] `ann_recall`
     * convention). Contains the exact O(N²) baseline by construction, so
     * it shares `dedup_cosine`'s declared scale contract (probe-excluded
-    * above gate scale). */
-  def semanticRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    * above gate scale).
+    *
+    * `keepMod`: the `dedup_cosine_sampled` device — restrict the exact
+    * pair sweep to vec_id % keepMod = 0 on BOTH sides so the recall of
+    * the [[scaledK]] schedule stays oracle-measurable at sf1+ where k
+    * actually grows (k=8→80) but the full N² sweep is intractable. The
+    * bucketings under test (frozen k=8 fit, k∝N schedule) still come
+    * from the FULL corpus — sampling thins the measured pair set, not
+    * the thing being measured. */
+  def semanticRecall(spark: SparkSession, sfDir: String,
+      keepMod: Option[Long] = None): DataFrame = {
     val frozen = graft.kmeans.FitFinal.result(spark, sfDir, "fit")
       .centroids.sortBy(_._1).map(_._2)
     val scaled = scaledCentroids(spark, sfDir)
-    val assign = Tables.points(spark, sfDir).select(col("id"),
+    val assign0 = Tables.points(spark, sfDir).select(col("id"),
       VectorOps.nearestCidK(col("features"), frozen).as("cf"),
       VectorOps.nearestCidK(col("features"), scaled).as("cs"))
-    cosineNearDup(spark, sfDir).select("vec_a", "vec_b")
+    // only sampled ids can appear in sampled pairs — pre-filter the
+    // assignment side too so the join probes N/keepMod rows, not N
+    val assign = keepMod.foldLeft(assign0)((d, m) => d.filter(col("id") % m === 0))
+    cosineNearDup(spark, sfDir, keepMod = keepMod).select("vec_a", "vec_b")
       .join(assign.select(col("id").as("vec_a"),
         col("cf").as("cfa"), col("cs").as("csa")), "vec_a")
       .join(assign.select(col("id").as("vec_b"),
@@ -686,7 +698,10 @@ object Dedup {
     val recall = for {
       f <- graft.kmeans.FitFinal.frozenFitCentroids
       s <- lastScaledDir.flatMap(scaledReg.get)
-    } yield Map("dedup_semantic_recall" -> recallSql(f.map(_._2), s))
+    } yield Map(
+      "dedup_semantic_recall" -> recallSql(f.map(_._2), s),
+      "dedup_semantic_recall_sampled" ->
+        recallSql(f.map(_._2), s, keepMod = Some(5L)))
     frozen ++ scaled ++ recall.getOrElse(Map.empty)
   }
 
@@ -696,7 +711,10 @@ object Dedup {
     }.mkString(s"$name AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
 
   private def recallSql(frozen: Array[Array[Double]],
-      scaled: Array[Array[Double]]): String = {
+      scaled: Array[Array[Double]], keepMod: Option[Long] = None): String = {
+    val keep = keepMod
+      .map(m => s"a.vec_id % $m = 0 AND b.vec_id % $m = 0 AND ")
+      .getOrElse("")
     def cosSql(x: String, y: String) =
       s"list_inner_product($x, $y) / (sqrt(list_inner_product($x, $x)) * sqrt(list_inner_product($y, $y)))"
     def assignCte(cents: String, out: String) =
@@ -710,7 +728,7 @@ object Dedup {
        |${centsValues(scaled, "cs2")},
        |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
        |        FROM pts a JOIN pts b ON a.vec_id < b.vec_id
-       |        WHERE ${cosSql("a.v", "b.v")} >= 0.4),
+       |        WHERE $keep${cosSql("a.v", "b.v")} >= 0.4),
        |${assignCte("cf", "af")},
        |${assignCte("cs2", "asc2")}
        |SELECT CAST(count(*) AS BIGINT) AS n_exact,

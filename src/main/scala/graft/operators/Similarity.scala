@@ -19,11 +19,20 @@ object Similarity {
 
   /** (vec_id, v, nrm): norm precomputed once per row so every pairwise
     * score is a single dot-product kernel (cos = dot/(nrmA·nrmB), same
-    * arithmetic as cosine() bit-for-bit). */
-  private def points(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "embeddings")
+    * arithmetic as cosine() bit-for-bit).
+    *
+    * `keepMod`: the `dedup_cosine_sampled` device — a deterministic
+    * vec_id % keepMod = 0 corpus restriction, applied BEFORE any
+    * training/bucketing so the sampled twin is a self-consistent ANN
+    * problem over the sample (its own quantizers, its own brute truth)
+    * whose DuckDB replay stays tractable at sf1+. */
+  private def points(spark: SparkSession, sfDir: String,
+      keepMod: Option[Long] = None): DataFrame = {
+    val p = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    keepMod.foldLeft(p)((d, m) => d.filter(col("vec_id") % m === 0))
       .select(col("vec_id"), col("v"), l2norm(col("v")).as("nrm"))
+  }
 
   /** Exact brute-force cosine top-k: the tiny query set is broadcast
     * against the full corpus (one narrow pass over N), then per-query
@@ -31,8 +40,8 @@ object Similarity {
     * batches: no shuffle of the corpus, only q×N scored rows reduced to
     * q×k. */
   def bruteTopK(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val p = points(spark, sfDir)
+      nQueries: Int = 10, k: Int = 5, keepMod: Option[Long] = None): DataFrame = {
+    val p = points(spark, sfDir, keepMod)
     val q = p.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = p.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -40,6 +49,43 @@ object Similarity {
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Hard-negative mining for contrastive training: per anchor (the
+    * query batch), the top-k corpus vectors by cosine WITHIN the band
+    * [lo, hi) — similar enough to be informative negatives, below the
+    * near-dup threshold (`Dedup.cosineNearDup`'s 0.4). The standard
+    * mining step for embedding-model training data at scale.
+    *
+    * Same broadcast-query-batch scan as [[bruteTopK]] — one narrow pass
+    * over N, no corpus shuffle; the band predicate prunes before the
+    * per-partition top-k heaps, so the exchange carries only
+    * partitions·q·k rows. Band edges compare unrounded cos on both
+    * engines (identical fold kernels — the FIXTURES.md dominance
+    * convention); rounding applies only at the output column. */
+  def hardNegatives(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5,
+      lo: Double = 0.15, hi: Double = 0.35): DataFrame = {
+    val p = points(spark, sfDir)
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = p.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    rankTopK(scored, k)
+  }
+
+  /** DuckDB twin of [[hardNegatives]] (defaults 10/5/0.15/0.35). */
+  def hardNegativesOracle: String =
+    s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
+       |s AS (SELECT q.q_id, p.vec_id AS n_id,
+       |             list_inner_product(q.qv, p.v) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(p.v, p.v))) AS cos
+       |      FROM q JOIN p ON p.vec_id <> q.q_id)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |      FROM s WHERE cos >= 0.15 AND cos < 0.35)
+       |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** IVF-style ANN: corpus is coarse-quantized to the literal centroid
     * set (Euclidean argmin — [[KMeansSteps]] assignment); each query
@@ -60,13 +106,29 @@ object Similarity {
     * oracle replays as nested CTEs: the ENTIRE train→bucket→probe→rerank
     * pipeline is oracle-checked, not just the probe. */
   def ivfTrainedTopK(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame =
-    ivfTopKWith(spark, sfDir, KMeansSteps.trainedCentroids(spark, sfDir),
-      nQueries, k, nprobe)
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 2,
+      keepMod: Option[Long] = None): DataFrame = {
+    // sampled twin trains its own quantizer on the sampled corpus:
+    // seeds are the K lowest SAMPLED ids (positional cids — a monotone
+    // relabel of the oracle's vec_id cids, so every dist/cid tie-break
+    // and bucket-equality decision matches the SQL replay)
+    val cs = keepMod match {
+      case None => KMeansSteps.trainedCentroids(spark, sfDir)
+      case Some(m) =>
+        val p = points(spark, sfDir, keepMod)
+          .select(col("vec_id").as("id"), col("v").as("features"))
+        val seeds = p.filter(col("id") < m * KMeansSteps.K).orderBy("id")
+          .collect().zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
+        KMeansSteps.trainedCentroidsOf(spark, p, seeds)
+    }
+    ivfTopKWith(spark, sfDir, cs, nQueries, k, nprobe, keepMod)
+  }
 
   private def ivfTopKWith(spark: SparkSession, sfDir: String,
-      cs: Seq[(Int, Array[Double])], nQueries: Int, k: Int, nprobe: Int): DataFrame = {
-    val p = points(spark, sfDir)
+      cs: Seq[(Int, Array[Double])], nQueries: Int, k: Int, nprobe: Int,
+      keepMod: Option[Long] = None): DataFrame = {
+    val p = points(spark, sfDir, keepMod)
     val bucketed = p.select(col("vec_id"), col("v"), col("nrm"),
       nearestCidK(col("v"), cs.sortBy(_._1).map(_._2).toArray).as("bucket"))
     // per-query probed buckets: nprobe nearest centroids (dist, cid order)
@@ -111,8 +173,8 @@ object Similarity {
     * training pass, recall tunable by band shape alone. At 100 TB the
     * corpus is written bucketed by (band 0 key) so probes prune partitions. */
   def lshTopK(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val p = points(spark, sfDir)
+      nQueries: Int = 10, k: Int = 5, keepMod: Option[Long] = None): DataFrame = {
+    val p = points(spark, sfDir, keepMod)
     val d = 64
     val planes = lshPlanes(d)
     // band keys: array of BANDS ints, bit j of band b = sign of dot with
@@ -171,8 +233,9 @@ object Similarity {
     * contract as [[graft.operators.Dedup.bandedHammingPairs]]. Verify
     * and Bench already clear between queries. */
   def sqTopK(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5, rerank: Int = 20): DataFrame = {
-    val p = points(spark, sfDir)
+      nQueries: Int = 10, k: Int = 5, rerank: Int = 20,
+      keepMod: Option[Long] = None): DataFrame = {
+    val p = points(spark, sfDir, keepMod)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val st = p.select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
@@ -239,10 +302,10 @@ object Similarity {
     * encode + ADC + both ranks from identical literals. */
   def pqTopK(spark: SparkSession, sfDir: String,
       nQueries: Int = nQueriesDefault, k: Int = kDefault,
-      rerank: Int = rerankDefault): DataFrame = {
-    val p = points(spark, sfDir)
+      rerank: Int = rerankDefault, keepMod: Option[Long] = None): DataFrame = {
+    val p = points(spark, sfDir, keepMod)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cbs = pqCodebooks(spark, sfDir)
+    val cbs = pqCodebooks(spark, sfDir, keepMod)
     def sub(c: Column, s: Int) = slice(c, s * PQ_DS + 1, PQ_DS)
     val enc = p.select(col("vec_id") +: (0 until PQ_M).map(s =>
       nearestCidK(sub(col("v"), s), cbs(s)).as(s"c$s")): _*)
@@ -275,10 +338,10 @@ object Similarity {
   /** Registry-backed per-subspace codebooks for `sfDir` (trained once
     * per JVM, deterministic) — shared by [[pqTopK]] and the oracle dump
     * (run-then-dump, the [[graft.kmeans.FitFinal]] contract). */
-  private[operators] def pqCodebooks(spark: SparkSession,
-      sfDir: String): Array[Array[Array[Double]]] = {
-    val cbs = pqReg.getOrElseUpdate(sfDir, {
-      val p = points(spark, sfDir)
+  private[operators] def pqCodebooks(spark: SparkSession, sfDir: String,
+      keepMod: Option[Long] = None): Array[Array[Array[Double]]] = {
+    val cbs = pqReg.getOrElseUpdate((sfDir, keepMod), {
+      val p = points(spark, sfDir, keepMod)
       (0 until PQ_M).map { s =>
         val subPts = p.select(col("vec_id").as("id"),
           slice(col("v"), s * PQ_DS + 1, PQ_DS).as("features"))
@@ -295,14 +358,27 @@ object Similarity {
   }
 
   private val pqReg = scala.collection.concurrent.TrieMap
-    .empty[String, Array[Array[Array[Double]]]]
+    .empty[(String, Option[Long]), Array[Array[Array[Double]]]]
   @volatile private var pqLastDir: Option[String] = None
 
   /** DuckDB oracle for [[pqTopK]] — frozen codebook literals, encode via
     * per-subspace argmin, ADC with the identical per-subspace grouping,
     * both ranking stages. Empty until the query ran in this JVM. */
   def pqOracleSqls: Map[String, String] =
-    pqLastDir.flatMap(pqReg.get).map { cbs =>
+    pqLastDir.flatMap(d => pqReg.get((d, None)))
+      .map(cbs => Map("ann_pq_topk" -> pqSqlFor(cbs, "", nQueriesDefault)))
+      .getOrElse(Map.empty)
+
+  /** Sampled-twin PQ SQL — codebooks trained on the vec_id % keepMod = 0
+    * corpus, replayed over the same restriction; consumed as a subquery
+    * inside `ann_recall_sampled`'s oracle. Empty until the sampled
+    * pipeline ran in this JVM (run-then-dump). */
+  def pqOracleSqlSampled(keepMod: Long, nQueries: Int): Option[String] =
+    pqLastDir.flatMap(d => pqReg.get((d, Some(keepMod))))
+      .map(cbs => pqSqlFor(cbs, s" WHERE vec_id % $keepMod = 0", nQueries))
+
+  private def pqSqlFor(cbs: Array[Array[Array[Double]]], pWhere: String,
+      nQueries: Int): String = {
       def cbCte(s: Int): String =
         cbs(s).zipWithIndex.map { case (v, cid) =>
           v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
@@ -322,13 +398,12 @@ object Similarity {
       val encJoin = (0 until PQ_M).map(s => s"JOIN e$s USING (vec_id)").mkString(" ")
       val adcJoins = (0 until PQ_M).map(s => s"JOIN cb$s b$s ON b$s.cid = enc.c$s").mkString(" ")
       val adcExpr = (0 until PQ_M).map(s => distExpr("q.qv", s"b$s", s)).mkString(" + ")
-      Map("ann_pq_topk" ->
-        s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$pWhere),
            |${(0 until PQ_M).map(cbCte).mkString(",\n")},
            |$encCtes,
            |enc AS (SELECT p.vec_id, ${(0 until PQ_M).map(s => s"e$s.c$s").mkString(", ")}
            |        FROM p $encJoin),
-           |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $nQueriesDefault),
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $nQueries),
            |sc AS (SELECT q.q_id, enc.vec_id AS n_id, $adcExpr AS adc
            |       FROM enc JOIN q ON enc.vec_id <> q.q_id $adcJoins),
            |cand AS (SELECT q_id, n_id FROM
@@ -340,8 +415,8 @@ object Similarity {
            |      FROM cand c JOIN p qp ON qp.vec_id = c.q_id JOIN p np ON np.vec_id = c.n_id)
            |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
            |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
-           |WHERE rn <= $kDefault ORDER BY q_id, rank""".stripMargin)
-    }.getOrElse(Map.empty)
+           |WHERE rn <= $kDefault ORDER BY q_id, rank""".stripMargin
+  }
 
   // Shared by the query defaults AND the oracle SQL above: the registry
   // is keyed only by sfDir, so oracle and plan must agree on these even
@@ -359,14 +434,20 @@ object Similarity {
     * in DuckDB. This is the number that justifies nprobe/rerank/band
     * parameters before a 100 TB run; the comparison itself is q×k-sized
     * (trivial) — the corpus work lives in the underlying pipelines. */
-  def recallEval(spark: SparkSession, sfDir: String): DataFrame = {
+  def recallEval(spark: SparkSession, sfDir: String,
+      keepMod: Option[Long] = None, nQueries: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val brute = bruteTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+    val brute = bruteTopK(spark, sfDir, nQueries = nQueries, keepMod = keepMod)
+      .select(col("q_id"), col("n_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val ivf = ivfTrainedTopK(spark, sfDir).select(col("q_id"), col("n_id"))
-    val sq = sqTopK(spark, sfDir).select(col("q_id"), col("n_id"))
-    val lsh = lshTopK(spark, sfDir).select(col("q_id"), col("n_id"))
-    val pq = pqTopK(spark, sfDir).select(col("q_id"), col("n_id"))
+    val ivf = ivfTrainedTopK(spark, sfDir, nQueries = nQueries, keepMod = keepMod)
+      .select(col("q_id"), col("n_id"))
+    val sq = sqTopK(spark, sfDir, nQueries = nQueries, keepMod = keepMod)
+      .select(col("q_id"), col("n_id"))
+    val lsh = lshTopK(spark, sfDir, nQueries = nQueries, keepMod = keepMod)
+      .select(col("q_id"), col("n_id"))
+    val pq = pqTopK(spark, sfDir, nQueries = nQueries, keepMod = keepMod)
+      .select(col("q_id"), col("n_id"))
     val hitIvf = brute.join(ivf, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit_ivf"))
     val hitSq = brute.join(sq, Seq("q_id", "n_id"), "left_semi")

@@ -27,16 +27,18 @@ class PlanGateSpec extends AnyFunSuite {
     "cross_join" -> "the operator under test IS a cartesian (5x25 dims)",
     "join_theta" -> "the operator under test IS a non-equi theta join",
     "ann_brute_topk" -> "exact baseline: query batch (10 rows) broadcast against the corpus by design",
+    "ann_hard_negatives" -> "band-filtered brute scan: same broadcast-query-batch shape (the band prunes before the top-k heaps)",
     "ann_sq_topk" -> "quantized exact scan: same broadcast-query-batch shape as brute",
     "ann_pq_topk" -> "PQ code scan: same broadcast-query-batch shape as brute (8 bytes/vector at scale)",
     "ann_recall" -> "evaluation harness over brute/sq (their NLJs) + 1-row count cross-joins",
+    "ann_recall_sampled" -> "same harness over the %5-sampled corpus (its own quantizers) so recall stays oracle-checked at sf1+",
     "dedup_recall" -> "1-row count aggregates cross-joined into the single metric row",
     "dedup_cosine" -> "exact all-pairs cosine baseline (the LSH/banded paths are the scale route)",
     "dedup_cosine_sampled" -> "the same declared-quadratic baseline, %5-sample-restricted so its oracle runs at every sweep sf",
     "dedup_semantic_recall" -> "recall eval contains the exact all-pairs baseline by construction (dedup_cosine's declared contract)",
+    "dedup_semantic_recall_sampled" -> "same eval, %5-sample-restricted pair sweep so the schedule's recall stays oracle-checked at sf1+",
     "kmeans_dbi" -> "k x k centroid-pair relation - k rows, never data-sized",
-    "sample_importance" -> "1-row token-totals aggregate broadcast-cross-joined onto the ratio projection",
-    "sample_temperature" -> "1-row corpus-totals aggregate broadcast-cross-joined onto the lang-sized rate relation")
+    "sample_importance" -> "1-row token-totals aggregate broadcast-cross-joined onto the ratio projection")
 
   test("no undeclared query plans a cartesian product or nested-loop join") {
     val offenders = Seq.newBuilder[String]

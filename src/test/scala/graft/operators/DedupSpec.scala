@@ -159,6 +159,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
+  test("sampled semantic recall = full recall restricted to %5 pairs") {
+    val sf = "/root/testdata/sf0.001"
+    // independent re-derivation: the sampled twin must count exactly the
+    // full-corpus-bucketing agreements over cosineNearDup's %5-sampled
+    // pair set — sampling thins the measured pairs, not the bucketings
+    val frozen = graft.kmeans.FitFinal.result(spark, sf, "fit")
+      .centroids.sortBy(_._1).map(_._2)
+    val vecs = graft.sources.Tables.points(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      def sq(c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }; s
+      }
+      cs.indices.minBy(i => (sq(cs(i)), i))
+    }
+    val pairs = Dedup.cosineNearDup(spark, sf, keepMod = Some(5L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => a % 5 == 0 && b % 5 == 0 })
+    val wantFrozen = pairs.count { case (a, b) =>
+      nearest(frozen, vecs(a)) == nearest(frozen, vecs(b)) }
+    val r = Dedup.semanticRecall(spark, sf, keepMod = Some(5L)).collect().head
+    assert(r.getLong(0) == pairs.length.toLong, "n_exact = sampled pair count")
+    assert(r.getLong(1) == wantFrozen.toLong, "n_frozen = frozen-bucket agreements")
+    assert(r.getDouble(3) ==
+      BigDecimal(wantFrozen.toDouble / pairs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("simhash: identical docs have identical signatures, hamming 0") {
     val sigs = Dedup.simhashSignatures(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

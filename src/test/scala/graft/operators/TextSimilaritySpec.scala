@@ -82,6 +82,47 @@ class TextSimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache() // sqTopK's cache contract: caller releases
   }
 
+  test("hard negatives = band-restricted top-k of the exact scan") {
+    val vecs = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    val want = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(q, n)))
+        .filter { case (_, c) => c >= 0.15 && c < 0.35 }
+        .sortBy { case (n, c) => (-c, n) }
+        .take(5).zipWithIndex
+        .map { case ((n, c), i) => (q, (i + 1).toLong, n,
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toSet
+    val got = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty, "fixture must contain band cosines")
+    assert(got == want)
+    // every mined negative sits strictly inside the band — never a
+    // near-dup (>= 0.4 is dedup territory), never an unrelated vector
+    got.foreach { case (_, _, _, c) => assert(c >= 0.149999 && c < 0.350001) }
+  }
+
+  test("sampled recall twin: 10 sampled queries, recalls in [0,1]") {
+    val r = Similarity.recallEval(spark, sf, keepMod = Some(5L), nQueries = 50)
+      .collect().head
+    assert(r.getLong(0) == 50L, "10 sampled anchors x top-5 brute rows")
+    Seq(5, 6, 7, 8).foreach { i =>
+      val rec = r.getDouble(i)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("brute-force top-1 is the ceiling: no ANN variant beats it") {
     val best = Similarity.bruteTopK(spark, sf).filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
