@@ -7,9 +7,13 @@
 # (ScaleUp widens key columns and refuses on overflow), then runs the
 # full bench there. The declared-quadratic/fixed-k baselines are
 # excluded BY CONTRACT (dedup_cosine ~100x pairs ≈ 1.6 h, join_theta
-# ~30 min, dedup_semantic N²/8 pair work at fixed k=8); their designed
-# scale legs stay in (%5-sampled oracle twins, dedup_semantic_scaled's
-# k∝N schedule — measured 10.6x wall for 10x corpus at sf1→sf10, r8).
+# ~30 min, dedup_semantic N²/8 pair work at fixed k=8,
+# dedup_semantic_recall's full exact sweep); their designed scale legs
+# stay in (%5-sampled oracle twins incl. ann_recall_sampled and
+# dedup_semantic_recall_sampled — sample-quadratic by declared
+# contract, 1/25 of the full pair work — and dedup_semantic_scaled's
+# k∝N schedule, measured 10.6x wall for 10x corpus at sf1→sf10, r8).
+# r9 adds the winnowing legs (text_winnow, dedup_winnow) to the set.
 #
 # Measurement caveat (PERF.md "sf10 probe (r7)"): in-pass ratios
 # over-report growth for late queries — prior heavy queries leave
