@@ -31,7 +31,13 @@ if [[ ! -f "$SF10/lineitem.parquet/_SUCCESS" ]]; then
   echo "[probe] deriving $SF10 (10x) from /tmp/sf1"
   sbt -batch "runMain graft.sources.ScaleUp /tmp/sf1 $SF10 10"
 fi
+# 24g heap (vs the 8g default): the r9 probe's ~3400 s cumulative pass
+# exhausted the 8g JVM partway through — the context died at text_winnow
+# (which passes standalone at sf10 in 266 s) and every later query
+# "failed" in ~20 ms. Full output tees to a log so BENCH FAIL lines are
+# never swallowed by the JSON grep again.
 env SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=200 \
+    SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
     SPARK_GRAFT_SKIP=dedup_cosine,join_theta,dedup_semantic,dedup_semantic_recall \
-    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*'
+    sbt -batch "runMain graft.Bench" 2>&1 | tee /tmp/probe_sf10.log | grep -o '{"metric".*'

@@ -70,6 +70,14 @@ object Bench {
     // in an oversized-sf sweep)
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // A fatal executor-thread error (OOM) makes local-mode Spark stop the
+    // shared SparkContext; every later .count() then fails in ~20 ms with
+    // "SparkContext has been shut down". The r9 sf10 probe ground through
+    // 15 such instant failures plus a full re-measure sweep of them,
+    // leaving a record where time-to-instant-fail masqueraded as
+    // observations. Once the context is dead nothing measured after it is
+    // a performance fact: mark the remaining queries skipped, not failed.
+    def ctxDead: Boolean = spark.sparkContext.isStopped
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -79,13 +87,15 @@ object Bench {
         false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      try spark.catalog.clearCache() catch { case _: Throwable => }
       (dt, ok)
     }
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)) && !skip.contains(kv._1))
+    // (name, fn, dt, ok, attempted)
     val firstPass = qs0.map { case (name, fn) =>
-      val (dt, ok) = timeOne(name, fn); (name, fn, dt, ok)
+      if (ctxDead) (name, fn, 0.0, false, false)
+      else { val (dt, ok) = timeOne(name, fn); (name, fn, dt, ok, true) }
     }
     // De-noising re-measure (PERF.md "bench methodology"): a transient
     // machine stall (GC pause, page-cache churn, CI contention) must not
@@ -130,7 +140,8 @@ object Bench {
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
     val cutoff = math.max(3 * median, 2.0)
     val remeasured = Seq.newBuilder[(String, Seq[Double])]
-    val results = firstPass.map { case (name, fn, dt, ok) =>
+    // (name, dt, ok, attempted)
+    val results = firstPass.map { case (name, fn, dt, ok, attempted) =>
       // regression = 2× the best time ever recorded for this query at
       // this sf (falling back to last round's for queries the min file
       // hasn't seen). The min anchor is what closes the compounding
@@ -138,25 +149,29 @@ object Bench {
       // machine-level environmental drift (PERF.md r6 A/B)
       val anchor = (minRec.get(name).toList ++ prior.get(name)).minOption
       def regressed(t: Double) = anchor.exists(p => t > 2 * p)
-      if (!ok || (dt <= cutoff && !regressed(dt))) (name, dt, ok)
+      if (!attempted) (name, dt, ok, attempted)
+      else if (!ok || (dt <= cutoff && !regressed(dt))) (name, dt, ok, attempted)
       else {
         // up to TWO warm re-runs: the r8 record showed a single rerun
         // under sustained machine contention still lands 2-5× above the
         // floor (34/139 queries remeasured, most still slow) — a second
         // chance once the contention window passes costs seconds and
         // only runs for queries already flagged. All observations land
-        // in "remeasured" so intermittent slowness stays evidenced.
+        // in "remeasured" so intermittent slowness stays evidenced; a
+        // FAILED attempt is recorded as its negated wall time so a
+        // time-to-crash can never be mistaken for a measurement. No
+        // re-runs once the context is dead — they'd all fail instantly.
         var obs = List(dt)
         var best = (dt, ok)
         var tries = 0
-        while (tries < 2 && (tries == 0 || regressed(best._1))) {
+        while (tries < 2 && !ctxDead && (tries == 0 || regressed(best._1))) {
           val (dtN, okN) = timeOne(name, fn)
-          obs = obs :+ dtN
+          obs = obs :+ (if (okN) dtN else -dtN)
           if (okN && (!best._2 || dtN < best._1)) best = (dtN, true)
           tries += 1
         }
         remeasured += ((name, obs))
-        (name, best._1, best._2)
+        (name, best._1, best._2, attempted)
       }
     }
     // the queries map and total carry SUCCESSFUL timings only: a crashed
@@ -164,11 +179,15 @@ object Bench {
     // record becomes the next run's regression anchor (prior/min) — a
     // fast crash would otherwise anchor a spurious 2× trip once fixed
     // (exactly what the r7 events crashes did to BENCH_LAST)
-    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a crashed query must be visible in the JSON, not silently folded
     // into the total as its time-to-failure
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, true) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // queries never attempted because the SparkContext had already died
+    // — neither measurements nor query failures
+    val skipped = results.collect { case (k, _, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     // transparency: which recorded times are best-of-2, and what both
     // observations were (see PERF.md bench methodology)
@@ -177,8 +196,8 @@ object Bench {
       .mkString("{", ",", "}")
     val priorName =
       if (prior.nonEmpty) "\"" + priorFile.getName + "\"" else "null"
-    val total = results.collect { case (_, v, true) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"remeasured":$rem,"prior_record":$priorName,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"skipped_dead_context":$skipped,"remeasured":$rem,"prior_record":$priorName,"sf":"$sfDir"}"""
     println(line)
     // stable machine-readable copy at a fixed path: the driver's
     // stdout-scrape has produced "parsed": null wrappers two rounds
@@ -193,14 +212,15 @@ object Bench {
     // full default-config runs only: a SPARK_GRAFT_ONLY subset would
     // poison the prior with a partial map, and a shuffle-partition
     // stress run with legitimately slower times
-    if (only.isEmpty && skip.isEmpty && shuffle == cpus) {
+    // a run whose context died mid-pass is not a representative baseline
+    if (only.isEmpty && skip.isEmpty && shuffle == cpus && results.forall(_._4)) {
       try java.nio.file.Files.writeString(priorFile.toPath, line + "\n")
       catch { case _: Throwable => }
       // refresh the monotone anchor: elementwise min of the record so
       // far and this run's successful timings (failed queries excluded
       // — a time-to-crash is not a performance floor)
       try {
-        val merged = (minRec.toSeq ++ results.collect { case (k, v, true) => k -> v })
+        val merged = (minRec.toSeq ++ results.collect { case (k, v, true, _) => k -> v })
           .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
         val body = merged.toSeq.sortBy(_._1)
           .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
