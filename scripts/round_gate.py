@@ -44,6 +44,10 @@ def main():
     failed = bench.get("failed", [])
     if failed:
         problems.append(f"bench: {len(failed)} queries crashed: {failed}")
+    skipped = bench.get("skipped_dead_context", [])
+    if skipped:
+        problems.append(f"bench: SparkContext died mid-run; {len(skipped)} "
+                        f"queries never attempted: {skipped}")
 
     bench_q = set(bench.get("queries", {})) | set(failed)
     corr_q = set(corr)
