@@ -280,6 +280,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     // MOSS match pairs over the winnow fingerprint index
     "dedup_winnow" -> ((s, dir) => Dedup.winnowPairs(s, dir)),
+    // content-defined chunking: per-chunk table + cross-doc dup groups
+    "chunk_cdc" -> ((s, dir) => Dedup.cdcChunks(s, dir)),
+    "dedup_chunks" -> ((s, dir) => Dedup.chunkDupGroups(s, dir)),
     "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)),
     // deterministic %5 sample on BOTH sides: the oracle leg that runs
     // at every sweep sf (the full all-pairs DuckDB replay is O(N²))
@@ -1211,6 +1214,8 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_substring" -> Dedup.substringDupOracle,
     "dedup_winnow" -> Dedup.winnowPairsOracle,
+    "chunk_cdc" -> Dedup.cdcChunksOracle,
+    "dedup_chunks" -> Dedup.chunkDupOracle,
     "dedup_ngram" ->
       s"""WITH $SHROWS,
          |rare AS (SELECT shh FROM sh GROUP BY shh HAVING count(*) <= 50),

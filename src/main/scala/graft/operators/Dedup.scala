@@ -484,6 +484,151 @@ object Dedup {
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- content-defined chunking
+
+  /** Gram width of the CDC boundary hash ([[cdcChunks]]). */
+  val CdcK = 16
+
+  /** CDC boundary divisor: a cut lands where the k-gram hash ≡ 0
+    * (mod CdcD), so expected chunk length ≈ CdcD chars. */
+  val CdcD = 64
+
+  /** Minimum chunk length for [[chunkDupGroups]] — boundary-adjacent
+    * slivers below this carry no dedup signal. */
+  val CdcMinDupLen = 20L
+
+  /** Content-defined chunking — the LBFS/FastCDC device (Muthitacharoen
+    * et al., SOSP 2001; Xia et al., USENIX ATC 2016): cut every document
+    * where the [[CdcK]]-char gram's md5-derived hash ≡ 0 (mod [[CdcD]]).
+    * Cut points depend only on LOCAL content, so an edit displaces at
+    * most the chunks it touches — unlike fixed-width blocks, where one
+    * insertion shifts every later boundary — and chunk-hash equality
+    * finds the shared spans between near-identical documents. Output:
+    * one row per chunk `(doc_id, chunk_idx, start_pos, chunk_len,
+    * chunk_hash)`, the unit a chunk-level dedup store keys on.
+    *
+    * The published algorithms roll a stateful hash byte-by-byte; the
+    * hash here is stateless per k-gram (the same fixed-window
+    * simplification [[TextAnalysis.winnow]] uses), which keeps the
+    * boundary rule a pure per-position predicate BOTH engines can
+    * evaluate identically — content-defined alignment is preserved, and
+    * there is deliberately no min-size suppression, whose
+    * previous-boundary recursion neither engine expresses as a window.
+    *
+    * Scale shape: one narrow gram pass (native [[graft.plans.CharGrams]]
+    * kernel — gram strings are hashed in the same projection and never
+    * cross a shuffle); boundary positions aggregate to ONE short array
+    * per doc (`collect_list` partials combine map-side on the scan
+    * partitioning), so the join back to `documents` for chunk slicing is
+    * doc-keyed at N_docs cardinality — the document body is read once
+    * and travels through exactly one co-partitioned join. ~len/[[CdcD]]
+    * chunk rows per doc, each 5 narrow columns. */
+  def cdcChunks(spark: SparkSession, sfDir: String,
+      k: Int = CdcK, divisor: Int = CdcD): DataFrame =
+    cdcChunkRows(spark, sfDir, k, divisor).orderBy("doc_id", "chunk_idx")
+
+  /** [[cdcChunks]] without the presentation sort (consumers that
+    * re-aggregate skip it). */
+  private def cdcChunkRows(spark: SparkSession, sfDir: String,
+      k: Int, divisor: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val grams = column(graft.plans.CharGrams(expression(col("text")), k))
+    val bnd = docs
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
+      .filter(col("pos") > 0 &&
+        HashOps.wordHashN(col("g"), 15) % divisor === 0)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("bs"))
+    // chunk i spans [starts[i], starts[i+1]) — last chunk to end of doc
+    val chunkArr = transform(col("starts"), (s, i) => {
+      val nxt = when(i + lit(2) <= size(col("starts")),
+        element_at(col("starts"), i + lit(2))).otherwise(length(col("text")))
+      struct(i.cast("long").as("chunk_idx"), s.cast("long").as("start_pos"),
+        (nxt - s).cast("long").as("chunk_len"))
+    })
+    docs.join(bnd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        concat(array(lit(0)), coalesce(col("bs"), array().cast("array<int>")))
+          .as("starts"))
+      .select(col("doc_id"), col("text"), explode(chunkArr).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_pos").as("start_pos"), col("c.chunk_len").as("chunk_len"),
+        HashOps.wordHashN(
+          expr("substring(text, c.start_pos + 1, c.chunk_len)"), 15)
+          .as("chunk_hash"))
+  }
+
+  /** Cross-document duplicate chunk groups over [[cdcChunks]]: chunk
+    * hashes (≥ [[CdcMinDupLen]] chars) present in ≥ 2 distinct
+    * documents, with doc and occurrence counts — the chunk-store dedup
+    * ledger, and the span-level complement of [[substringDupStats]]'s
+    * fixed-width windows. Distinct-doc counting is a two-level
+    * aggregate ((hash, doc) then hash), never count-distinct's expand;
+    * both shuffles carry 8-byte hash keys. */
+  def chunkDupGroups(spark: SparkSession, sfDir: String,
+      minLen: Long = CdcMinDupLen): DataFrame = {
+    val per = cdcChunkRows(spark, sfDir, CdcK, CdcD)
+      .filter(col("chunk_len") >= minLen)
+      .groupBy("chunk_hash", "doc_id")
+      .agg(count(lit(1)).as("occ"), max("chunk_len").as("cl"))
+    per.groupBy("chunk_hash")
+      .agg(max("cl").as("chunk_len"), count(lit(1)).as("n_docs"),
+        sum("occ").as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_occ"), desc("n_docs"), col("chunk_hash"))
+  }
+
+  /** DuckDB CTE chain (no leading WITH) ending in `cxh(doc_id,
+    * chunk_idx, start_pos, chunk_len, chunk_hash)` — the CDC chunk
+    * relation at [[cdcChunks]]'s defaults. Shared by the `chunk_cdc`
+    * and `dedup_chunks` oracles so both replay the identical boundary
+    * derivation. */
+  private def cdcOracleCtes(k: Int = CdcK, divisor: Int = CdcD): String =
+    s"""d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |g0 AS (SELECT doc_id, CASE WHEN length(text) >= $k
+       |         THEN list_transform(generate_series(1, length(text) - ${k - 1}),
+       |                             i -> substring(text, i, $k))
+       |         ELSE [] END AS gs FROM d),
+       |g1 AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS g FROM g0),
+       |bh AS (SELECT doc_id, pos
+       |       FROM (SELECT doc_id, pos, md5(g) AS m FROM g1)
+       |       WHERE (${HashOps.wordHashSqlN(15)}) % $divisor = 0 AND pos > 0),
+       |bl AS (SELECT doc_id, list_sort(list(pos)) AS bs FROM bh GROUP BY doc_id),
+       |st AS (SELECT d.doc_id, d.text,
+       |              list_concat([0], coalesce(bl.bs, [])) AS starts
+       |       FROM d LEFT JOIN bl USING (doc_id)),
+       |cr AS (SELECT doc_id, text, starts,
+       |              generate_subscripts(starts, 1) - 1 AS chunk_idx,
+       |              unnest(starts) AS start_pos FROM st),
+       |cx AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |              CAST(start_pos AS BIGINT) AS start_pos,
+       |              CAST(coalesce(starts[chunk_idx + 2], length(text)) - start_pos AS BIGINT) AS chunk_len,
+       |              substring(text, start_pos + 1,
+       |                        coalesce(starts[chunk_idx + 2], length(text)) - start_pos) AS chunk
+       |       FROM cr),
+       |cxh AS (SELECT doc_id, chunk_idx, start_pos, chunk_len,
+       |               (${HashOps.wordHashSqlN(15)}) AS chunk_hash
+       |        FROM (SELECT doc_id, chunk_idx, start_pos, chunk_len, md5(chunk) AS m
+       |              FROM cx))""".stripMargin
+
+  /** DuckDB twin of [[cdcChunks]]. */
+  def cdcChunksOracle: String =
+    s"""WITH ${cdcOracleCtes()}
+       |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_hash
+       |FROM cxh ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** DuckDB twin of [[chunkDupGroups]] (defaults minLen=20). */
+  def chunkDupOracle: String =
+    s"""WITH ${cdcOracleCtes()},
+       |per AS (SELECT chunk_hash, doc_id, count(*) AS occ, max(chunk_len) AS cl
+       |        FROM cxh WHERE chunk_len >= $CdcMinDupLen GROUP BY 1, 2)
+       |SELECT chunk_hash, CAST(max(cl) AS BIGINT) AS chunk_len,
+       |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
+       |FROM per GROUP BY chunk_hash HAVING count(*) >= 2
+       |ORDER BY n_occ DESC, n_docs DESC, chunk_hash""".stripMargin
+
   // ----------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-dup pairs (cos ≥ threshold). Exact O(N²)

@@ -223,4 +223,39 @@ class DedupSpec extends AnyFunSuite {
     assert(winnow((0L, 1L)) >= winnow.getOrElse((0L, 2L), 0L))
     assert(winnow((0L, 1L)) >= winnow.getOrElse((1L, 2L), 0L))
   }
+
+  test("cdc chunks tile each document; identical docs chunk identically and share dup groups") {
+    val ch = Dedup.cdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byDoc = ch.groupBy(_._1)
+    // actual length(text) per doc (the corpus's n_chars column is
+    // nominal): docs 0-2 are 59 chars, doc 3 is 60, doc 4 is 9
+    val lens = Map(0L -> 59L, 1L -> 59L, 2L -> 59L, 3L -> 60L, 4L -> 9L)
+    for ((d, rows) <- byDoc) {
+      val sorted = rows.sortBy(_._2)
+      // chunk_idx contiguous from 0; chunks tile the text exactly
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong).toSeq)
+      assert(sorted.head._3 == 0L)
+      assert(sorted.map(_._4).sum == lens(d), s"doc $d chunks must tile the text")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"doc $d chunks must abut")
+        case _ => ()
+      }
+    }
+    // doc 4 is shorter than one k-gram: exactly one whole-doc chunk
+    assert(byDoc(4L).length == 1 && byDoc(4L).head._4 == 9L)
+    // identical texts produce identical chunk sequences
+    assert(byDoc(0L).map(t => (t._2, t._3, t._4, t._5)).toSeq.sortBy(_._1) ==
+      byDoc(1L).map(t => (t._2, t._3, t._4, t._5)).toSeq.sortBy(_._1))
+    // every doc-0 chunk long enough for the dup ledger is shared with
+    // doc 1, so it must appear as a cross-doc dup group
+    val eligible = byDoc(0L).filter(_._4 >= Dedup.CdcMinDupLen).map(_._5).toSet
+    assert(eligible.nonEmpty, "mini corpus must yield at least one ledger-sized chunk")
+    val dups = Dedup.chunkDupGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(eligible.subsetOf(dups.keySet))
+    dups.values.foreach { case (nDocs, nOcc) =>
+      assert(nDocs >= 2 && nOcc >= nDocs)
+    }
+  }
 }
