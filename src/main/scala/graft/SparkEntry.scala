@@ -282,6 +282,7 @@ object SparkEntry {
     "dedup_winnow" -> ((s, dir) => Dedup.winnowPairs(s, dir)),
     // content-defined chunking: per-chunk table + cross-doc dup groups
     "chunk_cdc" -> ((s, dir) => Dedup.cdcChunks(s, dir)),
+    "chunk_cdc_minsize" -> ((s, dir) => Dedup.cdcChunksMinSize(s, dir)),
     "dedup_chunks" -> ((s, dir) => Dedup.chunkDupGroups(s, dir)),
     "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)),
     // deterministic %5 sample on BOTH sides: the oracle leg that runs
@@ -1215,6 +1216,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.substringDupOracle,
     "dedup_winnow" -> Dedup.winnowPairsOracle,
     "chunk_cdc" -> Dedup.cdcChunksOracle,
+    "chunk_cdc_minsize" -> Dedup.cdcMinSizeOracle,
     "dedup_chunks" -> Dedup.chunkDupOracle,
     "dedup_ngram" ->
       s"""WITH $SHROWS,

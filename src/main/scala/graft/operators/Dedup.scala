@@ -530,6 +530,13 @@ object Dedup {
   /** [[cdcChunks]] without the presentation sort (consumers that
     * re-aggregate skip it). */
   private def cdcChunkRows(spark: SparkSession, sfDir: String,
+      k: Int, divisor: Int): DataFrame =
+    chunksFromStarts(cdcBoundaries(spark, sfDir, k, divisor),
+      concat(array(lit(0)), coalesce(col("bs"), array().cast("array<int>"))))
+
+  /** `(doc_id, text, bs)` — each doc's sorted CDC boundary positions
+    * (possibly null when no gram hash hits the divisor). */
+  private def cdcBoundaries(spark: SparkSession, sfDir: String,
       k: Int, divisor: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val docs = Tables(spark, sfDir, "documents")
@@ -541,6 +548,12 @@ object Dedup {
       .filter(col("pos") > 0 &&
         HashOps.wordHashN(col("g"), 15) % divisor === 0)
       .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("bs"))
+    docs.join(bnd, Seq("doc_id"), "left")
+  }
+
+  /** Slice `(doc_id, text, bs)` into chunk rows given a start-position
+    * derivation (`starts` must begin with 0 and be ascending). */
+  private def chunksFromStarts(withBs: DataFrame, starts: Column): DataFrame = {
     // chunk i spans [starts[i], starts[i+1]) — last chunk to end of doc
     val chunkArr = transform(col("starts"), (s, i) => {
       val nxt = when(i + lit(2) <= size(col("starts")),
@@ -548,16 +561,94 @@ object Dedup {
       struct(i.cast("long").as("chunk_idx"), s.cast("long").as("start_pos"),
         (nxt - s).cast("long").as("chunk_len"))
     })
-    docs.join(bnd, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("text"),
-        concat(array(lit(0)), coalesce(col("bs"), array().cast("array<int>")))
-          .as("starts"))
+    withBs
+      .select(col("doc_id"), col("text"), starts.as("starts"))
       .select(col("doc_id"), col("text"), explode(chunkArr).as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.start_pos").as("start_pos"), col("c.chunk_len").as("chunk_len"),
         HashOps.wordHashN(
           expr("substring(text, c.start_pos + 1, c.chunk_len)"), 15)
           .as("chunk_hash"))
+  }
+
+  /** Minimum chunk size of [[cdcChunksMinSize]] (FastCDC's m). */
+  val CdcMinSize = 32
+
+  /** [[cdcChunks]] with FastCDC's min-size rule restored: walking each
+    * document's candidate cuts left to right, a cut within [[CdcMinSize]]
+    * chars of the previously KEPT cut is suppressed (FastCDC skips the
+    * min-size region entirely — same greedy selection). The recursion
+    * ("previous kept") that a window can't express becomes an explicit
+    * left-to-right fold over the per-doc boundary ARRAY — Spark's
+    * `aggregate` higher-order function with an array accumulator; the
+    * oracle replays the same greedy selection as a recursive CTE (see
+    * [[cdcMinSizeOracle]] for why not `list_reduce`). Both walks visit
+    * the identical ascending positions, so the greedy outcome is
+    * deterministic and engine-identical. Only the tail chunk may be
+    * shorter than m. The fold is a narrow per-row expression over an
+    * array that is ~len/[[CdcD]] long — no extra shuffle vs
+    * [[cdcChunks]]. */
+  def cdcChunksMinSize(spark: SparkSession, sfDir: String,
+      minSize: Int = CdcMinSize): DataFrame = {
+    val kept = aggregate(
+      coalesce(col("bs"), array().cast("array<int>")),
+      array(lit(0)),
+      (acc, x) => when(x >= element_at(acc, lit(-1)) + lit(minSize),
+        concat(acc, array(x))).otherwise(acc))
+    chunksFromStarts(cdcBoundaries(spark, sfDir, CdcK, CdcD), kept)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** DuckDB twin of [[cdcChunksMinSize]] — the greedy selection as a
+    * RECURSIVE CTE: each level keeps, per doc, the smallest candidate
+    * ≥ previous kept + m, so level count = max kept cuts per doc
+    * (bounded by doc LENGTH, which does not grow with the corpus).
+    *
+    * Deliberately NOT `list_reduce`: DuckDB v1.0's list_reduce
+    * miscomputes folds when list lengths vary across rows in a
+    * vectorized batch (state leaks between rows — 210/500 wrong on a
+    * synthetic varying-length corpus, reproduced while building this
+    * oracle; correct when every row holds the identical list, which is
+    * why a single-doc probe looks fine). And the recursion carries each
+    * doc's boundary LIST in the working table rather than joining back
+    * to `bh`: DuckDB inlines non-recursive CTEs, so a recursive term
+    * that references the gram chain re-derives all the grams at EVERY
+    * level (18 s vs 1 s at the gate, unbounded at sweep scale), while
+    * `AS MATERIALIZED` silently breaks the recursion entirely in v1.0
+    * (base rows only). With the list in-row, the expensive chain runs
+    * exactly once, in the base case; each level is a pure
+    * list_filter/list_aggregate over ~len/[[CdcD]] elements, and the
+    * level count is bounded by document LENGTH — which does not grow
+    * with the corpus. */
+  def cdcMinSizeOracle: String = {
+    val m = CdcMinSize
+    s"""WITH RECURSIVE ${cdcOracleCtes()},
+       |keep AS (
+       |  SELECT d.doc_id, coalesce(bl.bs, []) AS bs, 0 AS kpos
+       |  FROM d LEFT JOIN bl USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, bs,
+       |         list_aggregate(list_filter(bs, b -> b >= kpos + $m), 'min') AS kpos
+       |  FROM keep
+       |  WHERE length(list_filter(bs, b -> b >= kpos + $m)) > 0
+       |),
+       |st2 AS (SELECT d.doc_id, d.text, ks.starts
+       |        FROM d JOIN (SELECT doc_id, list_sort(list(kpos)) AS starts
+       |                     FROM keep GROUP BY doc_id) ks USING (doc_id)),
+       |cr2 AS (SELECT doc_id, text, starts,
+       |               generate_subscripts(starts, 1) - 1 AS chunk_idx,
+       |               unnest(starts) AS start_pos FROM st2),
+       |cx2 AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |               CAST(start_pos AS BIGINT) AS start_pos,
+       |               CAST(coalesce(starts[chunk_idx + 2], length(text)) - start_pos AS BIGINT) AS chunk_len,
+       |               substring(text, start_pos + 1,
+       |                         coalesce(starts[chunk_idx + 2], length(text)) - start_pos) AS chunk
+       |        FROM cr2)
+       |SELECT doc_id, chunk_idx, start_pos, chunk_len,
+       |       (${HashOps.wordHashSqlN(15)}) AS chunk_hash
+       |FROM (SELECT doc_id, chunk_idx, start_pos, chunk_len, md5(chunk) AS m
+       |      FROM cx2)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
   /** Cross-document duplicate chunk groups over [[cdcChunks]]: chunk

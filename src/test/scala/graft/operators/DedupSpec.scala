@@ -258,4 +258,23 @@ class DedupSpec extends AnyFunSuite {
       assert(nDocs >= 2 && nOcc >= nDocs)
     }
   }
+
+  test("min-size cdc keeps a subset of pure cuts, tiles, and only the tail may undershoot m") {
+    val pure = Dedup.cdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ms = Dedup.cdcChunksMinSize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lens = Map(0L -> 59L, 1L -> 59L, 2L -> 59L, 3L -> 60L, 4L -> 9L)
+    for ((d, rows) <- ms.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      // starts are a subset of the pure variant's starts (greedy keep)
+      assert(sorted.map(_._3).toSet.subsetOf(pure(d)))
+      // tiling still holds
+      assert(sorted.head._3 == 0L && sorted.map(_._4).sum == lens(d))
+      // every chunk but the per-doc tail is >= CdcMinSize
+      sorted.dropRight(1).foreach(c =>
+        assert(c._4 >= Dedup.CdcMinSize, s"doc $d non-tail chunk ${c._4} < m"))
+    }
+  }
 }
