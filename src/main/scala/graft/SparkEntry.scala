@@ -284,6 +284,7 @@ object SparkEntry {
     "chunk_cdc" -> ((s, dir) => Dedup.cdcChunks(s, dir)),
     "chunk_cdc_minsize" -> ((s, dir) => Dedup.cdcChunksMinSize(s, dir)),
     "dedup_chunks" -> ((s, dir) => Dedup.chunkDupGroups(s, dir)),
+    "dedup_chunk_stats" -> ((s, dir) => Dedup.chunkDupStats(s, dir)),
     "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)),
     // deterministic %5 sample on BOTH sides: the oracle leg that runs
     // at every sweep sf (the full all-pairs DuckDB replay is O(N²))
@@ -1218,6 +1219,7 @@ object SparkEntry {
     "chunk_cdc" -> Dedup.cdcChunksOracle,
     "chunk_cdc_minsize" -> Dedup.cdcMinSizeOracle,
     "dedup_chunks" -> Dedup.chunkDupOracle,
+    "dedup_chunk_stats" -> Dedup.chunkDupStatsOracle,
     "dedup_ngram" ->
       s"""WITH $SHROWS,
          |rare AS (SELECT shh FROM sh GROUP BY shh HAVING count(*) <= 50),

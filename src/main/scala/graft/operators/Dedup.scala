@@ -671,6 +671,65 @@ object Dedup {
       .orderBy(desc("n_occ"), desc("n_docs"), col("chunk_hash"))
   }
 
+  /** Per-document chunk-level duplication stats — the actionable
+    * signal [[chunkDupGroups]]'s ledger implies, in the shape of
+    * [[substringDupStats]]: for every document, how many of its
+    * ledger-sized (≥ [[CdcMinDupLen]]) chunks also occur in ANOTHER
+    * document, and what fraction of its bytes those chunks cover. A
+    * doc with a high `dup_ppm` is chunk-level boilerplate — the
+    * removal candidate a CDC dedup store would delta-compress away.
+    * The fraction ships as integer PARTS-PER-MILLION (floor division)
+    * rather than a rounded double: at sf1 the byte ratio landed
+    * exactly on a decimal midpoint (0.0640625) where Spark rounds
+    * HALF_UP and DuckDB HALF_EVEN — integer division has no ties.
+    *
+    * Scale shape: the chunk relation is computed ONCE and persisted
+    * (three consumers: per-doc totals, the shared-hash ledger, the
+    * per-doc dup rollup); cross-doc sharing is a distinct + count on
+    * the 8-byte chunk hash (never count-distinct's expand); every
+    * join/agg is keyed on doc_id or chunk_hash. */
+  def chunkDupStats(spark: SparkSession, sfDir: String,
+      minLen: Long = CdcMinDupLen): DataFrame = {
+    val rows = cdcChunkRows(spark, sfDir, CdcK, CdcD)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = rows.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("chunk_len").as("n_bytes"))
+    val shared = rows.filter(col("chunk_len") >= minLen)
+      .select("chunk_hash", "doc_id").distinct()
+      .groupBy("chunk_hash").agg(count(lit(1)).as("ddf"))
+      .filter(col("ddf") >= 2).select("chunk_hash")
+    val dup = rows.filter(col("chunk_len") >= minLen)
+      .join(shared, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_chunks"), sum("chunk_len").as("dup_bytes"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_bytes"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_bytes"), lit(0L)).as("dup_bytes"),
+        expr("coalesce(dup_bytes, 0L) * 1000000L div greatest(n_bytes, 1L)")
+          .as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[chunkDupStats]]. */
+  def chunkDupStatsOracle: String =
+    s"""WITH ${cdcOracleCtes()},
+       |tot AS (SELECT doc_id, count(*) AS n_chunks, sum(chunk_len) AS n_bytes
+       |        FROM cxh GROUP BY doc_id),
+       |sh AS (SELECT chunk_hash FROM (SELECT DISTINCT chunk_hash, doc_id
+       |                               FROM cxh WHERE chunk_len >= $CdcMinDupLen)
+       |       GROUP BY chunk_hash HAVING count(*) >= 2),
+       |dup AS (SELECT doc_id, count(*) AS n_dup_chunks, sum(chunk_len) AS dup_bytes
+       |        FROM cxh JOIN sh USING (chunk_hash)
+       |        WHERE chunk_len >= $CdcMinDupLen GROUP BY doc_id)
+       |SELECT tot.doc_id, CAST(tot.n_chunks AS BIGINT) AS n_chunks,
+       |       CAST(tot.n_bytes AS BIGINT) AS n_bytes,
+       |       CAST(coalesce(dup.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       |       CAST(coalesce(dup.dup_bytes, 0) AS BIGINT) AS dup_bytes,
+       |       CAST(coalesce(dup.dup_bytes, 0) * 1000000
+       |            // greatest(tot.n_bytes, 1) AS BIGINT) AS dup_ppm
+       |FROM tot LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** DuckDB CTE chain (no leading WITH) ending in `cxh(doc_id,
     * chunk_idx, start_pos, chunk_len, chunk_hash)` — the CDC chunk
     * relation at [[cdcChunks]]'s defaults. Shared by the `chunk_cdc`

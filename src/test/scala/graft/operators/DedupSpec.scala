@@ -259,6 +259,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk dup stats: identical docs are fully duplicated, unrelated docs not at all") {
+    val st = Dedup.chunkDupStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(st.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // docs 0/1 are identical: every ledger-sized chunk is shared, and
+    // their stats rows are equal
+    assert(st(0L) == st(1L))
+    assert(st(0L)._4 > 0 && st(0L)._5 > 0L)
+    // bytes accounting: dup_bytes never exceeds n_bytes; ppm is the
+    // exact floor division
+    st.foreach { case (d, (nc, nb, ndc, db, ppm)) =>
+      assert(db <= nb && ndc <= nc)
+      assert(ppm == db * 1000000L / math.max(nb, 1L))
+    }
+    // doc 3 shares nothing 20+ chars with any other doc
+    assert(st(3L)._4 == 0L && st(3L)._5 == 0L)
+  }
+
   test("min-size cdc keeps a subset of pure cuts, tiles, and only the tail may undershoot m") {
     val pure = Dedup.cdcChunks(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
