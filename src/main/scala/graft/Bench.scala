@@ -139,7 +139,7 @@ object Bench {
     val sorted = firstPass.map(_._3).sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
     val cutoff = math.max(3 * median, 2.0)
-    val remeasured = Seq.newBuilder[(String, Seq[Double])]
+    val remeasured = Seq.newBuilder[(String, Seq[(Double, Boolean)])]
     // (name, dt, ok, attempted)
     val results = firstPass.map { case (name, fn, dt, ok, attempted) =>
       // regression = 2× the best time ever recorded for this query at
@@ -157,16 +157,18 @@ object Bench {
         // floor (34/139 queries remeasured, most still slow) — a second
         // chance once the contention window passes costs seconds and
         // only runs for queries already flagged. All observations land
-        // in "remeasured" so intermittent slowness stays evidenced; a
-        // FAILED attempt is recorded as its negated wall time so a
-        // time-to-crash can never be mistaken for a measurement. No
-        // re-runs once the context is dead — they'd all fail instantly.
-        var obs = List(dt)
+        // in "remeasured" as structured {"t": wall, "ok": bool} entries
+        // (a failed attempt's t is its time-to-crash, never a
+        // measurement — the explicit ok flag replaces r9's negative-sign
+        // convention, which any consumer computing stats over the array
+        // could silently misread; ADVICE r9). No re-runs once the
+        // context is dead — they'd all fail instantly.
+        var obs = List((dt, ok))
         var best = (dt, ok)
         var tries = 0
         while (tries < 2 && !ctxDead && (tries == 0 || regressed(best._1))) {
           val (dtN, okN) = timeOne(name, fn)
-          obs = obs :+ (if (okN) dtN else -dtN)
+          obs = obs :+ ((dtN, okN))
           if (okN && (!best._2 || dtN < best._1)) best = (dtN, true)
           tries += 1
         }
@@ -192,7 +194,10 @@ object Bench {
     // transparency: which recorded times are best-of-2, and what both
     // observations were (see PERF.md bench methodology)
     val rem = remeasured.result()
-      .map { case (n, obs) => s"\"$n\":[${obs.mkString(",")}]" }
+      .map { case (n, obs) =>
+        val entries = obs.map { case (t, o) => s"""{"t":$t,"ok":$o}""" }
+        s"\"$n\":[${entries.mkString(",")}]"
+      }
       .mkString("{", ",", "}")
     val priorName =
       if (prior.nonEmpty) "\"" + priorFile.getName + "\"" else "null"

@@ -285,6 +285,10 @@ object SparkEntry {
     "chunk_cdc_minsize" -> ((s, dir) => Dedup.cdcChunksMinSize(s, dir)),
     "dedup_chunks" -> ((s, dir) => Dedup.chunkDupGroups(s, dir)),
     "dedup_chunk_stats" -> ((s, dir) => Dedup.chunkDupStats(s, dir)),
+    // chunk-level dedup ACTION: per dup group, the canonical occurrence
+    // to keep (first by doc_id then chunk_idx) — the decision record a
+    // CDC store needs before a delta-compression pass
+    "dedup_chunk_canonical" -> ((s, dir) => Dedup.chunkCanonical(s, dir)),
     "dedup_cosine" -> ((s, dir) => Dedup.cosineNearDup(s, dir)),
     // deterministic %5 sample on BOTH sides: the oracle leg that runs
     // at every sweep sf (the full all-pairs DuckDB replay is O(N²))
@@ -1220,6 +1224,7 @@ object SparkEntry {
     "chunk_cdc_minsize" -> Dedup.cdcMinSizeOracle,
     "dedup_chunks" -> Dedup.chunkDupOracle,
     "dedup_chunk_stats" -> Dedup.chunkDupStatsOracle,
+    "dedup_chunk_canonical" -> Dedup.chunkCanonicalOracle,
     "dedup_ngram" ->
       s"""WITH $SHROWS,
          |rare AS (SELECT shh FROM sh GROUP BY shh HAVING count(*) <= 50),

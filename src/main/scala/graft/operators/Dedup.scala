@@ -525,10 +525,15 @@ object Dedup {
     * chunk rows per doc, each 5 narrow columns. */
   def cdcChunks(spark: SparkSession, sfDir: String,
       k: Int = CdcK, divisor: Int = CdcD): DataFrame =
-    cdcChunkRows(spark, sfDir, k, divisor).orderBy("doc_id", "chunk_idx")
+    cdcChunkRows(spark, sfDir, k, divisor)
+      .select("doc_id", "chunk_idx", "start_pos", "chunk_len", "chunk_hash")
+      .orderBy("doc_id", "chunk_idx")
 
-  /** [[cdcChunks]] without the presentation sort (consumers that
-    * re-aggregate skip it). */
+  /** [[cdcChunks]] without the presentation sort, plus the ledger key
+    * `chunk_key` (FULL md5 hex of the chunk body — consumers that
+    * re-aggregate and the dedup ledger use this; see
+    * [[chunksFromStarts]] for why the 60-bit `chunk_hash` is display
+    * only). */
   private def cdcChunkRows(spark: SparkSession, sfDir: String,
       k: Int, divisor: Int): DataFrame =
     chunksFromStarts(cdcBoundaries(spark, sfDir, k, divisor),
@@ -552,7 +557,16 @@ object Dedup {
   }
 
   /** Slice `(doc_id, text, bs)` into chunk rows given a start-position
-    * derivation (`starts` must begin with 0 and be ascending). */
+    * derivation (`starts` must begin with 0 and be ascending).
+    *
+    * Two hash columns: `chunk_hash` (60-bit, compact display/join key
+    * for the per-chunk TABLE) and `chunk_key` (the FULL 32-hex md5 of
+    * the chunk body). The dedup LEDGER keys on `chunk_key`: at the
+    * 100 TB posture (~1e12 ledger-sized chunks) 60-bit birthday
+    * collisions are expected (~p=0.35 for one collision at 1e9 already)
+    * and would silently conflate distinct chunks into one dup group —
+    * the full md5 has the same shuffle posture as [[exact]]'s 32-byte
+    * text-hash key (ADVICE r9). */
   private def chunksFromStarts(withBs: DataFrame, starts: Column): DataFrame = {
     // chunk i spans [starts[i], starts[i+1]) — last chunk to end of doc
     val chunkArr = transform(col("starts"), (s, i) => {
@@ -568,7 +582,9 @@ object Dedup {
         col("c.start_pos").as("start_pos"), col("c.chunk_len").as("chunk_len"),
         HashOps.wordHashN(
           expr("substring(text, c.start_pos + 1, c.chunk_len)"), 15)
-          .as("chunk_hash"))
+          .as("chunk_hash"),
+        md5(expr("substring(text, c.start_pos + 1, c.chunk_len)")
+          .cast("binary")).as("chunk_key"))
   }
 
   /** Minimum chunk size of [[cdcChunksMinSize]] (FastCDC's m). */
@@ -596,6 +612,7 @@ object Dedup {
       (acc, x) => when(x >= element_at(acc, lit(-1)) + lit(minSize),
         concat(acc, array(x))).otherwise(acc))
     chunksFromStarts(cdcBoundaries(spark, sfDir, CdcK, CdcD), kept)
+      .select("doc_id", "chunk_idx", "start_pos", "chunk_len", "chunk_hash")
       .orderBy("doc_id", "chunk_idx")
   }
 
@@ -656,20 +673,63 @@ object Dedup {
     * documents, with doc and occurrence counts — the chunk-store dedup
     * ledger, and the span-level complement of [[substringDupStats]]'s
     * fixed-width windows. Distinct-doc counting is a two-level
-    * aggregate ((hash, doc) then hash), never count-distinct's expand;
-    * both shuffles carry 8-byte hash keys. */
+    * aggregate ((key, doc) then key), never count-distinct's expand;
+    * both shuffles carry the full-md5 `chunk_key` (32-byte keys — the
+    * same posture as [[exact]]; see [[chunksFromStarts]] for why the
+    * 60-bit hash cannot key a 100 TB ledger). */
   def chunkDupGroups(spark: SparkSession, sfDir: String,
       minLen: Long = CdcMinDupLen): DataFrame = {
     val per = cdcChunkRows(spark, sfDir, CdcK, CdcD)
       .filter(col("chunk_len") >= minLen)
-      .groupBy("chunk_hash", "doc_id")
+      .groupBy("chunk_key", "doc_id")
       .agg(count(lit(1)).as("occ"), max("chunk_len").as("cl"))
-    per.groupBy("chunk_hash")
+    per.groupBy("chunk_key")
       .agg(max("cl").as("chunk_len"), count(lit(1)).as("n_docs"),
         sum("occ").as("n_occ"))
       .filter(col("n_docs") >= 2)
-      .orderBy(desc("n_occ"), desc("n_docs"), col("chunk_hash"))
+      .orderBy(desc("n_occ"), desc("n_docs"), col("chunk_key"))
   }
+
+  /** Chunk-level dedup ACTION over [[chunkDupGroups]]'s ledger: for
+    * every duplicate chunk group, the canonical occurrence to KEEP —
+    * the first (lowest `doc_id`, then lowest `chunk_idx` within it)
+    * among the group's members; every other occurrence is the
+    * delta-compression candidate a CDC store replaces with a reference.
+    * The cluster-level twin of [[canonical]], one level down.
+    *
+    * Scale shape: reuses the per-(key, doc) aggregate of the ledger —
+    * `min(chunk_idx)` rides the same map-side combine — then one
+    * `chunk_key`-keyed reduce; `min_by` picks the min-doc member without
+    * a window or second shuffle. Persist/caller-releases contract as
+    * [[chunkDupStats]]. */
+  def chunkCanonical(spark: SparkSession, sfDir: String,
+      minLen: Long = CdcMinDupLen): DataFrame = {
+    val rows = cdcChunkRows(spark, sfDir, CdcK, CdcD)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = rows.filter(col("chunk_len") >= minLen)
+      .groupBy("chunk_key", "doc_id")
+      .agg(count(lit(1)).as("occ"), max("chunk_len").as("cl"),
+        min("chunk_idx").as("mi"))
+    per.groupBy("chunk_key")
+      .agg(max("cl").as("chunk_len"), count(lit(1)).as("n_docs"),
+        sum("occ").as("n_occ"),
+        min("doc_id").as("keep_doc"), min_by(col("mi"), col("doc_id")).as("keep_idx"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_occ"), desc("n_docs"), col("chunk_key"))
+  }
+
+  /** DuckDB twin of [[chunkCanonical]]. */
+  def chunkCanonicalOracle: String =
+    s"""WITH ${cdcOracleCtes()},
+       |per AS (SELECT chunk_key, doc_id, count(*) AS occ, max(chunk_len) AS cl,
+       |               min(chunk_idx) AS mi
+       |        FROM cxh WHERE chunk_len >= $CdcMinDupLen GROUP BY 1, 2)
+       |SELECT chunk_key, CAST(max(cl) AS BIGINT) AS chunk_len,
+       |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ,
+       |       CAST(min(doc_id) AS BIGINT) AS keep_doc,
+       |       CAST(arg_min(mi, doc_id) AS BIGINT) AS keep_idx
+       |FROM per GROUP BY chunk_key HAVING count(*) >= 2
+       |ORDER BY n_occ DESC, n_docs DESC, chunk_key""".stripMargin
 
   /** Per-document chunk-level duplication stats — the actionable
     * signal [[chunkDupGroups]]'s ledger implies, in the shape of
@@ -686,8 +746,15 @@ object Dedup {
     * Scale shape: the chunk relation is computed ONCE and persisted
     * (three consumers: per-doc totals, the shared-hash ledger, the
     * per-doc dup rollup); cross-doc sharing is a distinct + count on
-    * the 8-byte chunk hash (never count-distinct's expand); every
-    * join/agg is keyed on doc_id or chunk_hash. */
+    * the full-md5 chunk key (never count-distinct's expand); every
+    * join/agg is keyed on doc_id or chunk_key.
+    *
+    * Cache contract: the persisted chunk relation feeds three lazy arms
+    * of the result plan and CANNOT be unpersisted here without
+    * recomputing them — the caller owns releasing it
+    * (`spark.catalog.clearCache()`) once the result is consumed, the
+    * same contract as [[graft.operators.Similarity.sqTopK]]. Verify and
+    * Bench already clear between queries. */
   def chunkDupStats(spark: SparkSession, sfDir: String,
       minLen: Long = CdcMinDupLen): DataFrame = {
     val rows = cdcChunkRows(spark, sfDir, CdcK, CdcD)
@@ -695,11 +762,11 @@ object Dedup {
     val tot = rows.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum("chunk_len").as("n_bytes"))
     val shared = rows.filter(col("chunk_len") >= minLen)
-      .select("chunk_hash", "doc_id").distinct()
-      .groupBy("chunk_hash").agg(count(lit(1)).as("ddf"))
-      .filter(col("ddf") >= 2).select("chunk_hash")
+      .select("chunk_key", "doc_id").distinct()
+      .groupBy("chunk_key").agg(count(lit(1)).as("ddf"))
+      .filter(col("ddf") >= 2).select("chunk_key")
     val dup = rows.filter(col("chunk_len") >= minLen)
-      .join(shared, "chunk_hash")
+      .join(shared, "chunk_key")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_chunks"), sum("chunk_len").as("dup_bytes"))
     tot.join(dup, Seq("doc_id"), "left")
@@ -716,11 +783,11 @@ object Dedup {
     s"""WITH ${cdcOracleCtes()},
        |tot AS (SELECT doc_id, count(*) AS n_chunks, sum(chunk_len) AS n_bytes
        |        FROM cxh GROUP BY doc_id),
-       |sh AS (SELECT chunk_hash FROM (SELECT DISTINCT chunk_hash, doc_id
+       |sh AS (SELECT chunk_key FROM (SELECT DISTINCT chunk_key, doc_id
        |                               FROM cxh WHERE chunk_len >= $CdcMinDupLen)
-       |       GROUP BY chunk_hash HAVING count(*) >= 2),
+       |       GROUP BY chunk_key HAVING count(*) >= 2),
        |dup AS (SELECT doc_id, count(*) AS n_dup_chunks, sum(chunk_len) AS dup_bytes
-       |        FROM cxh JOIN sh USING (chunk_hash)
+       |        FROM cxh JOIN sh USING (chunk_key)
        |        WHERE chunk_len >= $CdcMinDupLen GROUP BY doc_id)
        |SELECT tot.doc_id, CAST(tot.n_chunks AS BIGINT) AS n_chunks,
        |       CAST(tot.n_bytes AS BIGINT) AS n_bytes,
@@ -759,7 +826,7 @@ object Dedup {
        |                        coalesce(starts[chunk_idx + 2], length(text)) - start_pos) AS chunk
        |       FROM cr),
        |cxh AS (SELECT doc_id, chunk_idx, start_pos, chunk_len,
-       |               (${HashOps.wordHashSqlN(15)}) AS chunk_hash
+       |               (${HashOps.wordHashSqlN(15)}) AS chunk_hash, m AS chunk_key
        |        FROM (SELECT doc_id, chunk_idx, start_pos, chunk_len, md5(chunk) AS m
        |              FROM cx))""".stripMargin
 
@@ -772,12 +839,12 @@ object Dedup {
   /** DuckDB twin of [[chunkDupGroups]] (defaults minLen=20). */
   def chunkDupOracle: String =
     s"""WITH ${cdcOracleCtes()},
-       |per AS (SELECT chunk_hash, doc_id, count(*) AS occ, max(chunk_len) AS cl
+       |per AS (SELECT chunk_key, doc_id, count(*) AS occ, max(chunk_len) AS cl
        |        FROM cxh WHERE chunk_len >= $CdcMinDupLen GROUP BY 1, 2)
-       |SELECT chunk_hash, CAST(max(cl) AS BIGINT) AS chunk_len,
+       |SELECT chunk_key, CAST(max(cl) AS BIGINT) AS chunk_len,
        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
-       |FROM per GROUP BY chunk_hash HAVING count(*) >= 2
-       |ORDER BY n_occ DESC, n_docs DESC, chunk_hash""".stripMargin
+       |FROM per GROUP BY chunk_key HAVING count(*) >= 2
+       |ORDER BY n_occ DESC, n_docs DESC, chunk_key""".stripMargin
 
   // ----------------------------------------------------- embedding cosine
 

@@ -63,8 +63,8 @@ object Similarity {
     * engines (identical fold kernels — the FIXTURES.md dominance
     * convention); rounding applies only at the output column. */
   def hardNegatives(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5,
-      lo: Double = 0.15, hi: Double = 0.35): DataFrame = {
+      nQueries: Int = nQueriesDefault, k: Int = kDefault,
+      lo: Double = hardNegLoDefault, hi: Double = hardNegHiDefault): DataFrame = {
     val p = points(spark, sfDir)
     val q = p.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -75,17 +75,24 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** DuckDB twin of [[hardNegatives]] (defaults 10/5/0.15/0.35). */
+  /** Cosine band of [[hardNegatives]] — shared with its oracle SQL so
+    * query and replay cannot drift independently (ADVICE r9; the
+    * [[pqSqlFor]] convention). */
+  private val hardNegLoDefault = 0.15
+  private val hardNegHiDefault = 0.35
+
+  /** DuckDB twin of [[hardNegatives]] — interpolates the SAME default
+    * constants the query uses. */
   def hardNegativesOracle: String =
     s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $nQueriesDefault),
        |s AS (SELECT q.q_id, p.vec_id AS n_id,
        |             list_inner_product(q.qv, p.v) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(p.v, p.v))) AS cos
        |      FROM q JOIN p ON p.vec_id <> q.q_id)
        |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
-       |      FROM s WHERE cos >= 0.15 AND cos < 0.35)
-       |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+       |      FROM s WHERE cos >= $hardNegLoDefault AND cos < $hardNegHiDefault)
+       |WHERE rn <= $kDefault ORDER BY q_id, rank""".stripMargin
 
   /** IVF-style ANN: corpus is coarse-quantized to the literal centroid
     * set (Euclidean argmin — [[KMeansSteps]] assignment); each query

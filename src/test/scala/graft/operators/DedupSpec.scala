@@ -248,15 +248,36 @@ class DedupSpec extends AnyFunSuite {
     assert(byDoc(0L).map(t => (t._2, t._3, t._4, t._5)).toSeq.sortBy(_._1) ==
       byDoc(1L).map(t => (t._2, t._3, t._4, t._5)).toSeq.sortBy(_._1))
     // every doc-0 chunk long enough for the dup ledger is shared with
-    // doc 1, so it must appear as a cross-doc dup group
-    val eligible = byDoc(0L).filter(_._4 >= Dedup.CdcMinDupLen).map(_._5).toSet
+    // doc 1, so it must appear as a cross-doc dup group (ledger keys
+    // are the FULL md5 of the chunk body — recompute from the fixture)
+    val text0 = "the quick brown fox jumps over the lazy dog again and again"
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val eligible = byDoc(0L).filter(_._4 >= Dedup.CdcMinDupLen)
+      .map(c => md5hex(text0.substring(c._3.toInt, (c._3 + c._4).toInt))).toSet
     assert(eligible.nonEmpty, "mini corpus must yield at least one ledger-sized chunk")
     val dups = Dedup.chunkDupGroups(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(eligible.subsetOf(dups.keySet))
     dups.values.foreach { case (nDocs, nOcc) =>
       assert(nDocs >= 2 && nOcc >= nDocs)
     }
+    // canonical action: the keeper of every dup group is its first
+    // occurrence — here always doc 0 (docs 0/1 identical, 0 < 1), and
+    // keep_idx must point at a doc-0 chunk with the same key
+    val canon = Dedup.chunkCanonical(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(canon.keySet == dups.keySet)
+    canon.foreach { case (k, (nDocs, nOcc, keepDoc, keepIdx)) =>
+      assert((nDocs, nOcc) == dups(k))
+      val owner = byDoc(keepDoc).find(_._2 == keepIdx)
+      assert(owner.isDefined, s"keep_idx $keepIdx not a chunk of doc $keepDoc")
+      assert(md5hex(text0.substring(owner.get._3.toInt,
+        (owner.get._3 + owner.get._4).toInt)) == k || keepDoc != 0L)
+    }
+    assert(canon.values.forall(_._3 == 0L), "doc 0 is the first occurrence everywhere here")
   }
 
   test("chunk dup stats: identical docs are fully duplicated, unrelated docs not at all") {
