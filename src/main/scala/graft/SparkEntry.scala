@@ -201,6 +201,12 @@ object SparkEntry {
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "clean_corpus" -> ((s, dir) => Pipeline.cleanCorpus(s, dir)),
     "pack_sequences" -> ((s, dir) => Pipeline.packSequences(s, dir)),
+    // deterministic greedy BPE (frozen-merges registry): per-doc subword
+    // token counts + the md5 of the full token-id sequence
+    "bpe_encode" -> ((s, dir) => graft.operators.Bpe.encode(s, dir)),
+    // sequence packing re-denominated in BPE tokens — the budget a
+    // trainer actually packs against
+    "pack_sequences_bpe" -> ((s, dir) => graft.operators.Bpe.packSequencesBpe(s, dir)),
     "text_pii_scrub" -> ((s, dir) => Pipeline.piiScrub(s, dir)),
     "sample_stratified" -> ((s, dir) => Pipeline.stratifiedSample(s, dir)),
     // DSIR-style importance resampling: per-doc target/corpus unigram
@@ -535,6 +541,8 @@ object SparkEntry {
       // temperature mixture carries its driver-folded (n, Z) literals
       // (pinned summation order — ADVICE r9)
       Pipeline.temperatureSampleOracles ++
+      // BPE carries its frozen trained vocab as VALUES literals
+      graft.operators.Bpe.oracleSqls ++
       // trajectory oracles depend on the round count each query ran —
       // same run-then-dump contract (one per fit family: embeddings,
       // ts micro-units, standardized lineitem micro-units)

@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Byte-pair-encoding subword tokenization (Sennrich et al., ACL 2016)
+  * — the token denomination a real LLM pipeline packs and budgets in,
+  * next to the whitespace-word counts the rest of [[Pipeline]] uses
+  * (BPE counts run 1.3-3× words and move packing boundaries).
+  *
+  * Two phases, mirroring production tokenizers:
+  *
+  *  - '''Train''' (once per corpus, frozen): greedy BPE over the corpus
+  *    word-frequency table — repeatedly merge the most frequent adjacent
+  *    symbol pair (ties: lexicographically smallest pair), stop at
+  *    [[NMerges]] merges or when no pair repeats. The word-frequency
+  *    table is VOCABULARY-sized (thousands of rows at any corpus scale,
+  *    one Spark aggregate), so training collects it to the driver — the
+  *    [[graft.kmeans.FitFinal]] bounded-materialization convention — and
+  *    the learned vocab freezes into a per-corpus registry
+  *    (run-then-dump, so the DuckDB oracle replays the encode from
+  *    identical literals).
+  *
+  *  - '''Encode''' (distributed): deterministic greedy LONGEST-MATCH
+  *    scan against the frozen vocab (the WordPiece-style inference pass;
+  *    exact merge-order replay would encode identically for every token
+  *    the trainer actually produced, and longest-match is the form both
+  *    engines express — Spark as an `aggregate` higher-order fold per
+  *    word, DuckDB as a recursive CTE whose level count is bounded by
+  *    word LENGTH). Encoding runs once per DISTINCT word — the
+  *    vocabulary relation, orders of magnitude smaller than the corpus —
+  *    and joins back to the token stream by word, so the corpus body
+  *    never re-tokenizes per occurrence. Every character of the training
+  *    corpus is a vocab token by construction (asserted at train time),
+  *    so the greedy scan is total: each step consumes ≥ 1 char.
+  *
+  * Scale shape: one token explode feeding a word-keyed aggregate
+  * (distinct words), the per-word fold over ≤ len(word) steps, then one
+  * broadcast join back to the exploded token stream and a doc-keyed
+  * aggregate. At 100 TB the distinct-word relation still fits a
+  * broadcast for natural-language corpora (vocab growth is sublinear in
+  * corpus size); if it ever didn't, the join degrades gracefully to a
+  * word-keyed shuffle of (word, ids) pairs — never the document bodies.
+  */
+object Bpe {
+
+  /** Merge budget — small enough that common words stay multi-token at
+    * the gate corpus (the interesting regime for packing), large enough
+    * that frequent pairs merge. */
+  val NMerges = 20
+
+  /** Token budget per packed sequence for [[packSequencesBpe]] — same
+    * budget as [[Pipeline.packSequences]], now denominated in BPE
+    * tokens. */
+  val BpeBudget = 2048L
+
+  /** A frozen tokenizer: `vocab` in id order (single chars first, then
+    * merge outputs in creation order, first-win on duplicates). */
+  final case class Model(vocab: Seq[(String, Long)], nMergesDone: Int) {
+    /** Vocab sorted for the greedy scan: length desc, then token asc —
+      * the FIRST match at a position is the longest (unique per length:
+      * the matching token of length L is determined by the text). */
+    val byLenDesc: Seq[(String, Long)] =
+      vocab.sortBy { case (t, _) => (-t.length, t) }
+  }
+
+  /** Greedy BPE training over `(word, frequency)` rows. Deterministic:
+    * pair counts fold over words in sorted order, the winning pair is
+    * max-count then lexicographically smallest, and merges apply
+    * left-to-right non-overlapping. Stops early when no adjacent pair
+    * occurs at least twice (weighted). */
+  private[operators] def train(wordFreqs: Seq[(String, Long)],
+      nMerges: Int = NMerges): Model = {
+    val sorted = wordFreqs.sortBy(_._1)
+    val chars = sorted.flatMap(_._1.toSeq).distinct.sorted.map(_.toString)
+    var seqs = sorted.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = 0
+    var stop = false
+    while (done < nMerges && !stop) {
+      val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+      for ((syms, f) <- seqs; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some((pair @ (a, b), c)) if c >= 2 =>
+          merges += pair
+          seqs = seqs.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+          done += 1
+        case _ => stop = true
+      }
+    }
+    val toks = (chars ++ merges.result().map { case (a, b) => a + b }).distinct
+    val model = Model(toks.zipWithIndex.map { case (t, i) => (t, i.toLong) }, done)
+    // encode-totality invariant: every corpus char is a vocab token
+    val charSet = model.vocab.collect { case (t, _) if t.length == 1 => t }.toSet
+    require(sorted.forall(_._1.forall(c => charSet(c.toString))),
+      "BPE train: corpus char missing from vocab")
+    model
+  }
+
+  /** One left-to-right non-overlapping merge application. */
+  private def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Frozen tokenizer for `sfDir` — trained once per JVM from the
+    * corpus word-frequency table (vocab-sized collect), shared by the
+    * queries and the oracle dump (run-then-dump contract). */
+  private[operators] def model(spark: SparkSession, sfDir: String): Model = {
+    val m = reg.getOrElseUpdate(sfDir, {
+      val wf = Tables(spark, sfDir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      train(wf)
+    })
+    lastDir = Some(sfDir)
+    m
+  }
+  private val reg = scala.collection.concurrent.TrieMap.empty[String, Model]
+  @volatile private var lastDir: Option[String] = None
+
+  /** `(w, n_tok, ids)` for every DISTINCT corpus word: the greedy
+    * longest-match fold as an `aggregate` higher-order expression —
+    * `length(w)` steps, each consuming one token (≥ 1 char), surplus
+    * steps no-ops. `ids` is the space-joined token-id string (the
+    * oracle's `string_agg` twin); unknown chars cannot occur on corpus
+    * input (train-time invariant) but map to `-1`-advance-1 anyway so
+    * the fold is total on any input. */
+  private[operators] def encodeDistinctWords(spark: SparkSession, sfDir: String,
+      m: Model): DataFrame = {
+    val toksLit = array(m.byLenDesc.map(t => lit(t._1)): _*)
+    val idsLit = array(m.byLenDesc.map(t => lit(t._2)): _*)
+    val w = col("w")
+    val zero = struct(lit(1).cast("integer").as("pos"), lit("").as("ids"),
+      lit(0L).as("n"))
+    val folded = aggregate(sequence(lit(1), length(w)), zero, (acc, _) => {
+      val pos = acc.getField("pos")
+      val matched = filter(toksLit, t => w.substr(pos, length(t)) === t)
+      val tok = element_at(matched, 1)
+      val found = size(matched) > 0
+      val step = when(found, length(tok)).otherwise(lit(1))
+      val idStr = when(found,
+        element_at(idsLit, array_position(toksLit, tok).cast("integer"))
+          .cast("string")).otherwise(lit("-1"))
+      when(pos > length(w), acc).otherwise(
+        struct((pos + step).cast("integer").as("pos"),
+          concat(acc.getField("ids"),
+            when(acc.getField("n") === 0, idStr)
+              .otherwise(concat(lit(" "), idStr))).as("ids"),
+          (acc.getField("n") + 1L).as("n")))
+    })
+    Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .select(w, folded.as("e"))
+      .select(w, col("e.n").as("n_tok"), col("e.ids").as("ids"))
+  }
+
+  /** Per-document BPE encode summary: word count, BPE token count, and
+    * the md5 of the full space-joined token-id sequence in document
+    * order — the hash pins every token id at every position without
+    * shipping token-level rows. */
+  def encode(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = model(spark, sfDir)
+    val enc = encodeDistinctWords(spark, sfDir, m)
+    val tok = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    tok.join(broadcast(enc), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("ids")))),
+            s => s.getField("ids")), " ").cast("binary")).as("tok_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** [[Pipeline.packSequences]] re-denominated in BPE tokens: same
+    * shard/window/budget packing, token counts from the frozen
+    * tokenizer — the packing boundaries a trainer would actually see. */
+  def packSequencesBpe(spark: SparkSession, sfDir: String,
+      budget: Long = BpeBudget, nShards: Int = 8): DataFrame = {
+    val m = model(spark, sfDir)
+    val enc = encodeDistinctWords(spark, sfDir, m)
+    val docTok = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(enc.select("w", "n_tok")), Seq("w"))
+      .groupBy("doc_id").agg(sum("n_tok").as("n_tok"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docTok
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        col("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("seq", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("shard", "seq")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("shard", "seq")
+  }
+
+  /** DuckDB CTE chain (no leading WITH; caller adds `WITH RECURSIVE`)
+    * ending in `enc(w, n_tok, ids)` — the frozen vocab as literals plus
+    * the greedy longest-match recursion (level count bounded by word
+    * length; `arg_max(id, length(tok))` is unique because at most one
+    * vocab token of each length matches a given position). */
+  private def encOracleCtes(m: Model): String = {
+    val vals = m.vocab
+      .map { case (t, i) => s"('${t.replace("'", "''")}', $i)" }
+      .mkString(", ")
+    s"""words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+       |vocab(tok, id) AS (SELECT * FROM (VALUES $vals) v(tok, id)),
+       |steps AS (
+       |  SELECT w, CAST(1 AS INT) AS pos, CAST(NULL AS BIGINT) AS id, 0 AS step FROM words
+       |  UNION ALL
+       |  SELECT w, pos + tl AS pos, tid AS id, step + 1 AS step
+       |  FROM (SELECT s.w, s.pos, s.step,
+       |               CAST(arg_max(v.id, length(v.tok)) AS BIGINT) AS tid,
+       |               CAST(max(length(v.tok)) AS INT) AS tl
+       |        FROM steps s JOIN vocab v
+       |          ON substring(s.w, s.pos, length(v.tok)) = v.tok
+       |        WHERE s.pos <= length(s.w)
+       |        GROUP BY s.w, s.pos, s.step)
+       |),
+       |enc AS (SELECT w, CAST(count(id) AS BIGINT) AS n_tok,
+       |               string_agg(id, ' ' ORDER BY step) AS ids
+       |        FROM steps WHERE id IS NOT NULL GROUP BY w)""".stripMargin
+  }
+
+  /** Run-then-dump DuckDB twins of [[encode]] and [[packSequencesBpe]]
+    * — carry the frozen vocab the queries actually used; empty until a
+    * BPE query ran in this JVM. */
+  def oracleSqls: Map[String, String] =
+    lastDir.flatMap(reg.get).map { m =>
+      Map(
+        "bpe_encode" ->
+          s"""WITH RECURSIVE ${encOracleCtes(m)},
+             |tok AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS w
+             |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+             |SELECT t.doc_id, count(*) AS n_words,
+             |       CAST(sum(e.n_tok) AS BIGINT) AS n_tokens,
+             |       md5(string_agg(e.ids, ' ' ORDER BY t.pos)) AS tok_hash
+             |FROM tok t JOIN enc e USING (w)
+             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+        "pack_sequences_bpe" ->
+          s"""WITH RECURSIVE ${encOracleCtes(m)},
+             |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |dt AS (SELECT doc_id, sum(e.n_tok) AS n_tok
+             |       FROM tok JOIN enc e USING (w) GROUP BY doc_id),
+             |c AS (SELECT doc_id, doc_id % 8 AS shard, n_tok,
+             |             sum(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+             |                              ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM dt)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |       CAST((cum - n_tok) // $BpeBudget AS BIGINT) AS seq,
+             |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY 1, 2 ORDER BY shard, seq""".stripMargin)
+    }.getOrElse(Map.empty)
+}

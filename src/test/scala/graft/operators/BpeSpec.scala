@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer + greedy longest-match encode on a hand-computable
+  * corpus (merge sequence and token ids derived by hand in the
+  * comments). */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // Corpus: abab×3, abc×2, cd×1.
+  //   pair counts: (a,b)=3·2+2=8, (b,a)=3, (b,c)=2, (c,d)=1 → merge (a,b)
+  //   then: (ab,ab)=3, (ab,c)=2, (c,d)=1                    → merge (ab,ab)
+  //   then: (ab,c)=2, (c,d)=1                               → merge (ab,c)
+  //   then: (c,d)=1 < 2                                     → stop
+  // vocab: a=0 b=1 c=2 d=3, ab=4, abab=5, abc=6
+  private val freqs = Seq(("abab", 3L), ("abc", 2L), ("cd", 1L))
+
+  test("trainer merges most-frequent pairs deterministically and stops when none repeats") {
+    val m = Bpe.train(freqs, nMerges = 10)
+    assert(m.nMergesDone == 3)
+    assert(m.vocab == Seq("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L,
+      "ab" -> 4L, "abab" -> 5L, "abc" -> 6L))
+  }
+
+  test("merge cap truncates training") {
+    val m = Bpe.train(freqs, nMerges = 1)
+    assert(m.nMergesDone == 1 && m.vocab.map(_._1).contains("ab")
+      && !m.vocab.map(_._1).contains("abab"))
+  }
+
+  test("greedy longest-match encode against a frozen vocab (Spark fold)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_bpe").toString
+    // ababc → abab(5) c(2); abcd → abc(6) d(3); abab → abab(5);
+    // cd → c(2) d(3)  [cd never became a token]
+    Seq((0L, "ababc abcd", "en", "s", 10L), (1L, "abab cd", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = Bpe.train(freqs, nMerges = 10)
+    val enc = Bpe.encodeDistinctWords(spark, d, m).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(enc("ababc") == (2L, "5 2"))
+    assert(enc("abcd") == (2L, "6 3"))
+    assert(enc("abab") == (1L, "5"))
+    assert(enc("cd") == (2L, "2 3"))
+  }
+
+  test("per-doc encode counts words and BPE tokens; hash pins the id sequence") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_bpe2").toString
+    Seq((0L, "abab abab abc", "en", "s", 13L), (1L, "cd", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Bpe.encode(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // trained on THIS corpus: words abab(f2… per doc occurrences 2+… )
+    // — the registry model is corpus-trained, so just pin the invariants
+    // plus the hash's consistency with the distinct-word encode
+    val m = Bpe.model(spark, d)
+    val enc = Bpe.encodeDistinctWords(spark, d, m).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows(0L)._1 == 3L && rows(1L)._1 == 1L)
+    assert(rows(0L)._2 == enc("abab")._1 * 2 + enc("abc")._1)
+    assert(rows(0L)._3 == md5hex(Seq(enc("abab")._2, enc("abab")._2, enc("abc")._2)
+      .mkString(" ")))
+    assert(rows(1L)._3 == md5hex(enc("cd")._2))
+  }
+}
