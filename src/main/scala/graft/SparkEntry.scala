@@ -346,6 +346,10 @@ object SparkEntry {
     // product quantization: 8 nibble codes per vector (64x compression),
     // asymmetric-distance candidate scan + exact rerank
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    // graph ANN (sharded deterministic NSW): build is rows-only by
+    // declared contract (sequential insertion isn't SQL-replayable) —
+    // its frozen pairs are recall-checked inside ann_recall/_sampled
+    "ann_hnsw_topk" -> ((s, dir) => graft.operators.Hnsw.topK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)))
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1313,30 +1317,43 @@ object SparkEntry {
     // The PQ leg's SQL is dynamic (frozen codebook literals, present once
     // recallEval ran pqTopK in this JVM — Verify's run-then-dump order
     // guarantees that); without it the oracle degrades to absent, i.e.
-    // the rows-only check, never to stale literals.
-    def recallSql(sqls: Map[String, String], pqSql: String): String =
+    // the rows-only check, never to stale literals. The hnsw leg's pairs
+    // are frozen literals too (the graph build is rows-only by declared
+    // contract) — DuckDB still recomputes their overlap with the
+    // SQL-replayed brute truth, so recall_hnsw is independently checked.
+    def recallSql(sqls: Map[String, String], pqSql: String,
+        hnswSql: String): String =
       s"""WITH b AS (SELECT q_id, n_id FROM (${sqls("ann_brute_topk")})),
          |     i AS (SELECT q_id, n_id FROM (${sqls("ann_ivf_trained")})),
          |     s AS (SELECT q_id, n_id FROM (${sqls("ann_sq_topk")})),
          |     l AS (SELECT q_id, n_id FROM (${sqls("ann_lsh_topk")})),
          |     pq AS (SELECT q_id, n_id FROM ($pqSql)),
+         |     hn AS ($hnswSql),
          |     c AS (SELECT (SELECT count(*) FROM b) AS n_brute,
          |                  (SELECT count(*) FROM b JOIN i USING (q_id, n_id)) AS n_hit_ivf,
          |                  (SELECT count(*) FROM b JOIN s USING (q_id, n_id)) AS n_hit_sq,
          |                  (SELECT count(*) FROM b JOIN l USING (q_id, n_id)) AS n_hit_lsh,
-         |                  (SELECT count(*) FROM b JOIN pq USING (q_id, n_id)) AS n_hit_pq)
-         |SELECT n_brute, n_hit_ivf, n_hit_sq, n_hit_lsh, n_hit_pq,
+         |                  (SELECT count(*) FROM b JOIN pq USING (q_id, n_id)) AS n_hit_pq,
+         |                  (SELECT count(*) FROM b JOIN hn USING (q_id, n_id)) AS n_hit_hnsw)
+         |SELECT n_brute, n_hit_ivf, n_hit_sq, n_hit_lsh, n_hit_pq, n_hit_hnsw,
          |       round(n_hit_ivf * 1.0 / n_brute, 6) AS recall_ivf,
          |       round(n_hit_sq * 1.0 / n_brute, 6) AS recall_sq,
          |       round(n_hit_lsh * 1.0 / n_brute, 6) AS recall_lsh,
-         |       round(n_hit_pq * 1.0 / n_brute, 6) AS recall_pq
+         |       round(n_hit_pq * 1.0 / n_brute, 6) AS recall_pq,
+         |       round(n_hit_hnsw * 1.0 / n_brute, 6) AS recall_hnsw
          |FROM c""".stripMargin
-    val full = Similarity.pqOracleSqls.get("ann_pq_topk")
-      .map(pq => Map("ann_recall" -> recallSql(base, pq))).getOrElse(Map.empty)
-    val sampled = Similarity.pqOracleSqlSampled(5L, 50)
-      .map(pq => Map("ann_recall_sampled" -> recallSql(annSqlsSampled, pq)))
-      .getOrElse(Map.empty)
-    base ++ full ++ sampled
+    val lastDir = graft.operators.Hnsw.lastRunDir
+    val full = for {
+      pq <- Similarity.pqOracleSqls.get("ann_pq_topk")
+      d <- lastDir
+      hn <- graft.operators.Hnsw.pairsSql(d, None, 10)
+    } yield Map("ann_recall" -> recallSql(base, pq, hn))
+    val sampled = for {
+      pq <- Similarity.pqOracleSqlSampled(5L, 50)
+      d <- lastDir
+      hn <- graft.operators.Hnsw.pairsSql(d, Some(5L), 50)
+    } yield Map("ann_recall_sampled" -> recallSql(annSqlsSampled, pq, hn))
+    base ++ full.getOrElse(Map.empty) ++ sampled.getOrElse(Map.empty)
   }
 
   private def annOracleBase: Map[String, String] =

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph-based ANN (the HNSW family — Malkov & Yashunin 2016,
+  * arXiv:1603.09320), completing the index family next to
+  * [[Similarity]]'s IVF/LSH/SQ/PQ legs: a navigable-small-world
+  * neighbor graph searched by best-first beam, the dominant production
+  * ANN shape. This implementation is the deterministic single-layer
+  * NSW core (insertion in ascending vec_id order, fixed
+  * [[EfConstruction]] beam, fixed [[M]] out-degree with [[MMax]]
+  * pruning; every float comparison tie-broken by node id), built and
+  * searched SHARDED: the corpus splits by `vec_id % nShards`, each
+  * shard builds its own graph inside one `mapPartitions` pass —
+  * sequential graph construction is exactly the per-partition
+  * imperative loop `mapPartitions` exists for, not expressible as a
+  * Catalyst expression — and every query searches all shards, merging
+  * per-shard top-k. Sharding IS the 100 TB posture: production
+  * graph-ANN deployments build one sub-graph per shard in parallel
+  * (each bounded to executor memory — nShards grows with the corpus)
+  * and fan queries out; no global sequential build ever happens.
+  *
+  * Contract: the BUILD is declared rows-only (a sequential insertion
+  * graph is not SQL-replayable — the raw-fit convention), but its
+  * search RESULTS freeze into a run-then-dump registry, so the recall
+  * legs of `ann_recall`/`ann_recall_sampled` hold the graph accountable
+  * against the DuckDB-replayed brute-force truth: the frozen pairs ride
+  * the oracle as literals and the overlap with the exact top-k is
+  * recomputed independently by DuckDB.
+  *
+  * Work per shard: O(n·efC·M) distance kernels for the build, O(q·efS·M)
+  * per query sweep; the exchange carries only shards·q·k rows. */
+object Hnsw {
+
+  /** Out-degree target for new edges. */
+  val M = 8
+  /** Degree cap before pruning back to the [[MMax]] best (2M on the
+    * base layer, the standard HNSW layer-0 allowance — pruning to M
+    * exactly can disconnect sparse regions). */
+  val MMax = 2 * M
+  /** Beam width during insertion. */
+  val EfConstruction = 32
+  /** Beam width during search. */
+  val EfSearch = 32
+  /** Default shard count at bench scale (≈ 500-50k vectors per shard
+    * across the fixtures; grows with the corpus in production). */
+  val NShards = 4
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Per-shard deterministic NSW build + search.
+    * `nodes` must be sorted by id ascending; emits per query the local
+    * top-k (cos desc, id asc), query node excluded. */
+  private[operators] def searchShard(
+      nodes: Array[(Long, Array[Double], Double)],
+      queries: Array[(Long, Array[Double], Double)],
+      k: Int): Iterator[(Long, Long, Double)] = {
+    if (nodes.isEmpty) return Iterator.empty
+    val n = nodes.length
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+
+    def cosTo(qv: Array[Double], qn: Double, j: Int): Double =
+      dot(qv, nodes(j)._2) / (qn * nodes(j)._3)
+
+    /** Best-first beam search over the current graph from entry 0.
+      * Returns up to `ef` results sorted (sim desc, idx asc). `limit`
+      * bounds the explored graph to nodes < limit (during insertion,
+      * only already-inserted nodes exist). */
+    def beam(qv: Array[Double], qn: Double, ef: Int, limit: Int): Array[(Double, Int)] = {
+      val visited = new java.util.BitSet(limit)
+      // explore queue: best (sim desc, idx asc) first
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by { case (s, i) => (s, -i) })
+      // result set: worst first, bounded to ef
+      val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by { case (s, i) => (-s, i) })
+      def better(a: (Double, Int), b: (Double, Int)): Boolean =
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      val e0 = (cosTo(qv, qn, 0), 0)
+      visited.set(0); cand.enqueue(e0); res.enqueue(e0)
+      while (cand.nonEmpty) {
+        val c = cand.dequeue()
+        if (res.size >= ef && better(res.head, c)) { cand.clear() }
+        else {
+          val nbs = adj(c._2)
+          var x = 0
+          while (x < nbs.length) {
+            val j = nbs(x)
+            if (j < limit && !visited.get(j)) {
+              visited.set(j)
+              val e = (cosTo(qv, qn, j), j)
+              if (res.size < ef || better(e, res.head)) {
+                res.enqueue(e); cand.enqueue(e)
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            x += 1
+          }
+        }
+      }
+      res.dequeueAll.toArray.sortBy { case (s, i) => (-s, i) }
+    }
+
+    // ----- build: insert in ascending id order (nodes pre-sorted)
+    var i = 1
+    while (i < n) {
+      val (_, v, nrm) = nodes(i)
+      val found = beam(v, nrm, EfConstruction, i)
+      val nbs = found.take(M)
+      var x = 0
+      while (x < nbs.length) {
+        val j = nbs(x)._2
+        adj(i) += j
+        adj(j) += i
+        if (adj(j).length > MMax) {
+          // prune j's neighborhood to the MMax closest (cos desc, idx asc)
+          val (jv, jn) = (nodes(j)._2, nodes(j)._3)
+          val kept = adj(j).toArray
+            .map(t => (cosTo(jv, jn, t), t))
+            .sortBy { case (s, t) => (-s, t) }
+            .take(MMax).map(_._2)
+          adj(j).clear(); adj(j) ++= kept
+        }
+        x += 1
+      }
+      i += 1
+    }
+
+    // ----- search: every query against this shard's graph
+    queries.iterator.flatMap { case (qId, qv, qn) =>
+      beam(qv, qn, EfSearch, n).iterator
+        .filter { case (_, idx) => nodes(idx)._1 != qId }
+        .take(k)
+        .map { case (s, idx) => (qId, nodes(idx)._1, s) }
+    }
+  }
+
+  /** Frozen search results per (sfDir, keepMod, nQueries, k):
+    * `(q_id, rank, n_id, cos)` rows — bounded (q·k), materialized by
+    * [[topK]] and replayed as literals by the recall oracles. */
+  private val reg = scala.collection.concurrent.TrieMap
+    .empty[(String, Option[Long], Int, Int), Seq[(Long, Long, Long, Double)]]
+  @volatile private var lastDir: Option[String] = None
+
+  /** Graph-ANN top-k: distributed sharded build+search (one
+    * `mapPartitions` job), then the global q·k merge of the
+    * shards·q·k local winners on the driver (bounded by construction).
+    * The result rows freeze into the registry for the recall oracles;
+    * the returned DataFrame is the frozen rows. */
+  def topK(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, keepMod: Option[Long] = None,
+      nShards: Int = NShards): DataFrame = {
+    val rows = reg.getOrElseUpdate((sfDir, keepMod, nQueries, k), {
+      import spark.implicits._
+      val p = Similarity.pointsFor(spark, sfDir, keepMod)
+      val queries = p.filter(col("vec_id") < nQueries)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      val bq = spark.sparkContext.broadcast(queries)
+      val local = p
+        .select(pmod(col("vec_id"), lit(nShards.toLong)).as("shard"),
+          col("vec_id"), col("v"), col("nrm"))
+        .repartition(nShards, col("shard"))
+        .as[(Long, Long, Seq[Double], Double)]
+        .mapPartitions { it =>
+          // a hash partition may hold several shard groups; each group
+          // builds independently (grouping is partitioning-independent)
+          it.toArray.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+            val nodes = rs.map(r => (r._2, r._3.toArray, r._4)).sortBy(_._1)
+            searchShard(nodes, bq.value, k)
+          }
+        }
+        .collect()
+      bq.destroy()
+      local.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qId, cs) =>
+        cs.sortBy { case (_, nId, cos) => (-cos, nId) }
+          .take(k).zipWithIndex
+          .map { case ((_, nId, cos), r) =>
+            (qId, (r + 1).toLong, nId,
+              BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+      }
+    })
+    lastDir = Some(sfDir)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(t => Row(t._1, t._2, t._3, t._4)), 1),
+      StructType(Seq(StructField("q_id", LongType), StructField("rank", LongType),
+        StructField("n_id", LongType), StructField("cos", DoubleType))))
+  }
+
+  /** `SELECT q_id, n_id FROM (VALUES …)` over the frozen pairs for the
+    * given twin — present only after [[topK]] ran in this JVM
+    * (run-then-dump). Consumed by the recall oracles as the hnsw leg. */
+  def pairsSql(sfDir: String, keepMod: Option[Long], nQueries: Int,
+      k: Int = 5): Option[String] =
+    reg.get((sfDir, keepMod, nQueries, k)).map { rows =>
+      val vals = rows.map(t => s"(${t._1}, ${t._3})").mkString(", ")
+      s"SELECT q_id, n_id FROM (VALUES $vals) t(q_id, n_id)"
+    }
+
+  /** Last sfDir a [[topK]] ran against (the run-then-dump key the
+    * oracle builder uses, mirroring the PQ registry convention). */
+  def lastRunDir: Option[String] = lastDir
+}

@@ -26,6 +26,11 @@ object Similarity {
     * training/bucketing so the sampled twin is a self-consistent ANN
     * problem over the sample (its own quantizers, its own brute truth)
     * whose DuckDB replay stays tractable at sf1+. */
+  /** [[points]] for sibling operators ([[Hnsw]] shares the identical
+    * norm-precomputed relation so its cosines are bit-compatible). */
+  private[operators] def pointsFor(spark: SparkSession, sfDir: String,
+      keepMod: Option[Long]): DataFrame = points(spark, sfDir, keepMod)
+
   private def points(spark: SparkSession, sfDir: String,
       keepMod: Option[Long] = None): DataFrame = {
     val p = Tables(spark, sfDir, "embeddings")
@@ -455,6 +460,11 @@ object Similarity {
       .select(col("q_id"), col("n_id"))
     val pq = pqTopK(spark, sfDir, nQueries = nQueries, keepMod = keepMod)
       .select(col("q_id"), col("n_id"))
+    // sixth leg: the graph index — its build is rows-only, but its
+    // frozen pairs land in the oracle as literals, so recall_hnsw is
+    // recomputed independently against the SQL-replayed brute truth
+    val hnsw = Hnsw.topK(spark, sfDir, nQueries = nQueries, keepMod = keepMod)
+      .select(col("q_id"), col("n_id"))
     val hitIvf = brute.join(ivf, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit_ivf"))
     val hitSq = brute.join(sq, Seq("q_id", "n_id"), "left_semi")
@@ -463,14 +473,18 @@ object Similarity {
       .agg(count(lit(1)).as("n_hit_lsh"))
     val hitPq = brute.join(pq, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit_pq"))
+    val hitHnsw = brute.join(hnsw, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit_hnsw"))
     brute.agg(count(lit(1)).as("n_brute"))
       .crossJoin(hitIvf).crossJoin(hitSq).crossJoin(hitLsh).crossJoin(hitPq)
+      .crossJoin(hitHnsw)
       .select(col("n_brute"), col("n_hit_ivf"), col("n_hit_sq"),
-        col("n_hit_lsh"), col("n_hit_pq"),
+        col("n_hit_lsh"), col("n_hit_pq"), col("n_hit_hnsw"),
         round(col("n_hit_ivf") * lit(1.0) / col("n_brute"), 6).as("recall_ivf"),
         round(col("n_hit_sq") * lit(1.0) / col("n_brute"), 6).as("recall_sq"),
         round(col("n_hit_lsh") * lit(1.0) / col("n_brute"), 6).as("recall_lsh"),
-        round(col("n_hit_pq") * lit(1.0) / col("n_brute"), 6).as("recall_pq"))
+        round(col("n_hit_pq") * lit(1.0) / col("n_brute"), 6).as("recall_pq"),
+        round(col("n_hit_hnsw") * lit(1.0) / col("n_brute"), 6).as("recall_hnsw"))
   }
 
   /** Shared exact finisher for the ANN variants: per-query cosine top-k.

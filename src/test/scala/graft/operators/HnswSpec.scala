@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic NSW graph ANN: exactness when the beam covers the
+  * whole graph, determinism across runs, and end-to-end shape of the
+  * sharded topK. */
+class HnswSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def vec(i: Int, d: Int = 8): Array[Double] = {
+    val r = new scala.util.Random(1000 + i)
+    Array.fill(d)(r.nextDouble() * 2 - 1)
+  }
+  private def nrm(v: Array[Double]): Double =
+    math.sqrt(v.zip(v).map { case (a, b) => a * b }.sum)
+  private def cos(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum / (nrm(a) * nrm(b))
+
+  test("beam search is exact when ef covers the graph (n < efSearch)") {
+    val nodes = (0 until 30).map(i => (i.toLong, vec(i), nrm(vec(i)))).toArray
+    val queries = nodes.take(3)
+    val got = Hnsw.searchShard(nodes, queries, k = 5).toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    for ((qId, qv, _) <- queries) {
+      val expect = nodes.filter(_._1 != qId)
+        .map(n => (n._1, cos(qv, n._2)))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      assert(got(qId).map(_._1) == expect, s"query $qId")
+    }
+  }
+
+  test("searchShard is deterministic") {
+    val nodes = (0 until 120).map(i => (i.toLong, vec(i), nrm(vec(i)))).toArray
+    val queries = nodes.take(5)
+    val a = Hnsw.searchShard(nodes, queries, k = 5).toSeq
+    val b = Hnsw.searchShard(nodes, queries, k = 5).toSeq
+    assert(a == b)
+  }
+
+  test("sharded topK: k ranked rows per query, no self-hits, sane recall on structured data") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_hnsw").toString
+    val rows = (0 until 200).map(i => (i.toLong, vec(i).toSeq, i % 4))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Hnsw.topK(spark, d, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).distinct.sorted.toSeq == (0L until 6L))
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 5L), s"ranks for $q")
+      assert(!rs.exists(_._3 == q), s"self-hit for $q")
+      // ranked by cos desc
+      assert(rs.sortBy(_._2).map(_._4).toSeq ==
+        rs.map(_._4).sortBy(-_).toSeq)
+    }
+    // recall vs exact brute over the same vectors: the graph search
+    // must find most true neighbors even sharded 4 ways
+    val all = rows.map { case (id, v, _) => (id, v.toArray) }
+    val hits = (0 until 6).map { q =>
+      val qv = all(q)._2
+      val expect = all.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      got.filter(_._1 == q).map(_._3).count(expect)
+    }.sum
+    assert(hits >= 20, s"recall@5 too low: $hits/30")
+  }
+}
