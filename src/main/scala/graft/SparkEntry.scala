@@ -216,6 +216,9 @@ object SparkEntry {
     // engines derive bit-identical weights from integer counts)
     "sample_temperature" -> ((s, dir) => Pipeline.temperatureSample(s, dir)),
     "decontaminate" -> ((s, dir) => Pipeline.decontaminate(s, dir)),
+    // the composed clean→decontaminate→dedup→balance→pack funnel from
+    // ONE persisted documents scan — proves the stages compose
+    "pipeline_e2e" -> ((s, dir) => Pipeline.pipelineE2e(s, dir)),
     "text_repetition" -> ((s, dir) => Pipeline.repetitionStats(s, dir)),
     "profile_columns" -> ((s, dir) => Relational.profileColumns(s, dir)))
 
@@ -1014,7 +1017,90 @@ object SparkEntry {
     "sample_importance" -> Pipeline.importanceSampleOracle,
     "decontaminate" -> Pipeline.decontaminateOracle,
     "text_repetition" -> Pipeline.repetitionStatsOracle,
-    "profile_columns" -> Relational.profileColumnsOracle)
+    "profile_columns" -> Relational.profileColumnsOracle) ++
+    // composed E2E funnel: every stage's standalone oracle fragment
+    // under ONE statement; gated on the frozen temperature (n, Z)
+    // literals (run-then-dump — present once pipeline_e2e or
+    // sample_temperature ran in this JVM)
+    Pipeline.tempLiterals
+      .map { case (n, z) => Map("pipeline_e2e" -> e2eSql(scoreCols, m, caseChain, n, z)) }
+      .getOrElse(Map.empty)
+  }
+
+  /** DuckDB twin of [[Pipeline.pipelineE2e]]: the clean-signal CTEs
+    * (shared formulas with `clean_corpus`), the decontamination gram
+    * chain, the MinHash pair pipeline (SHROWS + MINHASH_CTES verbatim),
+    * the temperature rates from the frozen (n, Z), the 5-stage funnel
+    * and the packed-sequence rollup. */
+  private def e2eSql(scoreCols: String, m: String, caseChain: String,
+      n: Long, z: Double): String = {
+    val clean = "(n_tok >= 20 AND n_tok <= 1000 AND score >= 0.5 AND lp <> 'und')"
+    val decon = s"($clean AND NOT is_eval AND NOT leak)"
+    val dedup = s"($decon AND keeper = doc_id AND NOT mh_dup)"
+    val bal = s"($dedup AND temp_kept)"
+    def stageSel(i: Int, name: String, cond: String) =
+      s"""SELECT CAST($i AS BIGINT) AS stage, '$name' AS name,
+         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM sig WHERE $cond HAVING count(*) > 0""".stripMargin
+    s"""WITH $SHROWS,
+       |$MINHASH_CTES,
+       |cs AS (SELECT doc_id, text, lang,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(${hits(TextAnalysis.stopwords)} AS BIGINT) AS stop_hits,
+       |  CAST(length(text) AS BIGINT) AS n_char, $scoreCols
+       |  FROM documents),
+       |cg AS (SELECT *, $m AS m,
+       |        round(least(1.0, n_tok / 100.0) * 0.4 + (1.0 - n_punct / n_char) * 0.3
+       |              + least(1.0, stop_hits * 5.0 / n_tok) * 0.3, 6) AS score
+       |      FROM cs),
+       |cc AS (SELECT doc_id, lang, n_tok, score,
+       |             CASE $caseChain ELSE 'und' END AS lp,
+       |             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |      FROM cg),
+       |ev0 AS (SELECT doc_id, (${HashOps.wordHashSqlN(15)}) % 1000
+       |                         < ${Pipeline.DecontamEvalPermille} AS is_eval
+       |        FROM (SELECT doc_id, md5('eval:' || doc_id) AS m FROM documents)),
+       |dg0 AS (SELECT doc_id, is_eval,
+       |               list_distinct(list_transform(
+       |                 generate_series(1, len(t) - ${Pipeline.DecontamGram - 1}),
+       |                 i -> array_to_string(t[i:i+${Pipeline.DecontamGram - 1}], ' '))) AS gs
+       |        FROM (SELECT dd.doc_id, ev0.is_eval, string_split(dd.text, ' ') AS t
+       |              FROM documents dd JOIN ev0 USING (doc_id))
+       |        WHERE len(t) >= ${Pipeline.DecontamGram}),
+       |dg AS (SELECT doc_id, is_eval, ${HashOps.wordHashSqlN(15)} AS gh
+       |       FROM (SELECT doc_id, is_eval, md5(unnest(gs)) AS m FROM dg0)),
+       |dev AS (SELECT DISTINCT gh FROM dg WHERE is_eval),
+       |leaked AS (SELECT DISTINCT doc_id FROM dg JOIN dev USING (gh) WHERE NOT is_eval),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM res),
+       |tr AS (SELECT lang, least(1000, CAST(floor(round(1000.0 * ($n * 0.5)
+       |                * (sqrt(n_g) / $z) / n_g, 6)) AS BIGINT)) AS keep_permille
+       |       FROM (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang)),
+       |tk AS (SELECT doc_id, (${HashOps.wordHashSqlN(15)}) % 1000 < keep_permille AS temp_kept
+       |       FROM (SELECT dd.doc_id, tr.keep_permille, md5('temp:' || dd.doc_id) AS m
+       |             FROM documents dd JOIN tr USING (lang))),
+       |sig AS (SELECT cc.doc_id, cc.n_tok, cc.score, cc.lp, cc.keeper, ev0.is_eval,
+       |               (leaked.doc_id IS NOT NULL) AS leak,
+       |               (losers.doc_id IS NOT NULL) AS mh_dup, tk.temp_kept
+       |        FROM cc JOIN ev0 USING (doc_id)
+       |                LEFT JOIN leaked USING (doc_id)
+       |                LEFT JOIN losers USING (doc_id)
+       |                JOIN tk USING (doc_id)),
+       |surv AS (SELECT doc_id, n_tok FROM sig WHERE $bal),
+       |pc AS (SELECT doc_id % 8 AS shard, n_tok,
+       |              sum(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+       |                               ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM surv),
+       |ps AS (SELECT shard, (cum - n_tok) // 2048 AS seq, sum(n_tok) AS tkn
+       |       FROM pc GROUP BY 1, 2)
+       |${stageSel(1, "all", "TRUE")}
+       |UNION ALL ${stageSel(2, "clean", clean)}
+       |UNION ALL ${stageSel(3, "decontam", decon)}
+       |UNION ALL ${stageSel(4, "dedup", dedup)}
+       |UNION ALL ${stageSel(5, "balance", bal)}
+       |UNION ALL SELECT CAST(6 AS BIGINT), 'packed', count(*),
+       |                 CAST(coalesce(sum(tkn), 0) AS BIGINT) FROM ps
+       |ORDER BY stage""".stripMargin
   }
 
   private def eventOracle: Map[String, String] = Map(

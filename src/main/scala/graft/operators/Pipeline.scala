@@ -312,6 +312,115 @@ object Pipeline {
            |FROM k ORDER BY doc_id""".stripMargin)
     }.getOrElse(Map.empty)
 
+  /** Frozen (total docs, Z) literals of the last [[temperatureSample]] /
+    * [[pipelineE2e]] run — for oracle builders outside this object
+    * (run-then-dump; None until a temperature-rated query ran). */
+  def tempLiterals: Option[(Long, Double)] = tempLastDir.flatMap(tempReg.get)
+
+  // -------------------------------------------------- composed E2E funnel
+
+  /** End-to-end training-data pipeline as ONE composed plan: clean
+    * (length + quality + language) → decontaminate (eval split out,
+    * 8-gram leaks out) → dedup (exact keeper + MinHash-LSH loser drop)
+    * → temperature-balance → pack — emitting the per-stage survival
+    * funnel `(stage, name, n_docs, n_tokens)`, with stage 6 reporting
+    * the packed SEQUENCE count over the survivors (its n_tokens equals
+    * stage 5's: packing must conserve tokens). Proves the pipeline
+    * stages compose without re-reading the corpus: the base projection
+    * is persisted and every signal (quality scores, eval grams, shingle
+    * signatures, mixture rates) derives from it — ONE parquet scan
+    * feeds all stages.
+    *
+    * Flag semantics (full-corpus, matching each standalone operator):
+    * the exact keeper is min doc_id per identical text; MinHash losers
+    * are each pair's doc_b over the FULL corpus pairs
+    * ([[Dedup.minhashLSH]]'s exact output); temperature rates come from
+    * the frozen (n, Z) literals ([[temperatureSample]]'s registry).
+    *
+    * Scale shape: the base persists once; signals are one narrow
+    * codegen pass + the md5-keyed keeper window; decontamination's
+    * gram join broadcasts the benchmark-sized eval gram set; the
+    * MinHash leg is the standalone operator's bounded-bucket pipeline;
+    * everything else joins on doc_id. Stage accounting is an explode
+    * of 5 stage structs + one hash aggregate, as [[cleanCorpus]]. */
+  def pipelineE2e(spark: SparkSession, sfDir: String,
+      minTok: Long = 20L, maxTok: Long = 1000L, minScore: Double = 0.5,
+      budget: Long = 2048L, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byText = Window.partitionBy(md5(col("text").cast("binary")))
+    val sig0 = base.select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      TextAnalysis.qualityScore(col("text")).as("score"),
+      TextAnalysis.langPred(col("text")).as("lp"),
+      min("doc_id").over(byText).as("keeper"),
+      evalFlag.as("is_eval"))
+    // decontamination: docs sharing any 8-gram with the eval split
+    val grams = column(graft.plans.HashedShingles(
+      expression(split(col("text"), " ")), DecontamGram))
+    val g = base.select(col("doc_id"), evalFlag.as("is_eval"),
+      explode(grams).as("gh"))
+    val evalGrams = g.filter(col("is_eval")).select("gh").distinct()
+    val leaked = g.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), "gh").select("doc_id").distinct()
+      .withColumn("leak", lit(true))
+    // near-dup losers: doc_b of every full-corpus MinHash-LSH pair
+    val hs = base.select(col("doc_id"),
+      column(graft.plans.HashedShingles(
+        expression(split(col("text"), " ")), 3)).as("hsh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val losers = Dedup.minhashLSHFrom(hs)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("mh_dup", lit(true))
+    // temperature keep decision from the frozen (n, Z) literals
+    val (n, z) = tempStats(spark, sfDir)
+    val rates = base.groupBy("lang").agg(count(lit(1)).as("n_g"))
+      .select(col("lang"),
+        least(lit(1000L),
+          floor(round(lit(1000.0) * (lit(n) * lit(0.5)) *
+            (sqrt(col("n_g")) / lit(z)) / col("n_g"), 6)).cast("long"))
+          .as("keep_permille"))
+    val sig = sig0
+      .join(leaked, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("temp_kept",
+        pmod(HashOps.wordHashN(concat(lit("temp:"), col("doc_id").cast("string")), 15),
+          lit(1000L)) < col("keep_permille"))
+    val clean = col("n_tok") >= minTok && col("n_tok") <= maxTok &&
+      col("score") >= minScore && col("lp") =!= "und"
+    val decon = clean && !col("is_eval") && col("leak").isNull
+    val dedup = decon && col("keeper") === col("doc_id") && col("mh_dup").isNull
+    val bal = dedup && col("temp_kept")
+    val stages = array(Seq(
+      (1L, "all", lit(true)), (2L, "clean", clean), (3L, "decontam", decon),
+      (4L, "dedup", dedup), (5L, "balance", bal)).map { case (i, nm, c) =>
+      struct(lit(i).as("stage"), lit(nm).as("name"), c.as("pass"))
+    }: _*)
+    val funnel = sig.select(explode(stages).as("s"), col("n_tok"))
+      .filter(col("s.pass"))
+      .groupBy(col("s.stage").as("stage"), col("s.name").as("name"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val surv = sig.filter(bal).select(col("doc_id"), col("n_tok"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = surv
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        col("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("seq", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("shard", "seq").agg(sum("n_tok").as("tkn"))
+      // coalesce: zero survivors → (0, 0), not (0, null), both engines
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("tkn"), lit(0L)).as("n_tokens"))
+      .select(lit(6L).as("stage"), lit("packed").as("name"),
+        col("n_docs"), col("n_tokens"))
+    funnel.unionByName(packed).orderBy("stage")
+  }
+
   /** DuckDB twin of [[importanceSample]]. */
   def importanceSampleOracle: String =
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -201,4 +201,43 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("pipelineE2e: monotone funnel, token conservation through packing, one documents scan") {
+    // the real sf0.001 fixture: a corpus where every stage survives
+    // (the synthetic "w w w" fixture dies at the quality stage)
+    val df = Pipeline.pipelineE2e(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.head._1 == 1L && rows.head._2 == "all" && rows.head._3 == 500L)
+    // stages 1..5 are cumulative filters: doc and token counts monotone
+    val filterStages = rows.filter(_._1 <= 5L)
+    filterStages.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 <= a._3 && b._4 <= a._4,
+        s"funnel must be monotone: $a -> $b")
+      case _ => ()
+    }
+    // packing conserves survivor tokens exactly; sequences are fewer
+    // than (or equal to) surviving docs
+    val bal = rows.find(_._1 == 5L)
+    val packed = rows.find(_._1 == 6L)
+    assert(bal.isDefined && packed.isDefined)
+    assert(packed.get._4 == bal.get._4, "packing must conserve tokens")
+    assert(packed.get._3 <= bal.get._3)
+    // composition claim: ONE parquet scan of documents feeds all stages
+    // — in the cache-substituted optimized plan, every documents access
+    // must ride the persisted base (InMemoryRelation), with NO direct
+    // parquet relation bypassing it (the cached plan's own scan is the
+    // single real read and lives inside the InMemoryRelation leaf)
+    val lp = df.queryExecution.optimizedPlan
+    val direct = lp.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    val cached = lp.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(direct.isEmpty,
+      s"stages must not re-read documents directly:\n${direct.mkString("\n")}")
+    assert(cached.nonEmpty, "the persisted base must appear in the plan")
+  }
 }
