@@ -536,15 +536,24 @@ object Dedup {
     * only). */
   private def cdcChunkRows(spark: SparkSession, sfDir: String,
       k: Int, divisor: Int): DataFrame =
-    chunksFromStarts(cdcBoundaries(spark, sfDir, k, divisor),
+    cdcChunkRowsFrom(Tables(spark, sfDir, "documents"), k, divisor)
+
+  /** [[cdcChunkRows]] over any `(doc_id, text, …)` relation — shared
+    * with the incremental chunk-ledger stream
+    * ([[graft.streaming.ChunkLedgerStream]]), which chunks each
+    * micro-batch with the IDENTICAL boundary rule so its ledger is
+    * parity-gated equal to the batch ledger. */
+  private[graft] def cdcChunkRowsFrom(docs0: DataFrame,
+      k: Int = CdcK, divisor: Int = CdcD): DataFrame =
+    chunksFromStarts(cdcBoundaries(docs0, k, divisor),
       concat(array(lit(0)), coalesce(col("bs"), array().cast("array<int>"))))
 
   /** `(doc_id, text, bs)` — each doc's sorted CDC boundary positions
     * (possibly null when no gram hash hits the divisor). */
-  private def cdcBoundaries(spark: SparkSession, sfDir: String,
+  private def cdcBoundaries(docs0: DataFrame,
       k: Int, divisor: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    val docs = Tables(spark, sfDir, "documents")
+    val docs = docs0
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
     val grams = column(graft.plans.CharGrams(expression(col("text")), k))
@@ -611,7 +620,8 @@ object Dedup {
       array(lit(0)),
       (acc, x) => when(x >= element_at(acc, lit(-1)) + lit(minSize),
         concat(acc, array(x))).otherwise(acc))
-    chunksFromStarts(cdcBoundaries(spark, sfDir, CdcK, CdcD), kept)
+    chunksFromStarts(
+      cdcBoundaries(Tables(spark, sfDir, "documents"), CdcK, CdcD), kept)
       .select("doc_id", "chunk_idx", "start_pos", "chunk_len", "chunk_hash")
       .orderBy("doc_id", "chunk_idx")
   }

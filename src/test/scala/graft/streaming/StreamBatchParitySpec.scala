@@ -318,6 +318,45 @@ class StreamBatchParitySpec extends AnyFunSuite {
       "FIFO capacity eviction must degrade stream and replay identically")
   }
 
+  test("parity: incremental CDC chunk ledger == oracle-green dedup_chunks, slicing-independent") {
+    // Stream the sf0.001 documents in 3 doc_id%3 files; the running
+    // ledger after end-of-stream must row-equal the batch chunkDupGroups
+    // (itself oracle-green at the gate), and a one-big-batch run must
+    // produce the identical ledger (merge associativity — the
+    // determinism a 100 TB incremental chunk store needs across
+    // repartitioned retries).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val src = Files.createTempDirectory("graft_chunkledger_src").toString
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_chunkledger_stage").toString
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    def runLedger(maxFiles: Int): Set[Seq[Any]] = {
+      val snap = Files.createTempDirectory("graft_chunkledger_snap").toString
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .parquet(src)
+      val q = ChunkLedgerStream.ledgerStream(spark, stream, snap)
+      q.processAllAvailable(); q.stop()
+      rows(ChunkLedgerStream.currentDupGroups(spark, snap))
+    }
+    val want = rows(batchQuery("dedup_chunks"))
+    assert(want.nonEmpty, "fixture must contain cross-doc duplicate chunks")
+    val got = runLedger(1)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(runLedger(10) == want,
+      "one-big-batch slicing must produce the identical ledger")
+  }
+
   test("parity: online SemDeDup pins ARRIVAL-order semantics under a non-id-ordered slicing") {
     // The Scaladoc contract (SemanticDedupStream): survivors equal the
     // greedy replay of the ARRIVAL sequence — batches in trigger order,
