@@ -41,3 +41,12 @@ env SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 \
     SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
     SPARK_GRAFT_SKIP=dedup_cosine,join_theta,dedup_semantic,dedup_semantic_recall \
     sbt -batch "runMain graft.Bench" 2>&1 | tee /tmp/probe_sf10.log | grep -o '{"metric".*'
+# preserve the probe record (subset re-runs overwrite BENCH_RESULT.json),
+# then auto-re-measure every over-data-growth query STANDALONE at both
+# scale points (VERDICT r9 task 8 — retires the in-pass ratio blind spot
+# for linear-CPU queries without manual adjudication)
+cp BENCH_RESULT.json /tmp/probe_sf10_result.json
+if [[ -f BENCH_LAST_sf1.json ]]; then
+  python3 scripts/probe_remeasure.py /tmp/probe_sf10_result.json \
+      BENCH_LAST_sf1.json 10 /tmp/probe_sf10_remeasure.json "$SF10" /tmp/sf1
+fi
