@@ -283,6 +283,8 @@ object SparkEntry {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
     }),
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    // CCNet-style line-level dedup (fixed word blocks stand in for lines)
+    "dedup_passage" -> ((s, dir) => Dedup.passageDedup(s, dir)),
     "dedup_substring" -> ((s, dir) => Dedup.substringDupStats(s, dir)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLSH(s, dir)),
@@ -1316,6 +1318,7 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dedup_passage" -> Dedup.passageDedupOracle,
     "dedup_substring" -> Dedup.substringDupOracle,
     "dedup_winnow" -> Dedup.winnowPairsOracle,
     "chunk_cdc" -> Dedup.cdcChunksOracle,

@@ -130,6 +130,75 @@ object Dedup {
       .select(col("doc_id"), col("n_dups"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------- passage-block dedup
+
+  /** Word-block width of [[passageDedup]] — the corpus carries no line
+    * breaks (documents are space-joined words), so fixed 20-word blocks
+    * stand in for the lines a line-level dedup would key on. */
+  val PASSAGE_WORDS = 20
+
+  /** Passage-level exact dedup (the CCNet line-dedup step, Wenzek et
+    * al. LREC 2020 §3.1, as RefinedWeb applies it): each document
+    * splits into fixed [[PASSAGE_WORDS]]-word blocks, a block survives
+    * iff it is the corpus-FIRST occurrence of its md5 (order: doc_id,
+    * block index), and the per-doc summary plus the md5 of the
+    * reassembled kept text pins every keep/drop decision at every
+    * position.
+    *
+    * Scale shape: blocks derive from one narrow projection (no
+    * shuffle); the first-occurrence decision is ONE window
+    * hash-partitioned on md5(block) — the same single-shuffle,
+    * 32-byte-key posture as [[exact]], carrying corpus-sized block
+    * rows, never pairs. Per-group sorts are occurrence lists of one
+    * hash — tiny unless the corpus is one giant duplicate, in which
+    * case dedup IS the workload. */
+  def passageDedup(spark: SparkSession, sfDir: String,
+      blockWords: Int = PASSAGE_WORDS): DataFrame = {
+    val ws = split(col("text"), " ")
+    val blocks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(ws) - 1) / lit(blockWords)).cast("int")),
+          i => array_join(slice(ws, i * blockWords + 1, lit(blockWords)), " ")))
+          .as(Seq("blk_idx", "blk")))
+    val firstWin = Window.partitionBy(md5(col("blk").cast("binary")))
+      .orderBy("doc_id", "blk_idx")
+    blocks
+      .withColumn("keep", row_number().over(firstWin) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), length(col("blk")).cast("long")).otherwise(0L))
+          .as("n_chars_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("blk_idx"), col("blk"))))),
+          s => s.getField("blk")), " ").cast("binary")).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[passageDedup]] — identical blocking, identical
+    * first-occurrence order. `coalesce('')` matches Spark's empty
+    * array_join when a doc keeps no block. */
+  def passageDedupOracle: String = {
+    val b = PASSAGE_WORDS
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |blk AS (SELECT doc_id, (pos - 1) // $b AS blk_idx,
+       |               string_agg(w, ' ' ORDER BY pos) AS b
+       |        FROM (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+       |              FROM ws)
+       |        GROUP BY doc_id, (pos - 1) // $b),
+       |k AS (SELECT doc_id, blk_idx, b,
+       |             row_number() OVER (PARTITION BY md5(b)
+       |                                ORDER BY doc_id, blk_idx) = 1 AS keep
+       |      FROM blk)
+       |SELECT doc_id, count(*) AS n_blocks,
+       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN keep THEN length(b) ELSE 0 END) AS BIGINT) AS n_chars_kept,
+       |       md5(coalesce(string_agg(CASE WHEN keep THEN b END, ' ' ORDER BY blk_idx), '')) AS kept_hash
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------- exact n-gram Jaccard
 
   /** Exact word-3-gram Jaccard over discriminative shingles (global

@@ -45,6 +45,19 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("passage dedup keeps only corpus-first occurrences of word blocks") {
+    // blocks of 3 words: doc0 owns all four of its blocks; identical
+    // doc1 keeps none; doc2 differs only in block 2 ("the lazy cat");
+    // doc3/4 are unique throughout
+    val r = Dedup.passageDedup(spark, dir, blockWords = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    assert(r.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 4L, 4L), (1L, 4L, 0L), (2L, 4L, 1L), (3L, 3L, 3L), (4L, 1L, 1L)))
+    assert(r(2)._4 == "the lazy cat".length.toLong)
+    // a doc that keeps nothing reassembles to the empty string
+    assert(r(1)._5 == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
   test("ngram jaccard finds identical and near-dup pairs, not unrelated") {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
