@@ -204,6 +204,9 @@ object SparkEntry {
     // deterministic greedy BPE (frozen-merges registry): per-doc subword
     // token counts + the md5 of the full token-id sequence
     "bpe_encode" -> ((s, dir) => graft.operators.Bpe.encode(s, dir)),
+    // detokenize leg: decode(encode(w)) == w computed (not assumed) on
+    // both engines — pins the ids, not just the counts
+    "bpe_roundtrip" -> ((s, dir) => graft.operators.Bpe.roundtrip(s, dir)),
     // sequence packing re-denominated in BPE tokens — the budget a
     // trainer actually packs against
     "pack_sequences_bpe" -> ((s, dir) => graft.operators.Bpe.packSequencesBpe(s, dir)),

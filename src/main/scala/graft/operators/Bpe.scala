@@ -185,6 +185,31 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** Per-document decode roundtrip — the detokenize leg. Every word
+    * re-materializes from its token ids (vocab lookup in token order,
+    * concatenated) and must equal the source word: this pins that
+    * [[encode]]'s ids are the RIGHT ids, not merely consistent counts.
+    * Lossless by construction (greedy scan consumes exactly the word),
+    * so `n_ok = n_words` and `n_chars_dec = n_chars` — but both sides
+    * COMPUTE the equality rather than assume it. */
+  def roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = model(spark, sfDir)
+    val enc = encodeDistinctWords(spark, sfDir, m)
+    val idToTok = array(m.vocab.sortBy(_._2).map(t => lit(t._1)): _*)
+    val dec = enc.select(col("w"),
+      array_join(transform(split(col("ids"), " "),
+        s => element_at(idToTok, s.cast("int") + 1)), "").as("dec"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(dec), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("dec") === col("w"), 1L).otherwise(0L)).as("n_ok"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(length(col("dec")).cast("long")).as("n_chars_dec"))
+      .orderBy("doc_id")
+  }
+
   /** [[Pipeline.packSequences]] re-denominated in BPE tokens: same
     * shard/window/budget packing, token counts from the frozen
     * tokenizer — the packing boundaries a trainer would actually see. */
@@ -250,6 +275,18 @@ object Bpe {
              |       CAST(sum(e.n_tok) AS BIGINT) AS n_tokens,
              |       md5(string_agg(e.ids, ' ' ORDER BY t.pos)) AS tok_hash
              |FROM tok t JOIN enc e USING (w)
+             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+        "bpe_roundtrip" ->
+          s"""WITH RECURSIVE ${encOracleCtes(m)},
+             |dec AS (SELECT s.w, string_agg(v.tok, '' ORDER BY s.step) AS d
+             |        FROM steps s JOIN vocab v ON v.id = s.id
+             |        GROUP BY s.w),
+             |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |SELECT t.doc_id, count(*) AS n_words,
+             |       CAST(sum(CASE WHEN d.d = t.w THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+             |       CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+             |       CAST(sum(length(d.d)) AS BIGINT) AS n_chars_dec
+             |FROM tok t JOIN dec d USING (w)
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
         "pack_sequences_bpe" ->
           s"""WITH RECURSIVE ${encOracleCtes(m)},

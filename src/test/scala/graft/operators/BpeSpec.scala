@@ -77,4 +77,18 @@ class BpeSpec extends AnyFunSuite {
       .mkString(" ")))
     assert(rows(1L)._3 == md5hex(enc("cd")._2))
   }
+
+  test("decode roundtrip re-materializes every word from its ids") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_bpe3").toString
+    Seq((0L, "abab abab abc", "en", "s", 13L), (1L, "cd abc", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Bpe.roundtrip(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // lossless: every word decodes back, char counts agree exactly
+    assert(rows(0L) == (3L, 3L, 11L, 11L))
+    assert(rows(1L) == (2L, 2L, 5L, 5L))
+  }
 }
