@@ -354,6 +354,10 @@ object SparkEntry {
     // product quantization: 8 nibble codes per vector (64x compression),
     // asymmetric-distance candidate scan + exact rerank
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    // composed IVF→PQ→rerank (FAISS IVFADC): trained coarse cells prune
+    // the scan, PQ codes rank the probed members, exact tail reranks —
+    // bucket EQUI-join throughout, the production shape at 100 TB
+    "ann_ivf_pq" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // graph ANN (sharded deterministic NSW): build is rows-only by
     // declared contract (sequential insertion isn't SQL-replayable) —
     // its frozen pairs are recall-checked inside ann_recall/_sampled
@@ -1445,7 +1449,15 @@ object SparkEntry {
       d <- lastDir
       hn <- graft.operators.Hnsw.pairsSql(d, Some(5L), 50)
     } yield Map("ann_recall_sampled" -> recallSql(annSqlsSampled, pq, hn))
-    base ++ full.getOrElse(Map.empty) ++ sampled.getOrElse(Map.empty)
+    // composed IVF→PQ: the ann_ivf_trained Lloyd-replay prefix (ending
+    // in cents2) + the frozen-codebook encode/ADC pieces (run-then-dump)
+    val ivfPq = Similarity.ivfPqOracleSql(
+      s"""$PTS, $CENTS, $ASSIGN, $LLOYD2,
+         |cents2 AS (SELECT cid, list(coalesce(m2.mean, n1.nx) ORDER BY dim) AS c
+         |           FROM n1 LEFT JOIN m2 USING (cid, dim) GROUP BY cid)""".stripMargin)
+      .map(sql => Map("ann_ivf_pq" -> sql))
+    base ++ full.getOrElse(Map.empty) ++ sampled.getOrElse(Map.empty) ++
+      ivfPq.getOrElse(Map.empty)
   }
 
   private def annOracleBase: Map[String, String] =

@@ -347,6 +347,111 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Composed IVF→PQ→exact-rerank ANN — the production index shape
+    * (FAISS IVFADC, Jégou et al. TPAMI 2011 §IV): the TRAINED coarse
+    * quantizer ([[ivfTrainedTopK]]'s 2-round Lloyd) prunes the corpus
+    * to each query's `nprobe` cells, the PQ codes rank ONLY those
+    * members by asymmetric distance, and the exact-cosine tail reranks
+    * the top `rerank`. At 100 TB this is the layout+bandwidth play in
+    * one plan: the corpus is written bucket-partitioned
+    * ([[writeIvfLayout]]) so a probe reads nprobe/nlist of the data,
+    * and the scan it does read touches 8 PQ bytes per vector instead of
+    * 512 float bytes. Candidates reach the ADC ranking through a bucket
+    * EQUI-join against the broadcast probe set — no NLJ anywhere, unlike
+    * the full-scan [[pqTopK]]. Deterministic end-to-end (Lloyd replay +
+    * frozen codebooks) → the oracle replays training, bucketing,
+    * probing, encode, ADC and both ranks.
+    *
+    * Cache contract: `p` persists (it feeds the quantizer training and
+    * three plan arms); the caller releases — [[sqTopK]]'s convention. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String,
+      nQueries: Int = nQueriesDefault, k: Int = kDefault,
+      nprobe: Int = nprobeDefault, rerank: Int = rerankDefault): DataFrame = {
+    val p = points(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = KMeansSteps.trainedCentroids(spark, sfDir)
+    val cbs = pqCodebooks(spark, sfDir)
+    def sub(c: Column, s: Int) = slice(c, s * PQ_DS + 1, PQ_DS)
+    // one narrow pass emits bucket + the 8 PQ codes per vector
+    val enc = p.select(col("vec_id") +:
+      nearestCidK(col("v"), cs.sortBy(_._1).map(_._2).toArray).as("bucket") +:
+      (0 until PQ_M).map(s => nearestCidK(sub(col("v"), s), cbs(s)).as(s"c$s")): _*)
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = q.select(col("q_id"), col("qv"),
+        posexplode(transform(centroidsLit(cs), c =>
+          struct(sqDist(col("qv"), c.getField("c")).as("d"), c.getField("cid").as("cid"))))
+          .as(Seq("i", "dc")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dc.d"), col("dc.cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("dc.cid").as("bucket"))
+    val cbLits = cbs.map(cb => array(cb.map(e =>
+      array(e.toIndexedSeq.map(lit(_)): _*)).toIndexedSeq: _*))
+    val adc = (0 until PQ_M).map(s =>
+      sqDist(sub(col("qv"), s), element_at(cbLits(s), col(s"c$s") + 1)))
+      .reduce(_ + _)
+    val candScored = enc.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), adc.as("adc"))
+    val candOrd = Seq(asc("adc"), asc("n_id"))
+    val cand = Relational.topkPerGroup(candScored, Seq(col("q_id")), candOrd, rerank)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(candOrd: _*)))
+      .filter(col("rn") <= rerank)
+      .select(col("q_id"), col("n_id"))
+    val scored = cand
+      .join(p.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  private val nprobeDefault = 2
+
+  /** DuckDB twin of [[ivfPqTopK]] — the caller supplies the Lloyd-2
+    * training replay (CTE chain defining `pts` and `cents2(cid, c)`,
+    * the `ann_ivf_trained` prefix); the frozen PQ codebooks, encode,
+    * ADC grouping and both ranks come from the same string pieces as
+    * [[pqSqlFor]]. Empty until the PQ registry trained in this JVM
+    * (run-then-dump). */
+  def ivfPqOracleSql(lloydPrefix: String): Option[String] =
+    pqLastDir.flatMap(d => pqReg.get((d, None))).map { cbs =>
+      s"""WITH $lloydPrefix,
+         |p AS (SELECT vec_id, v FROM pts),
+         |${(0 until PQ_M).map(pqCbCte(cbs)).mkString(",\n")},
+         |$pqEncCtes,
+         |enc AS (SELECT p.vec_id, ${(0 until PQ_M).map(s => s"e$s.c$s").mkString(", ")}
+         |        FROM p $pqEncJoin),
+         |bkt AS (SELECT vec_id, cid AS bucket FROM (
+         |          SELECT p.vec_id, c.cid,
+         |                 row_number() OVER (PARTITION BY p.vec_id
+         |                   ORDER BY list_distance(p.v, c.c), c.cid) AS rn
+         |          FROM p CROSS JOIN cents2 c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $nQueriesDefault),
+         |probes AS (SELECT q_id, cid AS bucket FROM (
+         |             SELECT q.q_id, c.cid,
+         |                    row_number() OVER (PARTITION BY q.q_id
+         |                      ORDER BY list_distance(q.qv, c.c), c.cid) AS rn
+         |             FROM q CROSS JOIN cents2 c) WHERE rn <= $nprobeDefault),
+         |sc AS (SELECT q.q_id, enc.vec_id AS n_id, $pqAdcExpr AS adc
+         |       FROM enc JOIN bkt USING (vec_id)
+         |       JOIN probes pr ON bkt.bucket = pr.bucket
+         |       JOIN q ON q.q_id = pr.q_id AND enc.vec_id <> q.q_id
+         |       $pqAdcJoins),
+         |cand AS (SELECT q_id, n_id FROM
+         |           (SELECT q_id, n_id,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM sc)
+         |         WHERE rn <= $rerankDefault),
+         |s AS (SELECT c.q_id, c.n_id,
+         |             list_inner_product(qp.v, np.v) / (sqrt(list_inner_product(qp.v, qp.v)) * sqrt(list_inner_product(np.v, np.v))) AS cos
+         |      FROM cand c JOIN p qp ON qp.vec_id = c.q_id JOIN p np ON np.vec_id = c.n_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+         |WHERE rn <= $kDefault ORDER BY q_id, rank""".stripMargin
+    }
+
   /** Registry-backed per-subspace codebooks for `sfDir` (trained once
     * per JVM, deterministic) — shared by [[pqTopK]] and the oracle dump
     * (run-then-dump, the [[graft.kmeans.FitFinal]] contract). */
@@ -389,27 +494,44 @@ object Similarity {
     pqLastDir.flatMap(d => pqReg.get((d, Some(keepMod))))
       .map(cbs => pqSqlFor(cbs, s" WHERE vec_id % $keepMod = 0", nQueries))
 
+  // ---- PQ oracle string pieces, shared by pqSqlFor and ivfPqOracleSql
+  // (one source for codebook literals / encode CTEs / the ADC grouping,
+  // so the two replays cannot drift)
+
+  private def pqCbCte(cbs: Array[Array[Array[Double]]])(s: Int): String =
+    cbs(s).zipWithIndex.map { case (v, cid) =>
+      v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(s"cb$s AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
+
+  private def pqDistExpr(vec: String, cb: String, s: Int): String =
+    (0 until PQ_DS).map { i =>
+      val t = s"($vec[${s * PQ_DS + i + 1}] - $cb.c[${i + 1}])"
+      s"$t * $t"
+    }.mkString("(", " + ", ")")
+
+  /** Encode CTEs e0..e7 + the enc join, against a points CTE named `p`. */
+  private def pqEncCtes: String = (0 until PQ_M).map { s =>
+    s"""e$s AS (SELECT vec_id, cid AS c$s FROM (
+       |  SELECT p.vec_id, b.cid,
+       |         row_number() OVER (PARTITION BY p.vec_id
+       |                            ORDER BY ${pqDistExpr("p.v", "b", s)}, b.cid) AS rn
+       |  FROM p CROSS JOIN cb$s b) WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
+  private def pqEncJoin: String =
+    (0 until PQ_M).map(s => s"JOIN e$s USING (vec_id)").mkString(" ")
+  private def pqAdcJoins: String =
+    (0 until PQ_M).map(s => s"JOIN cb$s b$s ON b$s.cid = enc.c$s").mkString(" ")
+  private def pqAdcExpr: String =
+    (0 until PQ_M).map(s => pqDistExpr("q.qv", s"b$s", s)).mkString(" + ")
+
   private def pqSqlFor(cbs: Array[Array[Array[Double]]], pWhere: String,
       nQueries: Int): String = {
-      def cbCte(s: Int): String =
-        cbs(s).zipWithIndex.map { case (v, cid) =>
-          v.map(java.lang.Double.toString).mkString(s"($cid, CAST([", ", ", "] AS DOUBLE[]))")
-        }.mkString(s"cb$s AS (SELECT * FROM (VALUES ", ", ", ") AS t(cid, c))")
-      def distExpr(vec: String, cb: String, s: Int): String =
-        (0 until PQ_DS).map { i =>
-          val t = s"($vec[${s * PQ_DS + i + 1}] - $cb.c[${i + 1}])"
-          s"$t * $t"
-        }.mkString("(", " + ", ")")
-      val encCtes = (0 until PQ_M).map { s =>
-        s"""e$s AS (SELECT vec_id, cid AS c$s FROM (
-           |  SELECT p.vec_id, b.cid,
-           |         row_number() OVER (PARTITION BY p.vec_id
-           |                            ORDER BY ${distExpr("p.v", "b", s)}, b.cid) AS rn
-           |  FROM p CROSS JOIN cb$s b) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val encJoin = (0 until PQ_M).map(s => s"JOIN e$s USING (vec_id)").mkString(" ")
-      val adcJoins = (0 until PQ_M).map(s => s"JOIN cb$s b$s ON b$s.cid = enc.c$s").mkString(" ")
-      val adcExpr = (0 until PQ_M).map(s => distExpr("q.qv", s"b$s", s)).mkString(" + ")
+      def cbCte(s: Int): String = pqCbCte(cbs)(s)
+      val encCtes = pqEncCtes
+      val encJoin = pqEncJoin
+      val adcJoins = pqAdcJoins
+      val adcExpr = pqAdcExpr
       s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$pWhere),
            |${(0 until PQ_M).map(cbCte).mkString(",\n")},
            |$encCtes,

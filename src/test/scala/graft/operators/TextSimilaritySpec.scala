@@ -68,7 +68,7 @@ class TextSimilaritySpec extends AnyFunSuite {
   test("every ANN variant returns contiguous ranks, bounded cosines, no self-matches") {
     for (df <- Seq(Similarity.bruteTopK(spark, sf), Similarity.ivfTopK(spark, sf),
         Similarity.lshTopK(spark, sf), Similarity.sqTopK(spark, sf),
-        Similarity.pqTopK(spark, sf))) {
+        Similarity.pqTopK(spark, sf), Similarity.ivfPqTopK(spark, sf))) {
       val rows = df.collect()
       assert(rows.nonEmpty)
       rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
@@ -153,6 +153,17 @@ class TextSimilaritySpec extends AnyFunSuite {
     val n = graft.sources.Tables(spark, sf, "embeddings").count().toInt
     val got = Similarity.pqTopK(spark, sf, rerank = n).collect().map(_.toSeq).toSeq
     val want = Similarity.bruteTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == want && want.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("IVF+PQ with a full rerank pool degenerates to trained IVF") {
+    // both pipelines probe the SAME cells (same trained quantizer, same
+    // probe rank); when every probed member is exact-reranked, the PQ
+    // ADC order cannot change the answer — ivf_pq == ivf_trained
+    val n = graft.sources.Tables(spark, sf, "embeddings").count().toInt
+    val got = Similarity.ivfPqTopK(spark, sf, rerank = n).collect().map(_.toSeq).toSeq
+    val want = Similarity.ivfTrainedTopK(spark, sf).collect().map(_.toSeq).toSeq
     assert(got == want && want.nonEmpty)
     spark.catalog.clearCache()
   }
