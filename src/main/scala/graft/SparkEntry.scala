@@ -362,7 +362,10 @@ object SparkEntry {
     // declared contract (sequential insertion isn't SQL-replayable) —
     // its frozen pairs are recall-checked inside ann_recall/_sampled
     "ann_hnsw_topk" -> ((s, dir) => graft.operators.Hnsw.topK(s, dir)),
-    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)))
+    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    // deterministic JL ±1-sign projection: the no-training
+    // dimensionality-reduction front end (one narrow map, no shuffle)
+    "embed_rp" -> ((s, dir) => Similarity.randomProjection(s, dir)))
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -1462,7 +1465,8 @@ object SparkEntry {
 
   private def annOracleBase: Map[String, String] =
     annSqls(COSP, PTS, CENTS, qLim = 10, seedLim = KMeansSteps.K) +
-      ("ann_hard_negatives" -> Similarity.hardNegativesOracle)
+      ("ann_hard_negatives" -> Similarity.hardNegativesOracle) +
+      ("embed_rp" -> Similarity.randomProjectionOracle)
 
   /** Sampled-corpus ANN twin SQLs (`vec_id % 5 = 0`, 10 queries from
     * `vec_id < 50`, seeds = the K lowest SAMPLED ids): identical

@@ -609,6 +609,51 @@ object Similarity {
         round(col("n_hit_hnsw") * lit(1.0) / col("n_brute"), 6).as("recall_hnsw"))
   }
 
+  /** JL output dimensionality of [[randomProjection]] — 16 keeps the
+    * 1/√k scale IEEE-exact (÷4 is a power of two). */
+  val RP_D = 16
+
+  /** Deterministic random projection (the Johnson–Lindenstrauss
+    * transform with ±1 signs, Achlioptas JCSS 2003 §1): proj_j =
+    * Σ_i sign(j,i)·v_i / √[[RP_D]], signs derived from md5 — the
+    * [[lshPlanes]] convention, so the DuckDB oracle regenerates the
+    * identical matrix and the dot is the same sequential fold. The
+    * dimensionality-reduction front end every downstream consumer
+    * (coarse clustering, LSH, 2-D visual) wants at 100 TB: one narrow
+    * codegen'd map, no shuffle, no training, 4× fewer bytes out than
+    * in. Long output (vec_id, comp, val) so the dump is schema-stable. */
+  def randomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = 64
+    val signs = Array.tabulate(RP_D)(j => Array.tabulate(d)(i =>
+      if (HashOps.wordHashNScala(s"rp_$j:$i", 15) % 2 == 0) 1.0 else -1.0))
+    val scale = math.sqrt(RP_D.toDouble)
+    val comps = array((0 until RP_D).map { j =>
+      dot(col("v"), array(signs(j).toIndexedSeq.map(lit(_)): _*)) / scale
+    }: _*)
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), posexplode(comps).as(Seq("comp", "val")))
+      .select(col("vec_id"), col("comp").cast("long").as("comp"),
+        round(col("val"), 6).as("val"))
+      .orderBy("vec_id", "comp")
+  }
+
+  /** DuckDB twin of [[randomProjection]] — regenerates the sign matrix
+    * from the same md5 derivation. */
+  def randomProjectionOracle: String =
+    s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s0 AS (SELECT g.j, h.i, md5('rp_' || g.j || ':' || h.i) AS m
+       |       FROM (SELECT unnest(generate_series(0, ${RP_D - 1})) AS j) g
+       |       CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) h),
+       |sw AS (SELECT j, i,
+       |              CASE WHEN (${HashOps.wordHashSqlN(15)}) % 2 = 0
+       |                   THEN 1.0 ELSE -1.0 END AS sgn
+       |       FROM s0),
+       |sv AS (SELECT j, list(sgn ORDER BY i) AS signs FROM sw GROUP BY j)
+       |SELECT p.vec_id, CAST(sv.j AS BIGINT) AS comp,
+       |       round(list_inner_product(p.v, sv.signs) / sqrt(${RP_D}.0), 6) AS val
+       |FROM p CROSS JOIN sv ORDER BY vec_id, comp""".stripMargin
+
   /** Shared exact finisher for the ANN variants: per-query cosine top-k.
     * The scored relation is q×N-shaped (brute) or q×candidates (IVF/
     * LSH) — [[Relational.topkPerGroup]] prunes it per input partition

@@ -157,6 +157,22 @@ class TextSimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("random projection of a unit basis vector reads out the sign matrix") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_rp").toString
+    def unit(at: Int) = Array.tabulate(64)(i => if (i == at) 1.0f else 0.0f).toSeq
+    Seq((0L, unit(0), 0), (1L, unit(5), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.randomProjection(spark, d).collect()
+    assert(rows.length == 2 * Similarity.RP_D)
+    rows.foreach { r =>
+      val (vid, j, v) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val i = if (vid == 0L) 0 else 5
+      val sgn = if (graft.functions.HashOps.wordHashNScala(s"rp_$j:$i", 15) % 2 == 0) 1.0 else -1.0
+      assert(v == sgn / math.sqrt(Similarity.RP_D.toDouble), s"vec $vid comp $j")
+    }
+  }
+
   test("IVF+PQ with a full rerank pool degenerates to trained IVF") {
     // both pipelines probe the SAME cells (same trained quantizer, same
     // probe rank); when every probed member is exact-reranked, the PQ
