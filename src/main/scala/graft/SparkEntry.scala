@@ -1421,47 +1421,61 @@ object SparkEntry {
     // contract) — DuckDB still recomputes their overlap with the
     // SQL-replayed brute truth, so recall_hnsw is independently checked.
     def recallSql(sqls: Map[String, String], pqSql: String,
-        hnswSql: String): String =
+        ivfpqSql: String, hnswSql: String): String =
       s"""WITH b AS (SELECT q_id, n_id FROM (${sqls("ann_brute_topk")})),
          |     i AS (SELECT q_id, n_id FROM (${sqls("ann_ivf_trained")})),
          |     s AS (SELECT q_id, n_id FROM (${sqls("ann_sq_topk")})),
          |     l AS (SELECT q_id, n_id FROM (${sqls("ann_lsh_topk")})),
          |     pq AS (SELECT q_id, n_id FROM ($pqSql)),
+         |     ip AS (SELECT q_id, n_id FROM ($ivfpqSql)),
          |     hn AS ($hnswSql),
          |     c AS (SELECT (SELECT count(*) FROM b) AS n_brute,
          |                  (SELECT count(*) FROM b JOIN i USING (q_id, n_id)) AS n_hit_ivf,
          |                  (SELECT count(*) FROM b JOIN s USING (q_id, n_id)) AS n_hit_sq,
          |                  (SELECT count(*) FROM b JOIN l USING (q_id, n_id)) AS n_hit_lsh,
          |                  (SELECT count(*) FROM b JOIN pq USING (q_id, n_id)) AS n_hit_pq,
+         |                  (SELECT count(*) FROM b JOIN ip USING (q_id, n_id)) AS n_hit_ivfpq,
          |                  (SELECT count(*) FROM b JOIN hn USING (q_id, n_id)) AS n_hit_hnsw)
-         |SELECT n_brute, n_hit_ivf, n_hit_sq, n_hit_lsh, n_hit_pq, n_hit_hnsw,
+         |SELECT n_brute, n_hit_ivf, n_hit_sq, n_hit_lsh, n_hit_pq, n_hit_ivfpq, n_hit_hnsw,
          |       round(n_hit_ivf * 1.0 / n_brute, 6) AS recall_ivf,
          |       round(n_hit_sq * 1.0 / n_brute, 6) AS recall_sq,
          |       round(n_hit_lsh * 1.0 / n_brute, 6) AS recall_lsh,
          |       round(n_hit_pq * 1.0 / n_brute, 6) AS recall_pq,
+         |       round(n_hit_ivfpq * 1.0 / n_brute, 6) AS recall_ivfpq,
          |       round(n_hit_hnsw * 1.0 / n_brute, 6) AS recall_hnsw
          |FROM c""".stripMargin
     val lastDir = graft.operators.Hnsw.lastRunDir
     val full = for {
       pq <- Similarity.pqOracleSqls.get("ann_pq_topk")
+      ip <- ivfPqFull
       d <- lastDir
       hn <- graft.operators.Hnsw.pairsSql(d, None, 10)
-    } yield Map("ann_recall" -> recallSql(base, pq, hn))
+    } yield Map("ann_recall" -> recallSql(base, pq, ip, hn))
     val sampled = for {
       pq <- Similarity.pqOracleSqlSampled(5L, 50)
+      ip <- ivfPqSampled
       d <- lastDir
       hn <- graft.operators.Hnsw.pairsSql(d, Some(5L), 50)
-    } yield Map("ann_recall_sampled" -> recallSql(annSqlsSampled, pq, hn))
-    // composed IVF→PQ: the ann_ivf_trained Lloyd-replay prefix (ending
-    // in cents2) + the frozen-codebook encode/ADC pieces (run-then-dump)
-    val ivfPq = Similarity.ivfPqOracleSql(
-      s"""$PTS, $CENTS, $ASSIGN, $LLOYD2,
-         |cents2 AS (SELECT cid, list(coalesce(m2.mean, n1.nx) ORDER BY dim) AS c
-         |           FROM n1 LEFT JOIN m2 USING (cid, dim) GROUP BY cid)""".stripMargin)
-      .map(sql => Map("ann_ivf_pq" -> sql))
+    } yield Map("ann_recall_sampled" -> recallSql(annSqlsSampled, pq, ip, hn))
     base ++ full.getOrElse(Map.empty) ++ sampled.getOrElse(Map.empty) ++
-      ivfPq.getOrElse(Map.empty)
+      ivfPqFull.map(sql => Map("ann_ivf_pq" -> sql)).getOrElse(Map.empty)
   }
+
+  /** The `ann_ivf_trained` training-replay prefix (pts/cents → Lloyd-2
+    * → cents2) — shared verbatim by the trained-IVF oracle and the
+    * composed IVF→PQ oracle so the two replays cannot drift. */
+  private def lloydCents2Prefix(ptsCte: String, centsCte: String): String =
+    s"""$ptsCte, $centsCte, $ASSIGN, $LLOYD2,
+       |cents2 AS (SELECT cid, list(coalesce(m2.mean, n1.nx) ORDER BY dim) AS c
+       |           FROM n1 LEFT JOIN m2 USING (cid, dim) GROUP BY cid)""".stripMargin
+
+  // composed IVF→PQ twins: Lloyd-replay prefix + frozen-codebook
+  // encode/ADC pieces (run-then-dump — absent until the pipelines ran)
+  private def ivfPqFull: Option[String] =
+    Similarity.ivfPqOracleSql(lloydCents2Prefix(PTS, CENTS))
+  private def ivfPqSampled: Option[String] =
+    Similarity.ivfPqOracleSql(lloydCents2Prefix(PTS_S5, CENTS_S5),
+      keepMod = Some(5L), nQueries = 50)
 
   private def annOracleBase: Map[String, String] =
     annSqls(COSP, PTS, CENTS, qLim = 10, seedLim = KMeansSteps.K) +
@@ -1474,9 +1488,12 @@ object SparkEntry {
     * training — the SQL mirror of `Similarity.points(keepMod)`. */
   private def annSqlsSampled: Map[String, String] = annSqls(
     "p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0)",
-    "pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0)",
-    s"cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < ${5 * KMeansSteps.K})",
-    qLim = 50, seedLim = 5 * KMeansSteps.K)
+    PTS_S5, CENTS_S5, qLim = 50, seedLim = 5 * KMeansSteps.K)
+
+  private val PTS_S5 =
+    "pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0)"
+  private val CENTS_S5 =
+    s"cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < ${5 * KMeansSteps.K})"
 
   private def annSqls(cosp: String, ptsCte: String, centsCte: String,
       qLim: Int, seedLim: Int): Map[String, String] = Map(
@@ -1484,9 +1501,7 @@ object SparkEntry {
     // (shared LLOYD2 chain), then bucket/probe/rerank over the learned
     // centroids — the full production ANN pipeline under one oracle
     "ann_ivf_trained" ->
-      s"""WITH $ptsCte, $centsCte, $ASSIGN, $LLOYD2,
-         |cents2 AS (SELECT cid, list(coalesce(m2.mean, n1.nx) ORDER BY dim) AS c
-         |           FROM n1 LEFT JOIN m2 USING (cid, dim) GROUP BY cid),
+      s"""WITH ${lloydCents2Prefix(ptsCte, centsCte)},
          |bkt AS (SELECT vec_id, v, cid AS bucket FROM (
          |          SELECT p.vec_id, p.v, c.cid,
          |                 row_number() OVER (PARTITION BY p.vec_id

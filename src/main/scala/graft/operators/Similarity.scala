@@ -120,21 +120,26 @@ object Similarity {
   def ivfTrainedTopK(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 2,
       keepMod: Option[Long] = None): DataFrame = {
-    // sampled twin trains its own quantizer on the sampled corpus:
-    // seeds are the K lowest SAMPLED ids (positional cids — a monotone
-    // relabel of the oracle's vec_id cids, so every dist/cid tie-break
-    // and bucket-equality decision matches the SQL replay)
-    val cs = keepMod match {
-      case None => KMeansSteps.trainedCentroids(spark, sfDir)
-      case Some(m) =>
-        val p = points(spark, sfDir, keepMod)
-          .select(col("vec_id").as("id"), col("v").as("features"))
-        val seeds = p.filter(col("id") < m * KMeansSteps.K).orderBy("id")
-          .collect().zipWithIndex
-          .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
-        KMeansSteps.trainedCentroidsOf(spark, p, seeds)
-    }
-    ivfTopKWith(spark, sfDir, cs, nQueries, k, nprobe, keepMod)
+    ivfTopKWith(spark, sfDir, trainedCentroidsFor(spark, sfDir, keepMod),
+      nQueries, k, nprobe, keepMod)
+  }
+
+  /** Trained coarse quantizer for the full or keepMod-sampled corpus —
+    * shared by [[ivfTrainedTopK]] and [[ivfPqTopK]]. The sampled twin
+    * trains its own quantizer on the sampled corpus: seeds are the K
+    * lowest SAMPLED ids (positional cids — a monotone relabel of the
+    * oracle's vec_id cids, so every dist/cid tie-break and
+    * bucket-equality decision matches the SQL replay). */
+  private def trainedCentroidsFor(spark: SparkSession, sfDir: String,
+      keepMod: Option[Long]): Seq[(Int, Array[Double])] = keepMod match {
+    case None => KMeansSteps.trainedCentroids(spark, sfDir)
+    case Some(m) =>
+      val p = points(spark, sfDir, keepMod)
+        .select(col("vec_id").as("id"), col("v").as("features"))
+      val seeds = p.filter(col("id") < m * KMeansSteps.K).orderBy("id")
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }.toSeq
+      KMeansSteps.trainedCentroidsOf(spark, p, seeds)
   }
 
   private def ivfTopKWith(spark: SparkSession, sfDir: String,
@@ -366,11 +371,12 @@ object Similarity {
     * three plan arms); the caller releases — [[sqTopK]]'s convention. */
   def ivfPqTopK(spark: SparkSession, sfDir: String,
       nQueries: Int = nQueriesDefault, k: Int = kDefault,
-      nprobe: Int = nprobeDefault, rerank: Int = rerankDefault): DataFrame = {
-    val p = points(spark, sfDir)
+      nprobe: Int = nprobeDefault, rerank: Int = rerankDefault,
+      keepMod: Option[Long] = None): DataFrame = {
+    val p = points(spark, sfDir, keepMod)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cs = KMeansSteps.trainedCentroids(spark, sfDir)
-    val cbs = pqCodebooks(spark, sfDir)
+    val cs = trainedCentroidsFor(spark, sfDir, keepMod)
+    val cbs = pqCodebooks(spark, sfDir, keepMod)
     def sub(c: Column, s: Int) = slice(c, s * PQ_DS + 1, PQ_DS)
     // one narrow pass emits bucket + the 8 PQ codes per vector
     val enc = p.select(col("vec_id") +:
@@ -416,8 +422,9 @@ object Similarity {
     * ADC grouping and both ranks come from the same string pieces as
     * [[pqSqlFor]]. Empty until the PQ registry trained in this JVM
     * (run-then-dump). */
-  def ivfPqOracleSql(lloydPrefix: String): Option[String] =
-    pqLastDir.flatMap(d => pqReg.get((d, None))).map { cbs =>
+  def ivfPqOracleSql(lloydPrefix: String, keepMod: Option[Long] = None,
+      nQueries: Int = nQueriesDefault): Option[String] =
+    pqLastDir.flatMap(d => pqReg.get((d, keepMod))).map { cbs =>
       s"""WITH $lloydPrefix,
          |p AS (SELECT vec_id, v FROM pts),
          |${(0 until PQ_M).map(pqCbCte(cbs)).mkString(",\n")},
@@ -429,7 +436,7 @@ object Similarity {
          |                 row_number() OVER (PARTITION BY p.vec_id
          |                   ORDER BY list_distance(p.v, c.c), c.cid) AS rn
          |          FROM p CROSS JOIN cents2 c) WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $nQueriesDefault),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $nQueries),
          |probes AS (SELECT q_id, cid AS bucket FROM (
          |             SELECT q.q_id, c.cid,
          |                    row_number() OVER (PARTITION BY q.q_id
@@ -560,10 +567,11 @@ object Similarity {
   private val rerankDefault = 20
 
   /** ANN quality evaluation, mirroring [[Dedup]]'s `dedup_recall`:
-    * recall@k of the three approximate paths — the trained-IVF probe,
-    * the SQ8 integer scan, and the hyperplane-LSH banding — against the
-    * exact brute-force top-k, over one shared query sweep. All four
-    * pipelines are deterministic and oracle-exact, so the recall number
+    * recall@k of the approximate paths — trained-IVF probe, SQ8 integer
+    * scan, hyperplane-LSH banding, PQ ADC, composed IVF→PQ, and the NSW
+    * graph — against the exact brute-force top-k, over one shared query
+    * sweep. The SQL-replayable pipelines are deterministic and
+    * oracle-exact, so the recall number
     * itself is oracle-checkable: even the misses reproduce bit-for-bit
     * in DuckDB. This is the number that justifies nprobe/rerank/band
     * parameters before a 100 TB run; the comparison itself is q×k-sized
@@ -582,6 +590,8 @@ object Similarity {
       .select(col("q_id"), col("n_id"))
     val pq = pqTopK(spark, sfDir, nQueries = nQueries, keepMod = keepMod)
       .select(col("q_id"), col("n_id"))
+    val ivfpq = ivfPqTopK(spark, sfDir, nQueries = nQueries, keepMod = keepMod)
+      .select(col("q_id"), col("n_id"))
     // sixth leg: the graph index — its build is rows-only, but its
     // frozen pairs land in the oracle as literals, so recall_hnsw is
     // recomputed independently against the SQL-replayed brute truth
@@ -595,17 +605,20 @@ object Similarity {
       .agg(count(lit(1)).as("n_hit_lsh"))
     val hitPq = brute.join(pq, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit_pq"))
+    val hitIvfPq = brute.join(ivfpq, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit_ivfpq"))
     val hitHnsw = brute.join(hnsw, Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit_hnsw"))
     brute.agg(count(lit(1)).as("n_brute"))
       .crossJoin(hitIvf).crossJoin(hitSq).crossJoin(hitLsh).crossJoin(hitPq)
-      .crossJoin(hitHnsw)
+      .crossJoin(hitIvfPq).crossJoin(hitHnsw)
       .select(col("n_brute"), col("n_hit_ivf"), col("n_hit_sq"),
-        col("n_hit_lsh"), col("n_hit_pq"), col("n_hit_hnsw"),
+        col("n_hit_lsh"), col("n_hit_pq"), col("n_hit_ivfpq"), col("n_hit_hnsw"),
         round(col("n_hit_ivf") * lit(1.0) / col("n_brute"), 6).as("recall_ivf"),
         round(col("n_hit_sq") * lit(1.0) / col("n_brute"), 6).as("recall_sq"),
         round(col("n_hit_lsh") * lit(1.0) / col("n_brute"), 6).as("recall_lsh"),
         round(col("n_hit_pq") * lit(1.0) / col("n_brute"), 6).as("recall_pq"),
+        round(col("n_hit_ivfpq") * lit(1.0) / col("n_brute"), 6).as("recall_ivfpq"),
         round(col("n_hit_hnsw") * lit(1.0) / col("n_brute"), 6).as("recall_hnsw"))
   }
 

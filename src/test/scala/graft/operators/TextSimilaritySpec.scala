@@ -116,8 +116,8 @@ class TextSimilaritySpec extends AnyFunSuite {
     val r = Similarity.recallEval(spark, sf, keepMod = Some(5L), nQueries = 50)
       .collect().head
     assert(r.getLong(0) == 50L, "10 sampled anchors x top-5 brute rows")
-    // recall_{ivf,sq,lsh,pq,hnsw} — after the 6 count columns
-    Seq(6, 7, 8, 9, 10).foreach { i =>
+    // recall_{ivf,sq,lsh,pq,ivfpq,hnsw} — after the 7 count columns
+    (7 to 12).foreach { i =>
       val rec = r.getDouble(i)
       assert(rec >= 0.0 && rec <= 1.0)
     }
