@@ -154,17 +154,31 @@ object Dedup {
     * case dedup IS the workload. */
   def passageDedup(spark: SparkSession, sfDir: String,
       blockWords: Int = PASSAGE_WORDS): DataFrame = {
-    val ws = split(col("text"), " ")
-    val blocks = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), floor((size(ws) - 1) / lit(blockWords)).cast("int")),
-          i => array_join(slice(ws, i * blockWords + 1, lit(blockWords)), " ")))
-          .as(Seq("blk_idx", "blk")))
     val firstWin = Window.partitionBy(md5(col("blk").cast("binary")))
       .orderBy("doc_id", "blk_idx")
-    blocks
-      .withColumn("keep", row_number().over(firstWin) === 1)
+    passageSummaryOf(
+      passageBlocksOf(Tables(spark, sfDir, "documents"), blockWords)
+        .withColumn("keep", row_number().over(firstWin) === 1))
+  }
+
+  /** `(doc_id, blk_idx, blk)` — the fixed-width word blocks of a
+    * `(doc_id, text, …)` relation. Blocking depends only on the row, so
+    * a document blocks identically in a batch load or a micro-batched
+    * stream (the [[cdcChunkRowsFrom]] locality argument) — shared with
+    * [[graft.streaming.PassageLedgerStream]]. */
+  private[graft] def passageBlocksOf(docs: DataFrame, blockWords: Int): DataFrame = {
+    val ws = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), floor((size(ws) - 1) / lit(blockWords)).cast("int")),
+        i => array_join(slice(ws, i * blockWords + 1, lit(blockWords)), " ")))
+        .as(Seq("blk_idx", "blk")))
+  }
+
+  /** Per-doc survival summary over keep-flagged block rows
+    * `(doc_id, blk_idx, blk, keep)`. */
+  private[graft] def passageSummaryOf(flagged: DataFrame): DataFrame =
+    flagged
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -175,7 +189,6 @@ object Dedup {
             struct(col("blk_idx"), col("blk"))))),
           s => s.getField("blk")), " ").cast("binary")).as("kept_hash"))
       .orderBy("doc_id")
-  }
 
   /** DuckDB twin of [[passageDedup]] — identical blocking, identical
     * first-occurrence order. `coalesce('')` matches Spark's empty

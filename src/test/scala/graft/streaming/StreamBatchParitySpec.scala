@@ -357,6 +357,46 @@ class StreamBatchParitySpec extends AnyFunSuite {
       "one-big-batch slicing must produce the identical ledger")
   }
 
+  test("parity: incremental passage ledger == oracle-green dedup_passage, slicing-independent") {
+    // Stream the sf0.001 documents in 3 doc_id%3 files (file b1 holds
+    // ids 1,4,7,… — NOT in global doc_id order), then summarize the
+    // ingested corpus against the ledger: must row-equal the batch
+    // passageDedup (itself oracle-green at the gate). Unlike the
+    // arrival-ordered SemDeDup stream, "first occurrence" here is the
+    // GLOBAL (doc_id, blk_idx) min — associative, so any slicing yields
+    // the identical ledger.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val src = Files.createTempDirectory("graft_passledger_src").toString
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_passledger_stage").toString
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    def runLedger(maxFiles: Int): Set[Seq[Any]] = {
+      val snap = Files.createTempDirectory("graft_passledger_snap").toString
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .parquet(src)
+      val q = PassageLedgerStream.ledgerStream(spark, stream, snap)
+      q.processAllAvailable(); q.stop()
+      rows(PassageLedgerStream.currentSummary(spark, snap, docs))
+    }
+    val want = rows(batchQuery("dedup_passage"))
+    assert(want.nonEmpty)
+    val got = runLedger(1)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(runLedger(10) == want,
+      "one-big-batch slicing must produce the identical ledger")
+  }
+
   test("parity: online SemDeDup pins ARRIVAL-order semantics under a non-id-ordered slicing") {
     // The Scaladoc contract (SemanticDedupStream): survivors equal the
     // greedy replay of the ARRIVAL sequence — batches in trigger order,
