@@ -156,6 +156,9 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => Relational.q1Agg(s, dir)),
     "join_mkt" -> ((s, dir) => Relational.joinMkt(s, dir)),
     "join_semi_anti" -> ((s, dir) => Relational.semiAnti(s, dir)),
+    // explicit Bloom runtime filter: md5-derived bits, oracle-rebuilt —
+    // pass/match/false-positive counts for the pre-scan prune decision
+    "join_bloom" -> ((s, dir) => Relational.bloomSemiStats(s, dir)),
     "topk_window" -> ((s, dir) => Relational.topkWindow(s, dir)),
     "rollup_agg" -> ((s, dir) => Relational.rollupAgg(s, dir)),
     "set_ops" -> ((s, dir) => Relational.setOps(s, dir)),
@@ -708,6 +711,7 @@ object SparkEntry {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_bloom" -> Relational.bloomSemiOracle,
     "join_semi_anti" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, 'with' AS grp, count(*) AS n
         |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

@@ -50,6 +50,117 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Bloom sizing for [[bloomSemiStats]]: 16 bits/build-key (fp ≈ 1%
+    * at k = 3), rounded up to a 64-bit word (bits pack 32 per long so the cross-engine << never touches the int64 sign bit), clamped to
+    * [[BLOOM_MIN_M]], [[BLOOM_MAX_M]]] — integer arithmetic only, so
+    * the oracle derives the identical m from count(build). Above the
+    * cap the filter saturates and fp_rate rises — which is exactly the
+    * measurement the operator exists to report; a production deployment
+    * would broadcast the word relation instead of inlining literals and
+    * raise the cap, with unchanged semantics. */
+  val BLOOM_MIN_M = 4096
+  val BLOOM_MAX_M = 65536
+  val BLOOM_BITS_PER_KEY = 16
+  val BLOOM_K = 3
+
+  /** Filter size in bits for a build side of `nBuild` keys. */
+  def bloomM(nBuild: Long): Int =
+    math.min(BLOOM_MAX_M.toLong, math.max(BLOOM_MIN_M.toLong,
+      (BLOOM_BITS_PER_KEY * nBuild + 63) / 64 * 64)).toInt
+
+  /** Bloom-filter-pruned semi join with an oracle-checked
+    * false-positive measurement — the runtime-filter technique (Spark's
+    * own AQE InjectRuntimeFilter / Bloom join of Trino/Snowflake) made
+    * explicit and deterministic: build a [[bloomM]]-sized filter over the
+    * BUILDING-segment customer keys (md5-derived positions — the
+    * [[graft.functions.HashOps]] convention, so DuckDB rebuilds the
+    * identical bits), probe every order with [[BLOOM_K]] bit tests, and
+    * report pass/match/false-positive counts. No false negatives by
+    * construction (every true match passes — spec-pinned); the FP rate
+    * is the number that justifies filter sizing before a 100 TB scan.
+    *
+    * Scale shape: the filter is built by ONE groupBy(word) bit_or over
+    * k·|build| position rows and collapses to m/32 literal longs riding
+    * the plan like centroids; the probe side is one narrow codegen'd
+    * pass over orders — no shuffle, no join for the bloom test itself.
+    * The exact-match leg is the broadcast semi join the bloom would
+    * gate at scale. Stats cross-joins are 1-row. */
+  def bloomSemiStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ck = Tables(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("long").as("k"))
+    val nBuild = ck.count()
+    val m = bloomM(nBuild)
+    def pos(i: Int, key: Column): Column =
+      pmod(graft.functions.HashOps.wordHashN(
+        concat(lit(s"bl${i}_"), key.cast("string")), 15), lit(m.toLong))
+    val words = ck
+      .select(explode(array((0 until BLOOM_K).map(i => pos(i, col("k"))): _*)).as("p"))
+      .select(expr("cast(p div 32 as int)").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("bit"))
+      .groupBy("w").agg(bit_or(col("bit")).as("bits"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val bloomLit = array((0 until m / 32).map(i =>
+      lit(words.getOrElse(i, 0L))): _*)
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey").cast("long").as("k"))
+    // dynamic shift counts need the SQL form (the Scala shiftright API
+    // is literal-count only); bloom rides the row as a literal array
+    val withP = (0 until BLOOM_K).foldLeft(o.withColumn("bloom", bloomLit)) {
+      (d, i) => d.withColumn(s"p$i", pos(i, col("k")))
+    }
+    val passExpr = (0 until BLOOM_K).map(i =>
+      s"(shiftrightunsigned(element_at(bloom, cast(p$i div 32 as int) + 1), " +
+        s"cast(p$i % 32 as int)) & 1) = 1").mkString(" AND ")
+    val probeStats = withP.withColumn("pass", expr(passExpr))
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    val matchStats = o.join(broadcast(ck), Seq("k"), "left_semi")
+      .agg(count(lit(1)).as("n_match"))
+    ck.agg(count(lit(1)).as("n_build"))
+      .crossJoin(probeStats).crossJoin(matchStats)
+      .select(col("n_build"), lit(m.toLong).as("m"), col("n_probe"),
+        col("n_pass"), col("n_match"),
+        (col("n_pass") - col("n_match")).as("n_false_pos"),
+        round((col("n_pass") - col("n_match")) * lit(1.0) /
+          greatest(col("n_probe") - col("n_match"), lit(1L)), 6).as("fp_rate"))
+  }
+
+  /** DuckDB twin of [[bloomSemiStats]] — rebuilds the identical filter
+    * bits from the same md5 derivation. */
+  def bloomSemiOracle: String = {
+    val h = graft.functions.HashOps.wordHashSqlN(15)
+    s"""WITH ck AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+       |            WHERE c_mktsegment = 'BUILDING'),
+       |mm AS (SELECT CAST(least($BLOOM_MAX_M, greatest($BLOOM_MIN_M,
+       |              ($BLOOM_BITS_PER_KEY * count(*) + 63) // 64 * 64)) AS BIGINT) AS mb
+       |       FROM ck),
+       |iv AS (SELECT unnest(generate_series(0, ${BLOOM_K - 1})) AS i),
+       |bp AS (SELECT ($h) % mb AS p FROM
+       |         (SELECT md5('bl' || i || '_' || k) AS m, mb
+       |          FROM ck CROSS JOIN iv CROSS JOIN mm)),
+       |words AS (SELECT p // 32 AS w,
+       |                 bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+       |          FROM bp GROUP BY p // 32),
+       |o AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS k FROM orders),
+       |op AS (SELECT o_orderkey, ($h) % mb AS p FROM
+       |         (SELECT o_orderkey, md5('bl' || i || '_' || k) AS m, mb
+       |          FROM o CROSS JOIN iv CROSS JOIN mm)),
+       |fl AS (SELECT o_orderkey,
+       |              bool_and(((coalesce(w.bits, 0) >> CAST(p % 32 AS INT)) & 1) = 1) AS pass
+       |       FROM op LEFT JOIN words w ON op.p // 32 = w.w
+       |       GROUP BY o_orderkey),
+       |c AS (SELECT (SELECT count(*) FROM ck) AS n_build,
+       |             (SELECT mb FROM mm) AS m,
+       |             (SELECT count(*) FROM o) AS n_probe,
+       |             (SELECT count(*) FROM fl WHERE pass) AS n_pass,
+       |             (SELECT count(*) FROM o WHERE k IN (SELECT k FROM ck)) AS n_match)
+       |SELECT n_build, m, n_probe, n_pass, n_match,
+       |       n_pass - n_match AS n_false_pos,
+       |       round((n_pass - n_match) * 1.0 / greatest(n_probe - n_match, 1), 6) AS fp_rate
+       |FROM c""".stripMargin
+  }
+
   /** Semi/anti join: customers with vs without orders, per nation.
     * left_semi/left_anti keep only the build-side key — no payload
     * shuffle. */

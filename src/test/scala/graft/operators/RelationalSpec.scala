@@ -18,6 +18,24 @@ class RelationalSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("bloom semi stats: zero false negatives, match count is the exact semi join") {
+    val r = Relational.bloomSemiStats(spark, sf).collect().head
+    val (nBuild, m, nProbe, nPass, nMatch, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    // independent exact counts
+    val ck = Tables(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("long").as("k"))
+    val o = Tables(spark, sf, "orders").select(col("o_custkey").cast("long").as("k"))
+    assert(nBuild == ck.count() && nProbe == o.count())
+    assert(nMatch == o.join(ck, Seq("k"), "left_semi").count())
+    assert(m == Relational.bloomM(nBuild))
+    // a Bloom filter can NEVER drop a true match
+    assert(nPass >= nMatch && nFp == nPass - nMatch && nFp >= 0)
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+  }
+
   test("scd_latest keeps exactly one current row per key, the max (date, orderkey)") {
     val out = Relational.scdLatest(spark, sf).collect()
     val orders = Tables(spark, sf, "orders")
