@@ -375,6 +375,9 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    // fastText-style hashed linear classifier inference: feature-hash
+    // unigrams+bigrams, md5-derived weight table, per-doc fold + threshold
+    "text_classifier" -> ((s, dir) => TextAnalysis.classifierScores(s, dir)),
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.vocab(s, dir)
         .select(col("w"), col("df"), col("cf"))),
@@ -1625,6 +1628,7 @@ object SparkEntry {
            |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
            |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}')) AS BIGINT) AS n_bpe_tokens
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_classifier" -> TextAnalysis.classifierOracle,
       "text_fingerprint" ->
         s"""WITH t AS (SELECT doc_id,
            |             unnest(string_split(text, ' ')) AS w,

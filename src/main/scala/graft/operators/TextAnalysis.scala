@@ -422,4 +422,71 @@ object TextAnalysis {
       pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(FP_MOD)).as("fingerprint"))
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------- hashed linear classifier
+
+  /** Feature-hash bucket count for [[classifierScores]] (2^18, the
+    * fastText default order of magnitude). */
+  val CLF_BUCKETS = 1 << 18
+
+  /** fastText-style hashed linear classifier INFERENCE at corpus scale —
+    * the data flow of applying a trained quality/toxicity filter to
+    * 100 TB (RefinedWeb/CCNet run exactly this shape): per document,
+    * hash unigram + bigram features into [[CLF_BUCKETS]] buckets, look
+    * up each bucket's weight, fold the sum, threshold into a label.
+    *
+    * The weight table is a deterministic stand-in: w(b) = md5-derived
+    * integer in [-128, 127] computed FROM the bucket id, so both engines
+    * derive the identical table without materializing it. A production
+    * deployment broadcasts the real trained table (≤ a few MB — fastText
+    * quantizes to less) and replaces the w(b) expression with a
+    * broadcast-map lookup; hashing, fold and threshold are unchanged —
+    * the part that must scale IS what's tested here.
+    *
+    * Scale shape: one narrow codegen'd pass per document (split →
+    * zip_with bigrams → transform to weights → aggregate fold), no
+    * shuffle, no join, no UDF; integer arithmetic end-to-end so the
+    * DuckDB oracle hash-matches. */
+  def classifierScores(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HashOps.wordHashN
+    val toks = tokens(col("text"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit("_"), b))
+    val feats = concat(toks, bigrams)
+    def weight(f: Column): Column = {
+      val bkt = pmod(wordHashN(concat(lit("clff_"), f), 15), lit(CLF_BUCKETS.toLong))
+      pmod(wordHashN(concat(lit("clfw_"), bkt.cast("string")), 15), lit(256L)) - 128L
+    }
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), feats.as("fs"))
+      .select(col("doc_id"), col("lang"),
+        size(col("fs")).cast("long").as("n_feat"),
+        aggregate(transform(col("fs"), weight(_)), lit(0L), (acc, x) => acc + x).as("score"))
+      .select(col("doc_id"), col("lang"), col("n_feat"), col("score"),
+        when(col("score") >= 0, 1L).otherwise(0L).as("label"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[classifierScores]] — rebuilds the identical
+    * bucket→weight derivation from the same md5 arithmetic. */
+  def classifierOracle: String = {
+    val h = graft.functions.HashOps.wordHashSqlN(15)
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |u AS (SELECT doc_id, unnest(toks) AS f FROM t),
+       |b AS (SELECT doc_id, toks[i] || '_' || toks[i + 1] AS f
+       |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |            FROM t)),
+       |f AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+       |bk AS (SELECT doc_id, ($h) % $CLF_BUCKETS AS bkt
+       |       FROM (SELECT doc_id, md5('clff_' || f) AS m FROM f)),
+       |w AS (SELECT doc_id, (($h) % 256) - 128 AS w
+       |      FROM (SELECT doc_id, md5('clfw_' || bkt) AS m FROM bk)),
+       |s AS (SELECT doc_id, count(*) AS n_feat, sum(w) AS w_sum FROM w GROUP BY doc_id)
+       |SELECT t.doc_id, t.lang, CAST(coalesce(s.n_feat, 0) AS BIGINT) AS n_feat,
+       |       CAST(coalesce(s.w_sum, 0) AS BIGINT) AS score,
+       |       CAST(CASE WHEN coalesce(s.w_sum, 0) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+       |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
 }

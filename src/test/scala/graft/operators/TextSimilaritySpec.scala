@@ -201,4 +201,27 @@ class TextSimilaritySpec extends AnyFunSuite {
     val got = fromLayout.collect().map(_.toSeq).toSeq
     assert(got == want && want.nonEmpty)
   }
+
+  test("hashed linear classifier: score is the hand-computed feature-weight fold") {
+    import spark.implicits._
+    import graft.functions.HashOps.wordHashNScala
+    val d = java.nio.file.Files.createTempDirectory("graft_clf").toString
+    Seq(
+      (0L, "good clean text", "en", "s", 15L),
+      (1L, "solo", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def w(feat: String): Long = {
+      val bkt = wordHashNScala(s"clff_$feat", 15) % TextAnalysis.CLF_BUCKETS
+      (wordHashNScala(s"clfw_$bkt", 15) % 256) - 128
+    }
+    val rows = TextAnalysis.classifierScores(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 0: 3 unigrams + 2 bigrams = 5 features, fold order irrelevant (sum)
+    val feats0 = Seq("good", "clean", "text", "good_clean", "clean_text")
+    val score0 = feats0.map(w).sum
+    assert(rows(0L) == ((5L, score0, if (score0 >= 0) 1L else 0L)))
+    // doc 1: single token => no bigram features
+    assert(rows(1L) == ((1L, w("solo"), if (w("solo") >= 0) 1L else 0L)))
+  }
 }
