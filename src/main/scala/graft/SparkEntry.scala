@@ -351,6 +351,9 @@ object SparkEntry {
     // cosine band [0.15, 0.35) — related-but-not-duplicate corpus rows,
     // the negatives an embedding-model trainer actually wants
     "ann_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
+    // composed RAG retrieval: passage chunking -> signed feature-hash
+    // embedding -> broadcast query batch -> exact integer-dot top-k
+    "rag_retrieve" -> ((s, dir) => Similarity.ragRetrieve(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_sq_topk" -> ((s, dir) => Similarity.sqTopK(s, dir)),
@@ -1487,7 +1490,8 @@ object SparkEntry {
   private def annOracleBase: Map[String, String] =
     annSqls(COSP, PTS, CENTS, qLim = 10, seedLim = KMeansSteps.K) +
       ("ann_hard_negatives" -> Similarity.hardNegativesOracle) +
-      ("embed_rp" -> Similarity.randomProjectionOracle)
+      ("embed_rp" -> Similarity.randomProjectionOracle) +
+      ("rag_retrieve" -> Similarity.ragRetrieveOracle)
 
   /** Sampled-corpus ANN twin SQLs (`vec_id % 5 = 0`, 10 queries from
     * `vec_id < 50`, seeds = the K lowest SAMPLED ids): identical

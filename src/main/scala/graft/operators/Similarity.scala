@@ -723,4 +723,107 @@ object Similarity {
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     rankTopK(scored, k)
   }
+
+  // ------------------------------------------------------ passage retrieval
+
+  /** Hash-embedding dimensionality for [[ragRetrieve]]. */
+  val RAG_DIM = 64
+  /** Query-doc count / top-k for [[ragRetrieve]]. */
+  val RAG_NQ = 5
+  val RAG_K = 3
+
+  /** Signed feature-hash embedding of a space-joined word block
+    * (Weinberger et al. ICML 2009 hashing trick): each word adds ±1 to
+    * one of [[RAG_DIM]] dimensions, both hash and sign md5-derived so
+    * DuckDB rebuilds the identical vector. One narrow fold per block —
+    * words map to (dim, sign) structs once (one digest pair per word),
+    * then the dense accumulator folds without re-hashing. */
+  private def hashEmbed(blk: Column): Column = {
+    val ts = transform(split(blk, " "), w => struct(
+      pmod(HashOps.wordHashN(concat(lit("ragd_"), w), 15),
+        lit(RAG_DIM.toLong)).cast("int").as("d"),
+      (pmod(HashOps.wordHashN(concat(lit("rags_"), w), 15), lit(2L)) * 2L - 1L).as("s")))
+    aggregate(ts, array_repeat(lit(0L), RAG_DIM), (acc, t) =>
+      transform(acc, (v, i) =>
+        v + when(t.getField("d") === i, t.getField("s")).otherwise(0L)))
+  }
+
+  /** RAG retrieval composed end-to-end over the documents table: split
+    * into [[Dedup.PASSAGE_WORDS]]-word passages (the corpus-chunking
+    * step shared with `dedup_passage`), hash-embed each passage
+    * ([[hashEmbed]] — integer vectors, so every dot product is exact),
+    * take the first passage of the first [[RAG_NQ]] docs as the query
+    * batch, and retrieve the top-[[RAG_K]] passages from OTHER docs by
+    * dot product. This is the retrieval-index build+query path of a RAG
+    * corpus pipeline with the embedding model swapped for the
+    * deterministic hashing trick — chunking, embedding plumbing,
+    * broadcast-batch scoring and per-query top-k are the real thing.
+    *
+    * Scale shape: passages and embeddings derive narrowly (no shuffle);
+    * the query batch is tiny and broadcast ([[bruteTopK]]'s declared
+    * NLJ shape); per-partition top-k heaps ([[Relational.topkPerGroup]])
+    * reduce q×P scored rows to partitions·q·k before the single
+    * exchange. At 100 TB the brute scan leg swaps for the IVF-bucketed
+    * layout ([[writeIvfLayout]]) with unchanged semantics. */
+  def ragRetrieve(spark: SparkSession, sfDir: String): DataFrame = {
+    val pv = Dedup.passageBlocksOf(
+        Tables(spark, sfDir, "documents"), Dedup.PASSAGE_WORDS)
+      .select(col("doc_id").as("p_doc"), col("blk_idx").cast("long").as("p_blk"),
+        hashEmbed(col("blk")).as("pv"))
+    val qv = pv.filter(col("p_doc") < RAG_NQ && col("p_blk") === 0)
+      .select(col("p_doc").as("q_doc"), col("pv").as("qv"))
+    val scored = pv.join(broadcast(qv), col("p_doc") =!= col("q_doc"))
+      .select(col("q_doc"), col("p_doc"), col("p_blk"),
+        aggregate(zip_with(col("qv"), col("pv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+    val ord = Seq(desc("dot"), asc("p_doc"), asc("p_blk"))
+    val w = Window.partitionBy("q_doc").orderBy(ord: _*)
+    Relational.topkPerGroup(scored, Seq(col("q_doc")), ord, RAG_K)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RAG_K)
+      .select(col("q_doc"), col("rank").cast("long").as("rank"),
+        col("p_doc"), col("p_blk"), col("dot"))
+      .orderBy("q_doc", "rank")
+  }
+
+  /** DuckDB twin of [[ragRetrieve]] — identical blocking (the
+    * `dedup_passage` oracle's), identical (dim, sign) derivation; the
+    * sparse dot join is completed with an all-pairs frame so passages
+    * sharing no nonzero dimension score an explicit 0. */
+  def ragRetrieveOracle: String = {
+    val h = HashOps.wordHashSqlN(15)
+    val h2 = h.replace("substring(m,", "substring(m2,")
+    val b = Dedup.PASSAGE_WORDS
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |blk AS (SELECT doc_id, (pos - 1) // $b AS blk_idx,
+       |               string_agg(w, ' ' ORDER BY pos) AS b
+       |        FROM (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+       |              FROM ws)
+       |        GROUP BY doc_id, (pos - 1) // $b),
+       |tok AS (SELECT doc_id, blk_idx, unnest(string_split(b, ' ')) AS w FROM blk),
+       |hs AS (SELECT doc_id, blk_idx, ($h) % ${RAG_DIM} AS d, (($h2) % 2) * 2 - 1 AS s
+       |       FROM (SELECT doc_id, blk_idx, md5('ragd_' || w) AS m,
+       |                    md5('rags_' || w) AS m2 FROM tok)),
+       |sv AS (SELECT doc_id, blk_idx, d, sum(s) AS v FROM hs GROUP BY doc_id, blk_idx, d),
+       |q AS (SELECT doc_id AS q_doc, d, v FROM sv WHERE doc_id < $RAG_NQ AND blk_idx = 0),
+       |pairs AS (SELECT qd.q_doc, p.doc_id AS p_doc, p.blk_idx AS p_blk
+       |          FROM (SELECT DISTINCT q_doc FROM q) qd
+       |          CROSS JOIN (SELECT doc_id, blk_idx FROM blk) p
+       |          WHERE p.doc_id <> qd.q_doc),
+       |sdot AS (SELECT q.q_doc, p.doc_id AS p_doc, p.blk_idx AS p_blk,
+       |                sum(q.v * p.v) AS dot
+       |         FROM q JOIN sv p ON q.d = p.d AND p.doc_id <> q.q_doc
+       |         GROUP BY q.q_doc, p.doc_id, p.blk_idx),
+       |dots AS (SELECT pairs.q_doc, pairs.p_doc, pairs.p_blk,
+       |                coalesce(sdot.dot, 0) AS dot
+       |         FROM pairs LEFT JOIN sdot
+       |           ON pairs.q_doc = sdot.q_doc AND pairs.p_doc = sdot.p_doc
+       |          AND pairs.p_blk = sdot.p_blk)
+       |SELECT q_doc, CAST(rn AS BIGINT) AS rank, p_doc, CAST(p_blk AS BIGINT) AS p_blk,
+       |       CAST(dot AS BIGINT) AS dot
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_doc
+       |                                   ORDER BY dot DESC, p_doc, p_blk) AS rn
+       |      FROM dots)
+       |WHERE rn <= $RAG_K ORDER BY q_doc, rank""".stripMargin
+  }
 }

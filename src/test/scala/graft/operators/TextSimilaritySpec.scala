@@ -224,4 +224,43 @@ class TextSimilaritySpec extends AnyFunSuite {
     // doc 1: single token => no bigram features
     assert(rows(1L) == ((1L, w("solo"), if (w("solo") >= 0) 1L else 0L)))
   }
+
+  test("rag retrieval: ranks match a hand-computed hash-embedding dot product") {
+    import spark.implicits._
+    import graft.functions.HashOps.wordHashNScala
+    val d = java.nio.file.Files.createTempDirectory("graft_rag").toString
+    // one query doc (doc 0) + three single-block candidate docs; doc 3
+    // repeats the query's words so it must outscore the unrelated ones
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s", 16L),
+      (1L, "delta epsilon zeta", "en", "s", 18L),
+      (2L, "eta theta iota", "en", "s", 14L),
+      (3L, "alpha beta alpha beta", "en", "s", 21L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def embed(text: String): Array[Long] = {
+      val v = Array.fill(Similarity.RAG_DIM)(0L)
+      text.split(" ").foreach { w =>
+        val dim = (wordHashNScala(s"ragd_$w", 15) % Similarity.RAG_DIM).toInt
+        v(dim) += (wordHashNScala(s"rags_$w", 15) % 2) * 2 - 1
+      }
+      v
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val q = embed(docs.head._2)
+    val want = docs.tail
+      .map { case (id, t, _, _, _) => (id, dot(q, embed(t))) }
+      .sortBy { case (id, s) => (-s, id) }
+    val got = Similarity.ragRetrieve(spark, d).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == (1L to got.length), "ranks must be dense from 1")
+    assert(got.map(t => (t._2, t._4)).toSeq == want.take(Similarity.RAG_K),
+      s"got ${got.toSeq} want $want")
+    assert(got.forall(_._2 != 0L), "self-doc passages must be excluded")
+    // the word-repeating doc is the top hit (its vector is 2x the query's
+    // nonzero dims, minus hash-collision noise at these tiny sizes)
+    assert(got.head._2 == 3L)
+  }
 }
