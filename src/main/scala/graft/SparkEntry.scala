@@ -182,6 +182,8 @@ object SparkEntry {
     // part↔supplier bipartite graph, rounded-fixpoint oracle (same
     // contract as kmeans_fit_steps)
     "graph_pagerank" -> ((s, dir) => graft.operators.Graphs.pageRank(s, dir)),
+    // degree-oriented exact triangle census of the part co-order graph
+    "graph_triangles" -> ((s, dir) => graft.operators.Graphs.triangles(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)),
@@ -640,6 +642,7 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS within
         |FROM u ORDER BY l_returnflag, q_idx""".stripMargin,
     "graph_pagerank" -> graft.operators.Graphs.pageRankOracle,
+    "graph_triangles" -> graft.operators.Graphs.trianglesOracle,
     "window_range" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,

@@ -117,6 +117,89 @@ object Graphs {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Triangle census of the part co-order graph: distinct parts that
+    * appear in the same 1997-window order are adjacent (the unipartite
+    * projection of the order↔part graph — same analysis window and
+    * pushdown rationale as [[pairs]]). Emits one row: node/edge/wedge
+    * counts, the exact triangle count, and global transitivity
+    * (3·triangles/wedges) in integer ppm (floor division — the
+    * FIXTURES.md rounding-tie device).
+    *
+    * Algorithm: degree-ordered edge orientation, then wedge join +
+    * closing-edge semi join (Suri & Vassilvitskii, WWW 2011). The
+    * orientation is the scale device: directing every edge from its
+    * (degree, id)-smaller endpoint bounds out-degree at O(√m), so the
+    * wedge join's fan-out is Σ C(outdeg, 2) ≤ m·√m — not the Σ C(deg, 2)
+    * of a naive neighbor join on hub-dominated graphs, and each triangle
+    * materializes exactly once (no ÷6 correction pass). All equi-joins
+    * and hash aggregates; the per-order pair expansion is bounded by the
+    * order-size cap (≤7 lineitems per order in this schema — a general
+    * corpus would cap the group like [[Dedup]]'s posting lists). */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val e = li.as("x").join(li.as("y"), Seq("o"))
+      .where(col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("nd"))
+      .groupBy("nd").agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir = e
+      .join(deg.select(col("nd").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("nd").as("b"), col("d").as("db")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    val closed = dir.as("e1")
+      .join(dir.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("tu"), col("e2.v").as("tw"))
+      .join(dir.select(col("u").as("tu"), col("v").as("tw")),
+        Seq("tu", "tw"), "left_semi")
+    val triCount = closed.agg(count(lit(1)).as("n_triangles"))
+    val counts = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(counts).crossJoin(triCount)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("3 * n_triangles * 1000000 div n_wedges").as("transitivity_ppm"))
+  }
+
+  /** DuckDB twin of [[triangles]] — identical window, orientation and
+    * integer-ppm arithmetic. */
+  def trianglesOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+      |            FROM lineitem
+      |            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+      |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |deg AS (SELECT nd, count(*) AS d
+      |        FROM (SELECT a AS nd FROM e UNION ALL SELECT b AS nd FROM e)
+      |        GROUP BY nd),
+      |dir AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+      |                    THEN e.a ELSE e.b END AS u,
+      |               CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+      |                    THEN e.b ELSE e.a END AS v
+      |        FROM e JOIN deg da ON e.a = da.nd JOIN deg db ON e.b = db.nd),
+      |tri AS (SELECT count(*) AS nt
+      |        FROM dir e1 JOIN dir e2 ON e1.v = e2.u
+      |        WHERE EXISTS (SELECT 1 FROM dir e3
+      |                      WHERE e3.u = e1.u AND e3.v = e2.v)),
+      |c AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |             (SELECT count(*) FROM e) AS n_edges,
+      |             (SELECT sum(d * (d - 1) // 2) FROM deg) AS n_wedges,
+      |             (SELECT nt FROM tri) AS n_triangles)
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+      |       CAST(n_wedges AS BIGINT) AS n_wedges,
+      |       CAST(n_triangles AS BIGINT) AS n_triangles,
+      |       CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT) AS transitivity_ppm
+      |FROM c""".stripMargin
+
   /** DuckDB twin of [[pageRank]] (iters = 2, topN = 20). */
   def pageRankOracle: String =
     """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b

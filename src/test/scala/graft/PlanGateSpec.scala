@@ -35,6 +35,7 @@ class PlanGateSpec extends AnyFunSuite {
     "ann_recall_sampled" -> "same harness over the %5-sampled corpus (its own quantizers) so recall stays oracle-checked at sf1+",
     "dedup_recall" -> "1-row count aggregates cross-joined into the single metric row",
     "join_bloom" -> "1-row stats aggregates cross-joined into the single metric row (the bloom test itself is a narrow scan)",
+    "graph_triangles" -> "1-row census aggregates cross-joined into the single metric row (the wedge/closing joins are equi-joins)",
     "dedup_cosine" -> "exact all-pairs cosine baseline (the LSH/banded paths are the scale route)",
     "dedup_cosine_sampled" -> "the same declared-quadratic baseline, %5-sample-restricted so its oracle runs at every sweep sf",
     "dedup_semantic_recall" -> "recall eval contains the exact all-pairs baseline by construction (dedup_cosine's declared contract)",

@@ -40,4 +40,26 @@ class GraphsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(run() == run())
   }
+
+  test("triangle census matches a hand-built graph, window respected") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    val out = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")
+    // order 10 gives triangle {1,2,3}; orders 20/30/40 close {3,4,5};
+    // order 50 is outside the 1997 window and must not contribute
+    Seq(
+      (10L, 1L, in), (10L, 2L, in), (10L, 3L, in),
+      (20L, 3L, in), (20L, 4L, in),
+      (30L, 4L, in), (30L, 5L, in),
+      (40L, 5L, in), (40L, 3L, in),
+      (50L, 6L, out), (50L, 7L, out))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = Graphs.triangles(spark, d).collect().head
+    // nodes {1..5}; edges 1-2,1-3,2-3,3-4,4-5,3-5; degrees 2,2,4,2,2
+    // -> wedges 1+1+6+1+1 = 10; triangles {1,2,3},{3,4,5} -> 3*2/10
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((5L, 6L, 10L, 2L, 600000L)))
+  }
 }
