@@ -122,6 +122,21 @@ object SparkEntry {
               |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
               |ORDER BY price_cents DESC, o_orderkey LIMIT 20""".stripMargin)
     }),
+    // TPC-H Q17 shape: correlated per-partkey avg threshold — the
+    // decorrelation stress test (Catalyst rewrites the scalar subquery
+    // into a group-agg + join); small-quantity revenue in exact cents.
+    // l_quantity is integer-valued so avg = exact-int-sum / count is
+    // bit-identical cross-engine; prices aggregate in integer cents
+    "sql_q17" -> ((s, dir) => {
+      Seq("lineitem", "part").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)), 0)
+              |            div 7 AS BIGINT) AS avg_yearly_cents,
+              |       count(*) AS n_small
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE p_brand = 'Brand#13' AND p_size < 10
+              |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+              |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
     // CDC latest-snapshot compaction: one current row per key
     "scd_latest" -> ((s, dir) => Relational.scdLatest(s, dir)),
     // MERGE INTO semantics: base ⟗ change set → insert/update/keep
@@ -697,6 +712,14 @@ object SparkEntry {
         |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
         |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY price_cents DESC, o_orderkey LIMIT 20""".stripMargin,
+    "sql_q17" ->
+      """SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)), 0)
+        |            // 7 AS BIGINT) AS avg_yearly_cents,
+        |       count(*) AS n_small
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13' AND p_size < 10
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "scd_latest" -> Relational.scdLatestOracle,
     "zorder_key" -> Relational.zorderKeyOracle,
     "join_skew" ->
