@@ -371,6 +371,8 @@ object SparkEntry {
     // composed RAG retrieval: passage chunking -> signed feature-hash
     // embedding -> broadcast query batch -> exact integer-dot top-k
     "rag_retrieve" -> ((s, dir) => Similarity.ragRetrieve(s, dir)),
+    "rag_bm25" -> ((s, dir) => Similarity.ragBm25(s, dir)),
+    "rag_hybrid" -> ((s, dir) => Similarity.ragHybrid(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_sq_topk" -> ((s, dir) => Similarity.sqTopK(s, dir)),
@@ -1517,7 +1519,9 @@ object SparkEntry {
     annSqls(COSP, PTS, CENTS, qLim = 10, seedLim = KMeansSteps.K) +
       ("ann_hard_negatives" -> Similarity.hardNegativesOracle) +
       ("embed_rp" -> Similarity.randomProjectionOracle) +
-      ("rag_retrieve" -> Similarity.ragRetrieveOracle)
+      ("rag_retrieve" -> Similarity.ragRetrieveOracle) +
+      ("rag_bm25" -> Similarity.ragBm25Oracle) +
+      ("rag_hybrid" -> Similarity.ragHybridOracle)
 
   /** Sampled-corpus ANN twin SQLs (`vec_id % 5 = 0`, 10 queries from
     * `vec_id < 50`, seeds = the K lowest SAMPLED ids): identical

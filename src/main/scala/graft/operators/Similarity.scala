@@ -765,43 +765,62 @@ object Similarity {
     * reduce q×P scored rows to partitions·q·k before the single
     * exchange. At 100 TB the brute scan leg swaps for the IVF-bucketed
     * layout ([[writeIvfLayout]]) with unchanged semantics. */
-  def ragRetrieve(spark: SparkSession, sfDir: String): DataFrame = {
+  def ragRetrieve(spark: SparkSession, sfDir: String): DataFrame =
+    rankRag(ragDenseScored(spark, sfDir), "dot", RAG_K)
+
+  /** The dense leg's scored candidate relation `(q_doc, p_doc, p_blk,
+    * dot)` — shared by [[ragRetrieve]] and the [[ragHybrid]] fusion so
+    * the two queries cannot drift. */
+  private def ragDenseScored(spark: SparkSession, sfDir: String): DataFrame = {
     val pv = Dedup.passageBlocksOf(
         Tables(spark, sfDir, "documents"), Dedup.PASSAGE_WORDS)
       .select(col("doc_id").as("p_doc"), col("blk_idx").cast("long").as("p_blk"),
         hashEmbed(col("blk")).as("pv"))
     val qv = pv.filter(col("p_doc") < RAG_NQ && col("p_blk") === 0)
       .select(col("p_doc").as("q_doc"), col("pv").as("qv"))
-    val scored = pv.join(broadcast(qv), col("p_doc") =!= col("q_doc"))
+    pv.join(broadcast(qv), col("p_doc") =!= col("q_doc"))
       .select(col("q_doc"), col("p_doc"), col("p_blk"),
         aggregate(zip_with(col("qv"), col("pv"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("dot"))
-    val ord = Seq(desc("dot"), asc("p_doc"), asc("p_blk"))
+  }
+
+  /** Per-query top-k over a scored passage relation: the two-phase
+    * [[Relational.topkPerGroup]] heap reduction (partitions·q·k rows to
+    * the single exchange) followed by the exact rank, ties broken by
+    * (p_doc, p_blk) so both engines rank identically. */
+  private def rankRag(scored: DataFrame, sCol: String, k: Int): DataFrame = {
+    val ord = Seq(desc(sCol), asc("p_doc"), asc("p_blk"))
     val w = Window.partitionBy("q_doc").orderBy(ord: _*)
-    Relational.topkPerGroup(scored, Seq(col("q_doc")), ord, RAG_K)
+    Relational.topkPerGroup(scored, Seq(col("q_doc")), ord, k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= RAG_K)
+      .filter(col("rank") <= k)
       .select(col("q_doc"), col("rank").cast("long").as("rank"),
-        col("p_doc"), col("p_blk"), col("dot"))
+        col("p_doc"), col("p_blk"), col(sCol))
       .orderBy("q_doc", "rank")
   }
 
-  /** DuckDB twin of [[ragRetrieve]] — identical blocking (the
-    * `dedup_passage` oracle's), identical (dim, sign) derivation; the
-    * sparse dot join is completed with an all-pairs frame so passages
-    * sharing no nonzero dimension score an explicit 0. */
-  def ragRetrieveOracle: String = {
-    val h = HashOps.wordHashSqlN(15)
-    val h2 = h.replace("substring(m,", "substring(m2,")
+  /** Shared passage-blocking CTEs (`ws`, `blk`, `tok`) — identical to
+    * the `dedup_passage` oracle's blocking, reused verbatim by the
+    * dense, BM25 and hybrid oracles so the corpus view cannot drift. */
+  private def ragBaseCtes: String = {
     val b = Dedup.PASSAGE_WORDS
-    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |blk AS (SELECT doc_id, (pos - 1) // $b AS blk_idx,
        |               string_agg(w, ' ' ORDER BY pos) AS b
        |        FROM (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
        |              FROM ws)
        |        GROUP BY doc_id, (pos - 1) // $b),
-       |tok AS (SELECT doc_id, blk_idx, unnest(string_split(b, ' ')) AS w FROM blk),
-       |hs AS (SELECT doc_id, blk_idx, ($h) % ${RAG_DIM} AS d, (($h2) % 2) * 2 - 1 AS s
+       |tok AS (SELECT doc_id, blk_idx, unnest(string_split(b, ' ')) AS w FROM blk)""".stripMargin
+  }
+
+  /** The dense leg's CTE chain ending in
+    * `dots(q_doc, p_doc, p_blk, dot)` — the sparse dot join completed
+    * with an all-pairs frame so passages sharing no nonzero dimension
+    * score an explicit 0, matching the Spark dense scan. */
+  private def ragDenseCtes: String = {
+    val h = HashOps.wordHashSqlN(15)
+    val h2 = h.replace("substring(m,", "substring(m2,")
+    s"""hs AS (SELECT doc_id, blk_idx, ($h) % ${RAG_DIM} AS d, (($h2) % 2) * 2 - 1 AS s
        |       FROM (SELECT doc_id, blk_idx, md5('ragd_' || w) AS m,
        |                    md5('rags_' || w) AS m2 FROM tok)),
        |sv AS (SELECT doc_id, blk_idx, d, sum(s) AS v FROM hs GROUP BY doc_id, blk_idx, d),
@@ -818,12 +837,157 @@ object Similarity {
        |                coalesce(sdot.dot, 0) AS dot
        |         FROM pairs LEFT JOIN sdot
        |           ON pairs.q_doc = sdot.q_doc AND pairs.p_doc = sdot.p_doc
-       |          AND pairs.p_blk = sdot.p_blk)
+       |          AND pairs.p_blk = sdot.p_blk)""".stripMargin
+  }
+
+  /** DuckDB twin of [[ragRetrieve]] — identical blocking (the
+    * `dedup_passage` oracle's), identical (dim, sign) derivation. */
+  def ragRetrieveOracle: String =
+    s"""WITH $ragBaseCtes,
+       |$ragDenseCtes
        |SELECT q_doc, CAST(rn AS BIGINT) AS rank, p_doc, CAST(p_blk AS BIGINT) AS p_blk,
        |       CAST(dot AS BIGINT) AS dot
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_doc
        |                                   ORDER BY dot DESC, p_doc, p_blk) AS rn
        |      FROM dots)
        |WHERE rn <= $RAG_K ORDER BY q_doc, rank""".stripMargin
+
+  // --------------------------------------------------- sparse retrieval
+
+  /** Per-leg candidate depth feeding the [[ragHybrid]] fusion. */
+  val RAG_R = 10
+  /** Reciprocal-rank-fusion rank offset (Cormack et al. SIGIR 2009's
+    * k = 60). */
+  val RRF_K0 = 60
+
+  /** The BM25 leg's scored candidate relation `(q_doc, p_doc, p_blk,
+    * score)` in integer micro-units. Okapi BM25 (Robertson & Zaragoza
+    * 2009) with k1 = 6/5 and b = 3/4 kept RATIONAL so the whole score is
+    * exact integer arithmetic both engines replay bit-for-bit:
+    *
+    *   tfPart  = 22·L·tf div (10·L·tf + 3·L + 9·|p|·N)   (×1e6 first)
+    *   idfPart = (2N − 2df + 1) / (2df + 1)               (the ±0.5-
+    *             smoothed Robertson idf as one exact rational)
+    *   term    = (1e6·tfPart · idfNum) div idfDen
+    *
+    * where N = passage count, L = total corpus words, |p| = passage
+    * length, df = passages containing the term. The two-stage floor IS
+    * the metric's definition — DuckDB computes the identical `//`
+    * chain, so scores hash-match exactly (the repo's integer-ppm device;
+    * a production run would score in doubles, same ranking).
+    *
+    * Scale shape: tokens are filtered by the broadcast query vocabulary
+    * BEFORE the tf aggregation, so only query-term postings shuffle —
+    * the posting-list-intersection shape of a real inverted index
+    * (candidates = passages sharing ≥1 query term, exactly what an
+    * index serves). df comes from one window over that filtered tf set
+    * (no second corpus scan); N and L are one 1-row aggregate
+    * cross-joined on (declared bounded). Intermediates bounded: 2.2e7 ·
+    * tf · L stays under 2^63 through sf100. */
+  private def ragBm25Scored(spark: SparkSession, sfDir: String): DataFrame = {
+    val blks = Dedup.passageBlocksOf(
+        Tables(spark, sfDir, "documents"), Dedup.PASSAGE_WORDS)
+      .select(col("doc_id").as("p_doc"), col("blk_idx").cast("long").as("p_blk"),
+        col("blk"), size(split(col("blk"), " ")).cast("long").as("plen"))
+    val stats = blks.agg(count(lit(1)).as("n_p"), sum("plen").as("l_tot"))
+    val toks = blks.select(col("p_doc"), col("p_blk"), col("plen"),
+      explode(split(col("blk"), " ")).as("w"))
+    val qterms = toks.filter(col("p_doc") < RAG_NQ && col("p_blk") === 0)
+      .select(col("p_doc").as("q_doc"), col("w")).distinct()
+    val tf = toks.join(broadcast(qterms.select("w").distinct()), Seq("w"))
+      .groupBy("p_doc", "p_blk", "plen", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("w")))
+    tf.join(broadcast(qterms), Seq("w"))
+      .filter(col("p_doc") =!= col("q_doc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("t1", expr(
+        "(1000000 * 22 * tf * l_tot) div (10 * l_tot * tf + 3 * l_tot + 9 * plen * n_p)"))
+      .withColumn("ts", expr("(t1 * (2 * n_p - 2 * df + 1)) div (2 * df + 1)"))
+      .groupBy("q_doc", "p_doc", "p_blk").agg(sum("ts").as("score"))
   }
+
+  /** Sparse BM25 passage retrieval over the same corpus/query split as
+    * [[ragRetrieve]] — the lexical leg of a RAG retrieval stack. */
+  def ragBm25(spark: SparkSession, sfDir: String): DataFrame =
+    rankRag(ragBm25Scored(spark, sfDir), "score", RAG_K)
+
+  /** Hybrid dense+sparse retrieval by reciprocal rank fusion (Cormack,
+    * Clarke & Buettcher SIGIR 2009): each leg contributes
+    * `1e6 div (60 + rank)` for its top-[[RAG_R]] candidates; fused
+    * score = the sum over legs, top-[[RAG_K]] kept. Integer micro-units
+    * so the fusion is exact cross-engine. Both legs reuse the scored
+    * relations of [[ragRetrieve]]/[[ragBm25]] verbatim — fusion adds
+    * only two q×R-sized rank projections and one tiny aggregate. */
+  def ragHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    def leg(scored: DataFrame, sCol: String): DataFrame = {
+      val ord = Seq(desc(sCol), asc("p_doc"), asc("p_blk"))
+      val w = Window.partitionBy("q_doc").orderBy(ord: _*)
+      Relational.topkPerGroup(scored, Seq(col("q_doc")), ord, RAG_R)
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= RAG_R)
+        .select(col("q_doc"), col("p_doc"), col("p_blk"),
+          expr(s"1000000 div ($RRF_K0 + r)").as("rrf"))
+    }
+    val fused = leg(ragDenseScored(spark, sfDir), "dot")
+      .unionByName(leg(ragBm25Scored(spark, sfDir), "score"))
+      .groupBy("q_doc", "p_doc", "p_blk")
+      .agg(sum("rrf").as("rrf_micro"))
+    rankRag(fused, "rrf_micro", RAG_K)
+  }
+
+  /** The BM25 leg's CTE chain ending in `bm(q_doc, p_doc, p_blk,
+    * score)` — the identical integer `//` chain as [[ragBm25Scored]]. */
+  private def ragBm25Ctes: String =
+    s"""plen AS (SELECT doc_id, blk_idx, len(string_split(b, ' ')) AS plen FROM blk),
+       |stats AS (SELECT count(*) AS n_p, sum(plen) AS l_tot FROM plen),
+       |qt AS (SELECT DISTINCT doc_id AS q_doc, w FROM tok
+       |       WHERE doc_id < $RAG_NQ AND blk_idx = 0),
+       |tfq AS (SELECT t.doc_id AS p_doc, t.blk_idx AS p_blk, t.w, count(*) AS tf
+       |        FROM tok t JOIN (SELECT DISTINCT w FROM qt) qw USING (w)
+       |        GROUP BY 1, 2, 3),
+       |dfq AS (SELECT w, count(*) AS df FROM tfq GROUP BY w),
+       |bm AS (SELECT qt.q_doc, tfq.p_doc, tfq.p_blk,
+       |              sum((((1000000 * 22 * tf * l_tot)
+       |                    // (10 * l_tot * tf + 3 * l_tot + 9 * plen * n_p))
+       |                   * (2 * n_p - 2 * df + 1)) // (2 * df + 1)) AS score
+       |       FROM tfq JOIN qt ON tfq.w = qt.w AND tfq.p_doc <> qt.q_doc
+       |       JOIN dfq ON tfq.w = dfq.w
+       |       JOIN plen ON plen.doc_id = tfq.p_doc AND plen.blk_idx = tfq.p_blk
+       |       CROSS JOIN stats
+       |       GROUP BY 1, 2, 3)""".stripMargin
+
+  /** DuckDB twin of [[ragBm25]]. */
+  def ragBm25Oracle: String =
+    s"""WITH $ragBaseCtes,
+       |$ragBm25Ctes
+       |SELECT q_doc, CAST(rn AS BIGINT) AS rank, p_doc, CAST(p_blk AS BIGINT) AS p_blk,
+       |       CAST(score AS BIGINT) AS score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_doc
+       |                                   ORDER BY score DESC, p_doc, p_blk) AS rn
+       |      FROM bm)
+       |WHERE rn <= $RAG_K ORDER BY q_doc, rank""".stripMargin
+
+  /** DuckDB twin of [[ragHybrid]] — composes the dense and BM25 CTE
+    * chains verbatim, ranks each leg to [[RAG_R]], fuses. */
+  def ragHybridOracle: String =
+    s"""WITH $ragBaseCtes,
+       |$ragDenseCtes,
+       |$ragBm25Ctes,
+       |dl AS (SELECT q_doc, p_doc, p_blk, row_number() OVER (
+       |         PARTITION BY q_doc ORDER BY dot DESC, p_doc, p_blk) AS r FROM dots),
+       |bl AS (SELECT q_doc, p_doc, p_blk, row_number() OVER (
+       |         PARTITION BY q_doc ORDER BY score DESC, p_doc, p_blk) AS r FROM bm),
+       |u AS (SELECT q_doc, p_doc, p_blk, 1000000 // ($RRF_K0 + r) AS rrf
+       |      FROM dl WHERE r <= $RAG_R
+       |      UNION ALL
+       |      SELECT q_doc, p_doc, p_blk, 1000000 // ($RRF_K0 + r) AS rrf
+       |      FROM bl WHERE r <= $RAG_R),
+       |f AS (SELECT q_doc, p_doc, p_blk, sum(rrf) AS rrf_micro
+       |      FROM u GROUP BY 1, 2, 3)
+       |SELECT q_doc, CAST(rn AS BIGINT) AS rank, p_doc, CAST(p_blk AS BIGINT) AS p_blk,
+       |       CAST(rrf_micro AS BIGINT) AS rrf_micro
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_doc
+       |                                   ORDER BY rrf_micro DESC, p_doc, p_blk) AS rn
+       |      FROM f)
+       |WHERE rn <= $RAG_K ORDER BY q_doc, rank""".stripMargin
 }

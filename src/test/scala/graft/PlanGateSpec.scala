@@ -30,6 +30,8 @@ class PlanGateSpec extends AnyFunSuite {
     "ann_hard_negatives" -> "band-filtered brute scan: same broadcast-query-batch shape (the band prunes before the top-k heaps)",
     "ann_sq_topk" -> "quantized exact scan: same broadcast-query-batch shape as brute",
     "rag_retrieve" -> "passage retrieval: broadcast-query-batch scan (5 passage vectors) against the passage corpus, brute's declared shape",
+    "rag_bm25" -> "1-row corpus-stats aggregate (N, L) broadcast-cross-joined onto the posting-intersection scores",
+    "rag_hybrid" -> "contains the dense leg's declared broadcast-query-batch scan + the BM25 leg's 1-row stats cross-join",
     "ann_pq_topk" -> "PQ code scan: same broadcast-query-batch shape as brute (8 bytes/vector at scale)",
     "ann_recall" -> "evaluation harness over brute/sq (their NLJs) + 1-row count cross-joins",
     "ann_recall_sampled" -> "same harness over the %5-sampled corpus (its own quantizers) so recall stays oracle-checked at sf1+",

@@ -263,4 +263,51 @@ class TextSimilaritySpec extends AnyFunSuite {
     // nonzero dims, minus hash-collision noise at these tiny sizes)
     assert(got.head._2 == 3L)
   }
+
+  test("bm25 + rrf hybrid: integer scores match the hand-computed formula") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    // query doc 0 "alpha beta"; doc 1 repeats both query terms, doc 2
+    // shares only alpha, doc 3 shares nothing (must be absent)
+    val docs = Seq(
+      (0L, "alpha beta", "en", "s", 10L),
+      (1L, "alpha alpha beta", "en", "s", 16L),
+      (2L, "alpha delta epsilon", "en", "s", 19L),
+      (3L, "zeta eta theta", "en", "s", 14L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val bm = Similarity.ragBm25(spark, d).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(!bm.exists(_._2 == 3L), "doc sharing no query term must be absent")
+    assert(bm.map(_._2).toSeq == Seq(1L, 2L),
+      "the doc matching both terms at higher tf must outrank the one-term doc")
+    // doc 2 by hand: N=4 passages, L=11 words, one matching term (alpha:
+    // tf=1, df=3, plen=3):
+    //   t1 = (1e6*22*1*11) div (10*11 + 3*11 + 9*3*4) = 242e6 div 251 = 964143
+    //   ts = (964143 * (2*4-2*3+1)) div (2*3+1)       = 2892429 div 7 = 413204
+    assert(bm.find(_._2 == 2L).get._3 == 413204L)
+    // hybrid = sum over legs of 1e6 div (60 + leg rank), legs read back
+    // from the two ranked queries themselves (candidate sets < RAG_R
+    // here, so the visible top-k IS the full leg)
+    val denseR = Similarity.ragRetrieve(spark, d).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(1)).toMap
+    val bmR = Similarity.ragBm25(spark, d).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(1)).toMap
+    val hy = Similarity.ragHybrid(spark, d).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => ((r.getLong(2), r.getLong(3)), r.getLong(1), r.getLong(4)))
+    val want = (denseR.keySet ++ bmR.keySet).toSeq
+      .map { p =>
+        val s = Seq(denseR.get(p), bmR.get(p)).flatten
+          .map(r => 1000000L / (60L + r)).sum
+        (p, s)
+      }
+      .sortBy { case ((pd, pb), s) => (-s, pd, pb) }
+      .take(Similarity.RAG_K)
+    assert(hy.map(t => (t._1, t._3)).toSeq == want, s"got ${hy.toSeq} want $want")
+    assert(hy.map(_._2).toSeq == (1L to hy.length), "ranks must be dense from 1")
+  }
 }
