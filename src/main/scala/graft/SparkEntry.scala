@@ -137,6 +137,51 @@ object SparkEntry {
               |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
               |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
     }),
+    // TPC-H Q21 shape: the double-correlated EXISTS / NOT-EXISTS on the
+    // same fact table — "suppliers who kept orders waiting". The test
+    // schema lacks l_receiptdate/l_commitdate, so "late" is l_shipdate
+    // more than 60 days after o_orderdate (the NOT EXISTS correlates on
+    // BOTH l1.l_orderkey and the outer o_orderdate — the harder shape)
+    "sql_q21" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "orders", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""SELECT s_name, count(*) AS numwait
+              |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+              |              JOIN orders ON o_orderkey = l1.l_orderkey
+              |              JOIN nation ON s_nationkey = n_nationkey
+              |WHERE o_orderstatus = 'F'
+              |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              |  AND EXISTS (SELECT 1 FROM lineitem l2
+              |              WHERE l2.l_orderkey = l1.l_orderkey
+              |                AND l2.l_suppkey <> l1.l_suppkey)
+              |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              |                  WHERE l3.l_orderkey = l1.l_orderkey
+              |                    AND l3.l_suppkey <> l1.l_suppkey
+              |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19')
+              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+    }),
+    // TPC-H Q22 shape: global-average scalar subquery + anti join —
+    // "inactive customers above the mean balance". The avg threshold is
+    // the exact cross-multiplied integer test (cents·n > sum_cents), so
+    // no float average crosses engines; "inactive" = no order since
+    // 2000-01-01; nationkey stands in for the missing phone prefix
+    "sql_q22" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql("""WITH avgbal AS (
+              |  SELECT count(*) AS n, sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS s
+              |  FROM customer WHERE c_acctbal > 0.0)
+              |SELECT CAST(c_nationkey AS BIGINT) AS cntry, count(*) AS numcust,
+              |       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacct_cents
+              |FROM customer
+              |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+              |  AND CAST(round(c_acctbal * 100, 0) AS BIGINT) * (SELECT n FROM avgbal)
+              |      > (SELECT s FROM avgbal)
+              |  AND NOT EXISTS (SELECT 1 FROM orders
+              |                  WHERE o_custkey = c_custkey
+              |                    AND o_orderdate >= timestamp'2000-01-01 00:00:00')
+              |GROUP BY c_nationkey ORDER BY cntry""".stripMargin)
+    }),
     // CDC latest-snapshot compaction: one current row per key
     "scd_latest" -> ((s, dir) => Relational.scdLatest(s, dir)),
     // MERGE INTO semantics: base ⟗ change set → insert/update/keep
@@ -722,6 +767,36 @@ object SparkEntry {
         |WHERE p_brand = 'Brand#13' AND p_size < 10
         |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "sql_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |              JOIN orders ON o_orderkey = l1.l_orderkey
+        |              JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "sql_q22" ->
+      """WITH avgbal AS (
+        |  SELECT count(*) AS n, sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS s
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntry, count(*) AS numcust,
+        |       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacct_cents
+        |FROM customer
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        |  AND CAST(round(c_acctbal * 100, 0) AS BIGINT) * (SELECT n FROM avgbal)
+        |      > (SELECT s FROM avgbal)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= timestamp '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY cntry""".stripMargin,
     "scd_latest" -> Relational.scdLatestOracle,
     "zorder_key" -> Relational.zorderKeyOracle,
     "join_skew" ->
