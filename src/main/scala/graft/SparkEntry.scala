@@ -277,6 +277,7 @@ object SparkEntry {
     "pack_sequences_bpe" -> ((s, dir) => graft.operators.Bpe.packSequencesBpe(s, dir)),
     "text_pii_scrub" -> ((s, dir) => Pipeline.piiScrub(s, dir)),
     "sample_stratified" -> ((s, dir) => Pipeline.stratifiedSample(s, dir)),
+    "sample_bottomk" -> ((s, dir) => Pipeline.bottomKSample(s, dir)),
     // DSIR-style importance resampling: per-doc target/corpus unigram
     // likelihood ratio + deterministic proportional keep decision
     "sample_importance" -> ((s, dir) => Pipeline.importanceSample(s, dir)),
@@ -311,6 +312,7 @@ object SparkEntry {
     "events_session_window" -> ((s, dir) => Events.sessionWindowAgg(s, dir)),
     "events_props" -> ((s, dir) => Events.propsAgg(s, dir)),
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
+    "events_cep" -> ((s, dir) => Events.cep(s, dir)),
     "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)),
     "ts_motif" -> ((s, dir) => TimeSeries.motifTopK(s, dir)),
     "ts_fill" -> ((s, dir) => TimeSeries.resampleFill(s, dir)),
@@ -1139,6 +1141,8 @@ object SparkEntry {
         |FROM c GROUP BY 1, 2 ORDER BY shard, seq""".stripMargin,
     "text_pii_scrub" -> Pipeline.piiScrubOracle,
     "sample_stratified" -> Pipeline.stratifiedSampleOracle,
+    "sample_bottomk" -> Pipeline.bottomKSampleOracle(),
+    "events_cep" -> Events.cepOracle(),
     "sample_importance" -> Pipeline.importanceSampleOracle,
     "decontaminate" -> Pipeline.decontaminateOracle,
     "text_repetition" -> Pipeline.repetitionStatsOracle,

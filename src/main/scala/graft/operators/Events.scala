@@ -99,6 +99,63 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** Complex-event-processing match — the SQL:2016 MATCH_RECOGNIZE
+    * `PATTERN (view notError* purchase)` shape: per user, each purchase
+    * whose most recent preceding view is within [[windowMinutes]] AND
+    * with no error between that view and the purchase. Spark has no row
+    * pattern operator, so the match compiles to two running
+    * conditional-max windows (latest view / latest error so far) over
+    * ONE per-user sort: a purchase row matches iff its latest-view is
+    * fresh enough and its latest-error is not newer than that view.
+    *
+    * Scale shape: a single shuffle keyed by user_id (the sessionization
+    * posture) — no self-join, no per-pattern explode; window state is
+    * two longs per row. Row order is (ts, event_id) so concurrent
+    * events resolve deterministically in both engines. */
+  def cep(spark: SparkSession, sfDir: String, windowMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val winUs = windowMinutes * 60L * 1000000L
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("last_error_us",
+        max(when(col("event_type") === "error", col("us"))).over(w))
+      .filter(col("event_type") === "purchase"
+        && col("last_view_us").isNotNull
+        && col("us") - col("last_view_us") <= winUs
+        && (col("last_error_us").isNull
+            || col("last_error_us") <= col("last_view_us")))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("last_view_us").as("view_us"),
+        (col("us") - col("last_view_us")).as("gap_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** DuckDB twin of [[cep]] — the identical two conditional-max windows
+    * over the identical (ts, event_id) row order. */
+  def cepOracle(windowMinutes: Int = 30): String = {
+    val winUs = windowMinutes * 60L * 1000000L
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |m AS (SELECT user_id, event_id, event_type, us,
+       |        max(CASE WHEN event_type = 'view' THEN us END) OVER
+       |          (PARTITION BY user_id ORDER BY us, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us,
+       |        max(CASE WHEN event_type = 'error' THEN us END) OVER
+       |          (PARTITION BY user_id ORDER BY us, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_us
+       |      FROM e)
+       |SELECT user_id, event_id AS purchase_id, last_view_us AS view_us,
+       |       CAST(us - last_view_us AS BIGINT) AS gap_us
+       |FROM m
+       |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+       |  AND us - last_view_us <= $winUs
+       |  AND (last_error_us IS NULL OR last_error_us <= last_view_us)
+       |ORDER BY user_id, purchase_id""".stripMargin
+  }
+
   /** Semi-structured props extraction (regex — engine-portable, no JSON
     * extension dependency) + aggregation per event type. */
   def propsAgg(spark: SparkSession, sfDir: String): DataFrame =

@@ -169,6 +169,44 @@ object Pipeline {
        |WHERE hk % 1000 < rate ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact-k per-stratum reservoir via bottom-k hashing: the k documents
+    * with the smallest md5 priority per language — the distributed
+    * equivalent of a per-group reservoir sample (deterministic,
+    * mergeable, exactly k rows per stratum). Where `sample_stratified`'s
+    * Bernoulli permille keep yields a BINOMIAL sample size, bottom-k
+    * guarantees the budget exactly — the contract a fixed-size eval or
+    * annotation batch needs.
+    *
+    * Scale shape: [[Relational.topkPerGroup]]'s per-partition heaps
+    * reduce every partition to ≤ k rows per stratum before the single
+    * exchange (partitions·strata·k rows total) — no full sort, no
+    * corpus-sized shuffle, the same posture as a streamed reservoir
+    * merge at 1000 executors. */
+  def bottomKSample(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
+    val pri = HashOps.wordHashN(
+      concat(lit("res_"), col("doc_id").cast("string")), 15)
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"), pri.as("priority"))
+    val ord = Seq(asc("priority"), asc("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(ord: _*)
+    Relational.topkPerGroup(d, Seq(col("lang")), ord, k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("priority"))
+      .orderBy("lang", "rank")
+  }
+
+  /** DuckDB twin of [[bottomKSample]] — identical md5 priority, ranked
+    * by a plain window (the oracle may sort; the engine may not). */
+  def bottomKSampleOracle(k: Int = 25): String =
+    s"""SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id, priority FROM (
+       |  SELECT lang, doc_id, priority, row_number() OVER (
+       |           PARTITION BY lang ORDER BY priority, doc_id) AS rn
+       |  FROM (SELECT lang, doc_id, ${HashOps.wordHashSqlN(15)} AS priority
+       |        FROM (SELECT lang, doc_id, md5('res_' || doc_id) AS m FROM documents)))
+       |WHERE rn <= $k ORDER BY lang, rank""".stripMargin
+
   // ------------------------------------------- importance resampling (DSIR)
 
   /** Target-slice selector for [[importanceSample]]: a deterministic

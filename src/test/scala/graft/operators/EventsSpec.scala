@@ -111,6 +111,36 @@ class EventsSpec extends AnyFunSuite {
     assert(Events.sessionize(spark, d2).count() == got.length.toLong)
   }
 
+  test("cep: view→purchase within window, no intervening error") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_cep").toString
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: clean view(10:00)→purchase(10:10) = match, gap 600 s
+    // user 2: view(10:00), error(10:05), purchase(10:10) = NO match
+    // user 3: view(10:00), purchase(10:45) = NO match (gap > 30 min)
+    // user 4: error(10:00), view(10:05), purchase(10:10) = match
+    //         (error predates the view), gap 300 s
+    // user 5: purchase(10:10) with no view at all = NO match
+    Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(5), 1L, "click", 1.0, "{}"),
+      (3L, ts(10), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(0), 2L, "view", 1.0, "{}"),
+      (5L, ts(5), 2L, "error", 1.0, "{}"),
+      (6L, ts(10), 2L, "purchase", 1.0, "{}"),
+      (7L, ts(0), 3L, "view", 1.0, "{}"),
+      (8L, ts(45), 3L, "purchase", 1.0, "{}"),
+      (9L, ts(0), 4L, "error", 1.0, "{}"),
+      (10L, ts(5), 4L, "view", 1.0, "{}"),
+      (11L, ts(10), 4L, "purchase", 1.0, "{}"),
+      (12L, ts(10), 5L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.cep(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 600000000L), (4L, 11L, 300000000L)))
+  }
+
   test("Tables.events normalizes every fixture ts encoding to TIMESTAMP") {
     // The driver regenerates the fixtures between rounds and has shipped
     // three encodings so far: TIMESTAMP(NANOS) (read as raw Long under

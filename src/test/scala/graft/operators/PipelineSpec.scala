@@ -240,4 +240,24 @@ class PipelineSpec extends AnyFunSuite {
       s"stages must not re-read documents directly:\n${direct.mkString("\n")}")
     assert(cached.nonEmpty, "the persisted base must appear in the plan")
   }
+
+  test("bottomKSample: exactly k per stratum, the k smallest priorities") {
+    import graft.functions.HashOps.wordHashNScala
+    val rows = Pipeline.bottomKSample(spark, dir, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.keySet == Set("en", "zh", "es", "de", "xx"))
+    assert(byLang.values.forall(_.length == 3), "exactly k rows per stratum")
+    // per stratum: the selected ids ARE the 3 smallest hand-computed
+    // md5 priorities, ranked 1..k in priority order
+    val langs = Seq("en", "zh", "es", "de", "xx")
+    for ((lang, got) <- byLang) {
+      val want = (0 until 40).filter(i => langs(i % 5) == lang)
+        .map(i => (wordHashNScala(s"res_$i", 15), i.toLong))
+        .sorted.take(3)
+      assert(got.sortBy(_._2).map(t => (t._4, t._3)).toSeq == want,
+        s"stratum $lang selected the wrong members")
+      assert(got.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+  }
 }
