@@ -188,6 +188,8 @@ object SparkEntry {
     "merge_upsert" -> ((s, dir) => Relational.mergeUpsert(s, dir)),
     // Z-order (Morton) lake-layout key
     "zorder_key" -> ((s, dir) => Relational.zorderKey(s, dir)),
+    // small-file compaction planner: cumulative-size binning per lang
+    "lake_compaction" -> ((s, dir) => Relational.compactionPlan(s, dir)),
     // RANGE frame (value-based window): customers with an account
     // balance within ±500.00 of each row, per nation — tie-insensitive
     // by construction (range frames bound by VALUE, not row position)
@@ -316,6 +318,7 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)),
     "ts_motif" -> ((s, dir) => TimeSeries.motifTopK(s, dir)),
     "ts_fill" -> ((s, dir) => TimeSeries.resampleFill(s, dir)),
+    "ts_decompose" -> ((s, dir) => TimeSeries.decompose(s, dir)),
     // the exact feature pipeline feeding ts_cluster, oracle-pinned even
     // though the fit itself stays rows-only (iterative)
     "ts_windows" -> ((s, dir) => TimeSeries.windowFeatures(s, dir)),
@@ -801,6 +804,8 @@ object SparkEntry {
         |GROUP BY c_nationkey ORDER BY cntry""".stripMargin,
     "scd_latest" -> Relational.scdLatestOracle,
     "zorder_key" -> Relational.zorderKeyOracle,
+    "lake_compaction" -> Relational.compactionPlanOracle(),
+    "ts_decompose" -> TimeSeries.decomposeOracle(),
     "join_skew" ->
       s"""SELECT o_orderstatus,
          |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,

@@ -938,4 +938,43 @@ object Relational {
       |  CAST(list_sum(list_transform(range(0, 16),
       |      i -> (((px >> i) & 1) << (2*i)) + (((sx >> i) & 1) << (2*i+1)))) AS BIGINT) AS zkey
       |FROM t ORDER BY zkey, l_orderkey, l_linenumber LIMIT 50""".stripMargin
+
+  /** Compaction planner for the documents "lake": within each lang
+    * partition, docs sort by (n_chars DESC, doc_id) and pack into output
+    * files of ~[[targetBytes]] by cumulative-size binning —
+    * bin = bytes-before-me div target. This is the deterministic
+    * planner step of a real small-file compactor (size-tiered,
+    * contiguous-by-sort assignment): one sort per partition key, no
+    * driver loop, no sequential bin state — so it distributes as a
+    * plain window at 1000 executors where first-fit-decreasing (a
+    * sequential fold) would not. Each planned file lands in
+    * [target, target + max_doc) bytes except the per-partition tail.
+    * Output: one row per planned file with its doc count and bytes. */
+  def compactionPlan(spark: SparkSession, sfDir: String,
+      targetBytes: Long = 8192L): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("before", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn("bin", expr(s"before div $targetBytes"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"),
+        min("doc_id").as("first_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  /** DuckDB twin of [[compactionPlan]] — identical sort, identical
+    * cumulative binning. */
+  def compactionPlanOracle(targetBytes: Long = 8192L): String =
+    s"""WITH c AS (SELECT lang, doc_id, n_chars,
+       |             CAST(coalesce(sum(n_chars) OVER (
+       |               PARTITION BY lang ORDER BY n_chars DESC, doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |             AS before
+       |           FROM documents)
+       |SELECT lang, CAST(before // $targetBytes AS BIGINT) AS bin,
+       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes,
+       |       CAST(min(doc_id) AS BIGINT) AS first_doc
+       |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 }

@@ -244,4 +244,63 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n"), col("v_fill"))
       .orderBy("user_id", "hour_us")
   }
+
+  /** Classical additive seasonal decomposition of the corpus-wide hourly
+    * value series: trend = centered (2·[[halfWin]]+1)-hour moving
+    * average, seasonal = per hour-of-day mean deviation from trend,
+    * residual = obs − trend − seasonal. Every component lives in exact
+    * integer micro-units: the only divisions are truncating integer
+    * sum/count divisions, which Spark `div` and DuckDB `//` evaluate
+    * identically (both truncate toward zero, negatives included) — so
+    * the whole decomposition hash-matches, unlike a float moving
+    * average.
+    *
+    * Scale shape: the O(events) work is ONE hour-keyed aggregate
+    * (map-side combinable); the moving average, hour-of-day aggregate
+    * and residual all act on the tiny hourly series (O(hours) rows —
+    * the unpartitioned window is bounded by design and documented as
+    * such). Boundary hours average over their truncated frame, the
+    * standard convention. */
+  def decompose(spark: SparkSession, sfDir: String, halfWin: Int = 12): DataFrame = {
+    val wT = Window.orderBy("hour_us").rowsBetween(-halfWin, halfWin)
+    val wS = Window.partitionBy("hod")
+    Tables.events(spark, sfDir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(sum(round(col("value") * 1000000, 0).cast("long")).as("obs_micro"))
+      .withColumn("tsum", sum("obs_micro").over(wT))
+      .withColumn("tn", count(lit(1)).over(wT))
+      .withColumn("trend_micro", expr("tsum div tn"))
+      .withColumn("det", col("obs_micro") - col("trend_micro"))
+      .withColumn("hod", expr("(hour_us div 3600000000) % 24"))
+      .withColumn("ssum", sum("det").over(wS))
+      .withColumn("sn", count(lit(1)).over(wS))
+      .withColumn("seasonal_micro", expr("ssum div sn"))
+      .select(col("hour_us"), col("obs_micro"), col("trend_micro"),
+        col("seasonal_micro"),
+        (col("det") - col("seasonal_micro")).as("resid_micro"))
+      .orderBy("hour_us")
+  }
+
+  /** DuckDB twin of [[decompose]] — identical micro-unit sums and the
+    * identical truncating division chain. */
+  def decomposeOracle(halfWin: Int = 12): String =
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       |         sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS obs_micro
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT hour_us, obs_micro,
+       |        CAST(sum(obs_micro) OVER w AS BIGINT) // (count(*) OVER w) AS trend_micro
+       |      FROM hourly
+       |      WINDOW w AS (ORDER BY hour_us
+       |                   ROWS BETWEEN $halfWin PRECEDING AND $halfWin FOLLOWING)),
+       |d AS (SELECT hour_us, obs_micro, trend_micro,
+       |        obs_micro - trend_micro AS det,
+       |        (hour_us // 3600000000) % 24 AS hod FROM t),
+       |s AS (SELECT *, CAST(sum(det) OVER (PARTITION BY hod) AS BIGINT) AS ssum,
+       |        count(*) OVER (PARTITION BY hod) AS sn FROM d)
+       |SELECT hour_us, CAST(obs_micro AS BIGINT) AS obs_micro,
+       |       CAST(trend_micro AS BIGINT) AS trend_micro,
+       |       CAST(ssum // sn AS BIGINT) AS seasonal_micro,
+       |       CAST(det - ssum // sn AS BIGINT) AS resid_micro
+       |FROM s ORDER BY hour_us""".stripMargin
 }

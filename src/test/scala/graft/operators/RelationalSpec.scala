@@ -69,6 +69,37 @@ class RelationalSpec extends AnyFunSuite {
       s"magic-bits Morton != per-bit fold for (${r.getLong(0)}, ${r.getLong(1)})"))
   }
 
+  test("compaction plan: bins reproduce the hand-computed cumulative packing") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // one lang, target 100: sizes sorted desc = 70,60,50,40,30 with
+    // before = 0,70,130,180,220 -> bins 0,0,1,1,2
+    Seq((1L, "t", "en", "s", 50L), (2L, "t", "en", "s", 70L),
+        (3L, "t", "en", "s", 30L), (4L, "t", "en", "s", 60L),
+        (5L, "t", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Relational.compactionPlan(spark, d, targetBytes = 100L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 2L, 130L, 2L), (1L, 2L, 90L, 1L), (2L, 1L, 30L, 3L)))
+  }
+
+  test("ts decompose: a constant series has flat trend, zero seasonal and residual") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_tsdec").toString
+    // 48 hourly events of constant value 2.5 -> obs = 2500000 micro
+    (0 until 48).map { h =>
+      (h.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:00:00"), 1L, "view", 2.5, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = graft.operators.TimeSeries.decompose(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 48)
+    assert(rows.forall(_ == ((2500000L, 2500000L, 0L, 0L))),
+      s"constant series must decompose trivially: ${rows.take(3).toSeq}")
+  }
+
   test("zorder_key output is sorted by the interleaved key") {
     val rows = Relational.zorderKey(spark, sf).collect()
     assert(rows.nonEmpty)
