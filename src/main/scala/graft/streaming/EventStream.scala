@@ -162,6 +162,69 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  // ----------------------------------------------------------------- cep
+
+  case class CepEv(user_id: Long, event_id: Long, event_type: String,
+      ts: java.time.Instant) {
+    def us: Long = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+  }
+  case class CepState(lastViewUs: Long, lastErrorUs: Long, maxUs: Long)
+  case class CepMatch(user_id: Long, purchase_id: Long, view_us: Long,
+      gap_us: Long)
+
+  /** Streaming twin of `events_cep` (the MATCH_RECOGNIZE
+    * view→notError*→purchase match): state is TWO longs per user — the
+    * latest view and latest error seen so far — so a purchase matches by
+    * reading state, never by re-scanning history. Events sort by
+    * (ts, event_id) within each micro-batch; across batches the
+    * semantics are ARRIVAL-ORDER (a late out-of-order event reads state
+    * as of its arrival — the same declared contract as
+    * [[SemanticDedupStream]]); under an event-ordered slicing the output
+    * equals the batch operator bit-for-bit (parity-gated). State evicts
+    * by event-time timeout once the watermark passes the user's last
+    * event + the match window — by then no retained view could match a
+    * future purchase, so eviction never changes semantics. */
+  def cepStream(spark: SparkSession, events: DataFrame,
+      windowMinutes: Int = 30): Dataset[CepMatch] = {
+    import spark.implicits._
+    val winUs = windowMinutes * 60L * 1000000L
+
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[CepEv]
+
+    def update(userId: Long, evs: Iterator[CepEv],
+        state: GroupState[CepState]): Iterator[CepMatch] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var st = state.getOption.getOrElse(CepState(-1L, -1L, -1L))
+        val out = Seq.newBuilder[CepMatch]
+        evs.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+          e.event_type match {
+            case "purchase" =>
+              if (st.lastViewUs >= 0 && e.us - st.lastViewUs <= winUs
+                  && st.lastErrorUs <= st.lastViewUs)
+                out += CepMatch(userId, e.event_id, st.lastViewUs,
+                  e.us - st.lastViewUs)
+            case "view" =>
+              st = st.copy(lastViewUs = math.max(st.lastViewUs, e.us))
+            case "error" =>
+              st = st.copy(lastErrorUs = math.max(st.lastErrorUs, e.us))
+            case _ => ()
+          }
+          st = st.copy(maxUs = math.max(st.maxUs, e.us))
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.maxUs / 1000L + winUs / 1000L + 1L)
+        out.result().iterator
+      }
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   // ------------------------------------------------------------- upsert
 
   /** Streaming CDC upsert: maintain a key-compacted current snapshot of

@@ -125,6 +125,17 @@ class StreamBatchParitySpec extends AnyFunSuite {
       s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
   }
 
+  test("parity: streaming cep matches == oracle-green events_cep, bit for bit") {
+    runToCompletion(
+      EventStream.cepStream(spark, EventStream.readEvents(spark, dir)).toDF(),
+      "p_cep")
+    val got = rows(spark.table("p_cep").filter(col("user_id") =!= SENTINEL_USER))
+    val want = rows(batchQuery("events_cep"))
+    assert(want.nonEmpty, "fixture must contain view→purchase matches")
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+
   test("parity: streaming dedup output is exactly the batch-distinct event set") {
     val d2 = Files.createTempDirectory("graft_parity_dedup").toString
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$d2/a_events.parquet"))
