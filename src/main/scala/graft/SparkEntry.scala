@@ -190,6 +190,8 @@ object SparkEntry {
     "zorder_key" -> ((s, dir) => Relational.zorderKey(s, dir)),
     // small-file compaction planner: cumulative-size binning per lang
     "lake_compaction" -> ((s, dir) => Relational.compactionPlan(s, dir)),
+    // equal-frequency discretization (deterministic ntile binning)
+    "feature_bins" -> ((s, dir) => Relational.featureBins(s, dir)),
     // RANGE frame (value-based window): customers with an account
     // balance within ±500.00 of each row, per nation — tie-insensitive
     // by construction (range frames bound by VALUE, not row position)
@@ -454,6 +456,7 @@ object SparkEntry {
       TextAnalysis.vocab(s, dir)
         .select(col("w"), col("df"), col("cf"))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(s, dir)),
+    "text_collocations" -> ((s, dir) => TextAnalysis.collocations(s, dir)),
     "sketch_cms" -> ((s, dir) => TextAnalysis.cmsEstimates(s, dir)),
     "text_chargrams" -> ((s, dir) => TextAnalysis.charTrigrams(s, dir)),
     // MOSS winnowing: windowed-min fingerprint selection — matches of
@@ -806,6 +809,8 @@ object SparkEntry {
     "zorder_key" -> Relational.zorderKeyOracle,
     "lake_compaction" -> Relational.compactionPlanOracle(),
     "ts_decompose" -> TimeSeries.decomposeOracle(),
+    "feature_bins" -> Relational.featureBinsOracle(),
+    "text_collocations" -> TextAnalysis.collocationsOracle(),
     "join_skew" ->
       s"""SELECT o_orderstatus,
          |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,

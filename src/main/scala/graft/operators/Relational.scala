@@ -964,6 +964,46 @@ object Relational {
       .orderBy("lang", "bin")
   }
 
+  /** Equal-frequency feature discretization: ntile([[nBins]]) of the
+    * extended price (cents) per returnflag, reported as per-bin
+    * occupancy and exact [lo, hi] cents range — the binning table a
+    * feature-engineering pass materializes before bucketed encodes.
+    * ntile is deterministic here because the window order is a total
+    * order (cents, orderkey, linenumber), so both engines assign
+    * identical bins.
+    *
+    * Scale: the per-flag sort is the exact gate-scale formulation; at
+    * 100 TB the same operator runs as approx-quantile boundaries (the
+    * `approx_quantiles` machinery) + a broadcast range assignment with
+    * this schema unchanged — the classic exact/approx pairing this repo
+    * ships for HLL and percentiles. */
+  def featureBins(spark: SparkSession, sfDir: String, nBins: Int = 10): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .withColumn("bin", ntile(nBins).over(w).cast("long"))
+      .groupBy("l_returnflag", "bin")
+      .agg(count(lit(1)).as("n"),
+        min("price_cents").as("lo"), max("price_cents").as("hi"))
+      .orderBy("l_returnflag", "bin")
+  }
+
+  /** DuckDB twin of [[featureBins]] — ntile over the identical total
+    * order. */
+  def featureBinsOracle(nBins: Int = 10): String =
+    s"""WITH t AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+       |                  AS price_cents,
+       |                  ntile($nBins) OVER (PARTITION BY l_returnflag
+       |                    ORDER BY CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+       |                             l_orderkey, l_linenumber) AS bin
+       |           FROM lineitem)
+       |SELECT l_returnflag, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+       |       CAST(min(price_cents) AS BIGINT) AS lo,
+       |       CAST(max(price_cents) AS BIGINT) AS hi
+       |FROM t GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin
+
   /** DuckDB twin of [[compactionPlan]] — identical sort, identical
     * cumulative binning. */
   def compactionPlanOracle(targetBytes: Long = 8192L): String =

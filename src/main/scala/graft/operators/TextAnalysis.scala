@@ -300,6 +300,60 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** PMI-ranked collocations (phrase mining): bigrams whose observed
+    * count beats independence, ranked by the exact PMI ratio argument
+    * lift = c(w1,w2)·T / (c(w1)·c(w2)) in integer ppm — ln-free (the
+    * monotone transform preserves the ranking; ln itself is not
+    * bit-portable, FIXTURES.md §C). Two-stage integer floor, an
+    * always-bounded chain: c_xy ≤ c_x pins
+    * c_xy · ((T·1e6) div c_x) ≤ T·1e6 < 2^63 through sf1000.
+    *
+    * Scale shape: one pair aggregate and one unigram aggregate (both
+    * map-side combinable, token-keyed), the min-count filter prunes the
+    * bigram relation BEFORE the two vocabulary joins, and the totals
+    * row is a declared 1-row cross join. The phrase-mining front end of
+    * a tokenizer-vocabulary or stopword pipeline. */
+  def collocations(spark: SparkSession, sfDir: String,
+      minCount: Int = 5, topN: Int = 30): DataFrame = {
+    val tk = tokens(col("text"))
+    val pairs = when(size(tk) >= 2,
+      arrays_zip(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1)))
+      .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))
+    val docs = Tables(spark, sfDir, "documents")
+    val big = docs.select(explode(pairs).as("b"))
+      .groupBy(col("b.0").as("w1"), col("b.1").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = docs.select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("t_tok"))
+    big.join(uni.toDF("w1", "c1"), "w1")
+      .join(uni.toDF("w2", "c2"), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_ppm", expr("(c_xy * ((t_tok * 1000000) div c1)) div c2"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c1"), col("c2"),
+        col("lift_ppm"))
+      .orderBy(desc("lift_ppm"), asc("w1"), asc("w2"))
+      .limit(topN)
+  }
+
+  /** DuckDB twin of [[collocations]] — identical two-stage `//` chain. */
+  def collocationsOracle(minCount: Int = 5, topN: Int = 30): String =
+    s"""WITH ws AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |bg AS (SELECT t[pos] AS w1, t[pos + 1] AS w2
+       |       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS pos
+       |             FROM ws WHERE len(t) >= 2)),
+       |big AS (SELECT w1, w2, count(*) AS c_xy FROM bg
+       |        GROUP BY 1, 2 HAVING count(*) >= $minCount),
+       |uni AS (SELECT unnest(t) AS w FROM ws),
+       |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_tok FROM uni)
+       |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       |       CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+       |       CAST((c_xy * ((t_tok * 1000000) // u1.c)) // u2.c AS BIGINT) AS lift_ppm
+       |FROM big JOIN uc u1 ON w1 = u1.w JOIN uc u2 ON w2 = u2.w CROSS JOIN tot
+       |ORDER BY lift_ppm DESC, w1, w2 LIMIT $topN""".stripMargin
+
   /** Per-document LM scoring against the corpus bigram model — the
     * CCNet-style quality-filter signal: documents whose bigrams are
     * improbable under the corpus LM are boilerplate/garbage candidates.
