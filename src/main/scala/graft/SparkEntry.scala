@@ -165,7 +165,7 @@ object SparkEntry {
     // "inactive customers above the mean balance". The avg threshold is
     // the exact cross-multiplied integer test (cents·n > sum_cents), so
     // no float average crosses engines; "inactive" = no order since
-    // 2000-01-01; nationkey stands in for the missing phone prefix
+    // 2001-01-01; nationkey stands in for the missing phone prefix
     "sql_q22" -> ((s, dir) => {
       Seq("customer", "orders").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql("""WITH avgbal AS (
@@ -179,7 +179,7 @@ object SparkEntry {
               |      > (SELECT s FROM avgbal)
               |  AND NOT EXISTS (SELECT 1 FROM orders
               |                  WHERE o_custkey = c_custkey
-              |                    AND o_orderdate >= timestamp'2000-01-01 00:00:00')
+              |                    AND o_orderdate >= timestamp'2001-01-01 00:00:00')
               |GROUP BY c_nationkey ORDER BY cntry""".stripMargin)
     }),
     // CDC latest-snapshot compaction: one current row per key
@@ -803,7 +803,7 @@ object SparkEntry {
         |      > (SELECT s FROM avgbal)
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
-        |                    AND o_orderdate >= timestamp '2000-01-01 00:00:00')
+        |                    AND o_orderdate >= timestamp '2001-01-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY cntry""".stripMargin,
     "scd_latest" -> Relational.scdLatestOracle,
     "zorder_key" -> Relational.zorderKeyOracle,
