@@ -801,16 +801,21 @@ object Similarity {
 
   /** Shared passage-blocking CTEs (`ws`, `blk`, `tok`) — identical to
     * the `dedup_passage` oracle's blocking, reused verbatim by the
-    * dense, BM25 and hybrid oracles so the corpus view cannot drift. */
+    * dense, BM25 and hybrid oracles so the corpus view cannot drift.
+    * The string-heavy shared CTEs are `AS MATERIALIZED`: DuckDB v1.0
+    * otherwise inlines a copy per consumer and the full plan evaluates
+    * several string_agg pipelines concurrently — an OOM at sf1 even at
+    * a 100 GB limit (safe here: non-recursive CTEs only; the
+    * FIXTURES.md MATERIALIZED hazard applies to recursive chains). */
   private def ragBaseCtes: String = {
     val b = Dedup.PASSAGE_WORDS
-    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |blk AS (SELECT doc_id, (pos - 1) // $b AS blk_idx,
+    s"""ws AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |blk AS MATERIALIZED (SELECT doc_id, (pos - 1) // $b AS blk_idx,
        |               string_agg(w, ' ' ORDER BY pos) AS b
        |        FROM (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
        |              FROM ws)
        |        GROUP BY doc_id, (pos - 1) // $b),
-       |tok AS (SELECT doc_id, blk_idx, unnest(string_split(b, ' ')) AS w FROM blk)""".stripMargin
+       |tok AS MATERIALIZED (SELECT doc_id, blk_idx, unnest(string_split(b, ' ')) AS w FROM blk)""".stripMargin
   }
 
   /** The dense leg's CTE chain ending in
@@ -823,7 +828,7 @@ object Similarity {
     s"""hs AS (SELECT doc_id, blk_idx, ($h) % ${RAG_DIM} AS d, (($h2) % 2) * 2 - 1 AS s
        |       FROM (SELECT doc_id, blk_idx, md5('ragd_' || w) AS m,
        |                    md5('rags_' || w) AS m2 FROM tok)),
-       |sv AS (SELECT doc_id, blk_idx, d, sum(s) AS v FROM hs GROUP BY doc_id, blk_idx, d),
+       |sv AS MATERIALIZED (SELECT doc_id, blk_idx, d, sum(s) AS v FROM hs GROUP BY doc_id, blk_idx, d),
        |q AS (SELECT doc_id AS q_doc, d, v FROM sv WHERE doc_id < $RAG_NQ AND blk_idx = 0),
        |pairs AS (SELECT qd.q_doc, p.doc_id AS p_doc, p.blk_idx AS p_blk
        |          FROM (SELECT DISTINCT q_doc FROM q) qd
@@ -938,11 +943,11 @@ object Similarity {
   /** The BM25 leg's CTE chain ending in `bm(q_doc, p_doc, p_blk,
     * score)` — the identical integer `//` chain as [[ragBm25Scored]]. */
   private def ragBm25Ctes: String =
-    s"""plen AS (SELECT doc_id, blk_idx, len(string_split(b, ' ')) AS plen FROM blk),
+    s"""plen AS MATERIALIZED (SELECT doc_id, blk_idx, len(string_split(b, ' ')) AS plen FROM blk),
        |stats AS (SELECT count(*) AS n_p, sum(plen) AS l_tot FROM plen),
        |qt AS (SELECT DISTINCT doc_id AS q_doc, w FROM tok
        |       WHERE doc_id < $RAG_NQ AND blk_idx = 0),
-       |tfq AS (SELECT t.doc_id AS p_doc, t.blk_idx AS p_blk, t.w, count(*) AS tf
+       |tfq AS MATERIALIZED (SELECT t.doc_id AS p_doc, t.blk_idx AS p_blk, t.w, count(*) AS tf
        |        FROM tok t JOIN (SELECT DISTINCT w FROM qt) qw USING (w)
        |        GROUP BY 1, 2, 3),
        |dfq AS (SELECT w, count(*) AS df FROM tfq GROUP BY w),
