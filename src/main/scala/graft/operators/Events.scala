@@ -99,6 +99,10 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** [[cep]] match window (minutes) — shared with the oracle builder
+    * so query and oracle cannot drift. */
+  val CEP_WINDOW_MIN = 30
+
   /** Complex-event-processing match — the SQL:2016 MATCH_RECOGNIZE
     * `PATTERN (view notError* purchase)` shape: per user, each purchase
     * whose most recent preceding view is within [[windowMinutes]] AND
@@ -112,7 +116,8 @@ object Events {
     * posture) — no self-join, no per-pattern explode; window state is
     * two longs per row. Row order is (ts, event_id) so concurrent
     * events resolve deterministically in both engines. */
-  def cep(spark: SparkSession, sfDir: String, windowMinutes: Int = 30): DataFrame = {
+  def cep(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = CEP_WINDOW_MIN): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val winUs = windowMinutes * 60L * 1000000L
@@ -136,7 +141,7 @@ object Events {
 
   /** DuckDB twin of [[cep]] — the identical two conditional-max windows
     * over the identical (ts, event_id) row order. */
-  def cepOracle(windowMinutes: Int = 30): String = {
+  def cepOracle(windowMinutes: Int = CEP_WINDOW_MIN): String = {
     val winUs = windowMinutes * 60L * 1000000L
     s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
        |m AS (SELECT user_id, event_id, event_type, us,

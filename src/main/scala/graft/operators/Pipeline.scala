@@ -169,6 +169,10 @@ object Pipeline {
        |WHERE hk % 1000 < rate ORDER BY doc_id""".stripMargin
   }
 
+  /** [[bottomKSample]] per-stratum sample size — shared with the
+    * oracle builder so query and oracle cannot drift. */
+  val BOTTOMK = 25
+
   /** Exact-k per-stratum reservoir via bottom-k hashing: the k documents
     * with the smallest md5 priority per language — the distributed
     * equivalent of a per-group reservoir sample (deterministic,
@@ -182,7 +186,8 @@ object Pipeline {
     * exchange (partitions·strata·k rows total) — no full sort, no
     * corpus-sized shuffle, the same posture as a streamed reservoir
     * merge at 1000 executors. */
-  def bottomKSample(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
+  def bottomKSample(spark: SparkSession, sfDir: String,
+      k: Int = BOTTOMK): DataFrame = {
     val pri = HashOps.wordHashN(
       concat(lit("res_"), col("doc_id").cast("string")), 15)
     val d = Tables(spark, sfDir, "documents")
@@ -199,7 +204,7 @@ object Pipeline {
 
   /** DuckDB twin of [[bottomKSample]] — identical md5 priority, ranked
     * by a plain window (the oracle may sort; the engine may not). */
-  def bottomKSampleOracle(k: Int = 25): String =
+  def bottomKSampleOracle(k: Int = BOTTOMK): String =
     s"""SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id, priority FROM (
        |  SELECT lang, doc_id, priority, row_number() OVER (
        |           PARTITION BY lang ORDER BY priority, doc_id) AS rn

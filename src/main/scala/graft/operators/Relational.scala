@@ -939,6 +939,10 @@ object Relational {
       |      i -> (((px >> i) & 1) << (2*i)) + (((sx >> i) & 1) << (2*i+1)))) AS BIGINT) AS zkey
       |FROM t ORDER BY zkey, l_orderkey, l_linenumber LIMIT 50""".stripMargin
 
+  /** [[compactionPlan]] target output-file size — shared with the
+    * oracle builder so query and oracle cannot drift. */
+  val COMPACT_TARGET = 8192L
+
   /** Compaction planner for the documents "lake": within each lang
     * partition, docs sort by (n_chars DESC, doc_id) and pack into output
     * files of ~[[targetBytes]] by cumulative-size binning —
@@ -951,7 +955,7 @@ object Relational {
     * [target, target + max_doc) bytes except the per-partition tail.
     * Output: one row per planned file with its doc count and bytes. */
   def compactionPlan(spark: SparkSession, sfDir: String,
-      targetBytes: Long = 8192L): DataFrame = {
+      targetBytes: Long = COMPACT_TARGET): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables(spark, sfDir, "documents")
@@ -963,6 +967,10 @@ object Relational {
         min("doc_id").as("first_doc"))
       .orderBy("lang", "bin")
   }
+
+  /** [[featureBins]] bin count — shared with the oracle builder so
+    * query and oracle cannot drift. */
+  val BINS_N = 10
 
   /** Equal-frequency feature discretization: ntile([[nBins]]) of the
     * extended price (cents) per returnflag, reported as per-bin
@@ -977,7 +985,8 @@ object Relational {
     * `approx_quantiles` machinery) + a broadcast range assignment with
     * this schema unchanged — the classic exact/approx pairing this repo
     * ships for HLL and percentiles. */
-  def featureBins(spark: SparkSession, sfDir: String, nBins: Int = 10): DataFrame = {
+  def featureBins(spark: SparkSession, sfDir: String,
+      nBins: Int = BINS_N): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
     Tables(spark, sfDir, "lineitem")
@@ -992,7 +1001,7 @@ object Relational {
 
   /** DuckDB twin of [[featureBins]] — ntile over the identical total
     * order. */
-  def featureBinsOracle(nBins: Int = 10): String =
+  def featureBinsOracle(nBins: Int = BINS_N): String =
     s"""WITH t AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT)
        |                  AS price_cents,
        |                  ntile($nBins) OVER (PARTITION BY l_returnflag
@@ -1006,7 +1015,7 @@ object Relational {
 
   /** DuckDB twin of [[compactionPlan]] — identical sort, identical
     * cumulative binning. */
-  def compactionPlanOracle(targetBytes: Long = 8192L): String =
+  def compactionPlanOracle(targetBytes: Long = COMPACT_TARGET): String =
     s"""WITH c AS (SELECT lang, doc_id, n_chars,
        |             CAST(coalesce(sum(n_chars) OVER (
        |               PARTITION BY lang ORDER BY n_chars DESC, doc_id

@@ -300,6 +300,11 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** [[collocations]] min bigram count / top-k — shared with the
+    * oracle builder so query and oracle cannot drift. */
+  val COLL_MIN = 5
+  val COLL_TOPN = 30
+
   /** PMI-ranked collocations (phrase mining): bigrams whose observed
     * count beats independence, ranked by the exact PMI ratio argument
     * lift = c(w1,w2)·T / (c(w1)·c(w2)) in integer ppm — ln-free (the
@@ -314,7 +319,7 @@ object TextAnalysis {
     * row is a declared 1-row cross join. The phrase-mining front end of
     * a tokenizer-vocabulary or stopword pipeline. */
   def collocations(spark: SparkSession, sfDir: String,
-      minCount: Int = 5, topN: Int = 30): DataFrame = {
+      minCount: Int = COLL_MIN, topN: Int = COLL_TOPN): DataFrame = {
     val tk = tokens(col("text"))
     val pairs = when(size(tk) >= 2,
       arrays_zip(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1)))
@@ -338,7 +343,7 @@ object TextAnalysis {
   }
 
   /** DuckDB twin of [[collocations]] — identical two-stage `//` chain. */
-  def collocationsOracle(minCount: Int = 5, topN: Int = 30): String =
+  def collocationsOracle(minCount: Int = COLL_MIN, topN: Int = COLL_TOPN): String =
     s"""WITH ws AS (SELECT string_split(text, ' ') AS t FROM documents),
        |bg AS (SELECT t[pos] AS w1, t[pos + 1] AS w2
        |       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS pos

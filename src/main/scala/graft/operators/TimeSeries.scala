@@ -245,6 +245,10 @@ object TimeSeries {
       .orderBy("user_id", "hour_us")
   }
 
+  /** [[decompose]] half-window (hours) — shared with the oracle
+    * builder so query and oracle cannot drift. */
+  val DECOMP_HALF_WIN = 12
+
   /** Classical additive seasonal decomposition of the corpus-wide hourly
     * value series: trend = centered (2·[[halfWin]]+1)-hour moving
     * average, seasonal = per hour-of-day mean deviation from trend,
@@ -261,7 +265,8 @@ object TimeSeries {
     * the unpartitioned window is bounded by design and documented as
     * such). Boundary hours average over their truncated frame, the
     * standard convention. */
-  def decompose(spark: SparkSession, sfDir: String, halfWin: Int = 12): DataFrame = {
+  def decompose(spark: SparkSession, sfDir: String,
+      halfWin: Int = DECOMP_HALF_WIN): DataFrame = {
     val wT = Window.orderBy("hour_us").rowsBetween(-halfWin, halfWin)
     val wS = Window.partitionBy("hod")
     Tables.events(spark, sfDir)
@@ -283,7 +288,7 @@ object TimeSeries {
 
   /** DuckDB twin of [[decompose]] — identical micro-unit sums and the
     * identical truncating division chain. */
-  def decomposeOracle(halfWin: Int = 12): String =
+  def decomposeOracle(halfWin: Int = DECOMP_HALF_WIN): String =
     s"""WITH hourly AS (
        |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
        |         sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS obs_micro
