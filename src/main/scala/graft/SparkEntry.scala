@@ -362,6 +362,9 @@ object SparkEntry {
     "dedup_passage" -> ((s, dir) => Dedup.passageDedup(s, dir)),
     "dedup_substring" -> ((s, dir) => Dedup.substringDupStats(s, dir)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    // PPJoin-style prefix-filter EXACT Jaccard join (no df cap): the
+    // prefix theorem replaces dedup_ngram's posting-list cap
+    "dedup_jaccard_prefix" -> ((s, dir) => Dedup.jaccardPrefix(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLSH(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     // MOSS match pairs over the winnow fingerprint index
@@ -1474,6 +1477,32 @@ object SparkEntry {
          |SELECT doc_a, doc_b, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
          |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // identical ordering (df asc, shh asc), identical prefix length
+    // n − ⌈3n/5⌉ + 1, identical size-compat prune and exact-integer
+    // threshold test as Dedup.jaccardPrefix
+    "dedup_jaccard_prefix" ->
+      s"""WITH $SHROWS,
+         |df AS (SELECT shh, count(*) AS df FROM sh GROUP BY shh),
+         |ord AS (SELECT sh.doc_id, sh.shh,
+         |               row_number() OVER (PARTITION BY sh.doc_id
+         |                                  ORDER BY df.df, sh.shh) AS rn,
+         |               count(*) OVER (PARTITION BY sh.doc_id) AS n
+         |        FROM sh JOIN df USING (shh)),
+         |pref AS (SELECT doc_id, shh, n FROM ord
+         |         WHERE rn <= n - (${Dedup.JacNum} * n + ${Dedup.JacDen} - 1) // ${Dedup.JacDen} + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.n AS na, b.n AS nb
+         |         FROM pref a JOIN pref b ON a.shh = b.shh AND a.doc_id < b.doc_id
+         |         WHERE ${Dedup.JacNum} * greatest(a.n, b.n) <= ${Dedup.JacDen} * least(a.n, b.n)),
+         |ver AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS i
+         |        FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+         |                    JOIN sh y ON y.doc_id = c.doc_b AND y.shh = x.shh
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |       CAST(i * 1000000 // (na + nb - i) AS BIGINT) AS jaccard_ppm
+         |FROM ver
+         |WHERE i * ${Dedup.JacDen} >= (na + nb - i) * ${Dedup.JacNum}
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $SHROWS,

@@ -259,6 +259,76 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------- prefix-filter exact Jaccard
+
+  /** Jaccard threshold of [[jaccardPrefix]] as an exact rational
+    * (3/5 = 0.6) — the comparison never leaves integer space. */
+  val JacNum = 3
+  val JacDen = 5
+
+  /** EXACT Jaccard similarity join over the FULL per-doc shingle sets
+    * via prefix filtering (the PPJoin family, Xiao et al. WWW 2008 /
+    * Chaudhuri et al. ICDE 2006): no df cap, no sampling — every pair
+    * with J ≥ [[JacNum]]/[[JacDen]] is returned, yet no O(N²) work
+    * happens. Complements [[ngramJaccard]], whose rare-shingle
+    * restriction + posting-list cap trade exactness for bounded
+    * fan-out: here exactness is recovered from the prefix-filter
+    * THEOREM instead — order each doc's shingles by ascending global
+    * df (tie: shh), keep only the first n − ⌈t·n⌉ + 1 as candidate
+    * keys; two sets with J ≥ t MUST share a prefix key (if they
+    * disagreed on all prefix keys, the overlap is bounded below t·n).
+    * A size-compatibility prune (t·max ≤ min) drops cross-length pairs
+    * before they expand.
+    *
+    * Scale shape: corpus-sized relations cross exactly two key spaces —
+    * the shingle hash (df count + prefix posting lists) and the doc id
+    * (prefix selection window, verification joins); candidate pairs
+    * (116 at sf0.01, vs 11,533 share-any-shingle pairs — a 99% prune,
+    * measured) join back to the per-doc shingle ARRAYS for one
+    * `array_intersect` verification, so the full sets never re-shuffle
+    * per pair. Prefix posting lists stay short by construction: a
+    * shingle enters a doc's prefix only while it is among that doc's
+    * ~(1−t)·n RAREST, so hot shingles drop out of every prefix as their
+    * df grows — the self-limiting property that replaces [[ngramJaccard]]'s
+    * hard cap. Output: (doc_a, doc_b, jaccard_ppm) — the score as exact
+    * integer ppm (floor), the FIXTURES.md rounding-tie device. */
+  def jaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = hashedShingles(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = base.select(col("doc_id"), explode(col("hsh")).as("shh"))
+    val dfRel = sh.groupBy("shh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+    val pref = sh.join(dfRel, "shh")
+      .select(col("doc_id"), col("shh"),
+        row_number().over(w.orderBy("df", "shh")).as("rn"),
+        count(lit(1)).over(w).as("n"))
+      .filter(col("rn") <= col("n") - expr(s"($JacNum * n + $JacDen - 1) div $JacDen") + 1)
+    // posting-list pair expansion with the size-compat prune inline —
+    // same narrow per-group loop as [[ngramJaccardFrom]], no self-join
+    val pairExpr = flatten(transform(col("ds"), (x, i) =>
+      filter(
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+            x.getField("n").as("na"), y.getField("n").as("nb"))),
+        p => lit(JacNum) * greatest(p.getField("na"), p.getField("nb")) <=
+          lit(JacDen) * least(p.getField("na"), p.getField("nb")))))
+    val cand = pref.groupBy("shh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
+      .distinct()
+    val c = size(array_intersect(col("ha"), col("hb")))
+    val u = col("na") + col("nb") - c
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("hsh").as("ha")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("hsh").as("hb")), "doc_b")
+      .filter(c * lit(JacDen) >= u * lit(JacNum))
+      .select(col("doc_a"), col("doc_b"), c.cast("long").as("c"), u.cast("long").as("u"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("c * 1000000 div u").as("jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   val MINHASH_PERMS = 16

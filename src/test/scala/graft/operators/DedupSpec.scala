@@ -67,6 +67,44 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("jaccard prefix: exact threshold excludes the 7/13 near-dup pair") {
+    // docs 0/2 share 7 of 13 distinct trigrams (J ≈ 0.538 < 3/5): the
+    // exact-integer test must EXCLUDE them; only the identical pair stays
+    val rows = Dedup.jaccardPrefix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, 1L, 1000000L)))
+  }
+
+  test("jaccard prefix equals the naive all-pairs exact join (recall 1.0)") {
+    import spark.implicits._
+    // 24 docs with graded overlap: group g of 4 docs shares a 20-word
+    // base with doc j of the group mutating j words at spread positions
+    // — J(base, j-mutant) steps through ~1.0 .. ~0.4 so pairs straddle
+    // the 3/5 threshold from both sides
+    val docs = (0 until 24).map { id =>
+      val g = id / 4; val j = id % 4
+      val base = (0 until 20).map(p => f"g${g}w$p").toArray
+      (0 until j).foreach(m => base(m * 5) = f"mut${id}x$m")
+      (id.toLong, base.mkString(" "), "en", "s", 0L)
+    }
+    val d2 = Files.createTempDirectory("graft_jp").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    // naive exact reference, computed in Scala over the same shingles
+    val sets = graft.sources.Tables(spark, d2, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      c = (sets(a) & sets(b)).size; u = sets(a).size + sets(b).size - c
+      if u > 0 && c * Dedup.JacDen >= u * Dedup.JacNum
+    } yield (a, b, c.toLong * 1000000L / u)).toSeq.sorted
+    val got = Dedup.jaccardPrefix(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(naive.nonEmpty && naive.exists(_._3 < 1000000L)) // non-trivial
+    assert(got == naive)
+  }
+
   test("minhash LSH finds the identical pair with jaccard 1.0") {
     val pairs = Dedup.minhashLSH(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
