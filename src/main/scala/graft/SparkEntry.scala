@@ -293,7 +293,9 @@ object SparkEntry {
     // ONE persisted documents scan — proves the stages compose
     "pipeline_e2e" -> ((s, dir) => Pipeline.pipelineE2e(s, dir)),
     "text_repetition" -> ((s, dir) => Pipeline.repetitionStats(s, dir)),
-    "profile_columns" -> ((s, dir) => Relational.profileColumns(s, dir)))
+    "profile_columns" -> ((s, dir) => Relational.profileColumns(s, dir)),
+    // Deequ-style expectation sweep: per-rule violation counts + pass
+    "dq_expectations" -> ((s, dir) => Relational.dqExpectations(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> ((s, dir) => Events.retention(s, dir)),
@@ -1159,7 +1161,8 @@ object SparkEntry {
     "sample_importance" -> Pipeline.importanceSampleOracle,
     "decontaminate" -> Pipeline.decontaminateOracle,
     "text_repetition" -> Pipeline.repetitionStatsOracle,
-    "profile_columns" -> Relational.profileColumnsOracle) ++
+    "profile_columns" -> Relational.profileColumnsOracle,
+    "dq_expectations" -> Relational.dqExpectationsOracle) ++
     // composed E2E funnel: every stage's standalone oracle fragment
     // under ONE statement; gated on the frozen temperature (n, Z)
     // literals (run-then-dump — present once pipeline_e2e or

@@ -819,6 +819,89 @@ object Relational {
          |  CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** The declarative rule set of [[dqExpectations]]: Deequ-style
+    * expectations (Schelter et al., VLDB 2018) over the fact table —
+    * each rule is (name, violation predicate) evaluable inside one
+    * aggregate pass. Uniqueness and referential integrity need their
+    * own shapes and are appended separately. */
+  private val DqSingle: Seq[(String, Column)] = Seq(
+    "completeness_l_shipdate" -> col("l_shipdate").isNull,
+    "range_l_quantity_1_50" -> (col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+    "set_l_returnflag_ANR" -> !col("l_returnflag").isin("A", "N", "R"),
+    "nonneg_l_extendedprice" -> (col("l_extendedprice") < 0.0),
+    "freshness_l_shipdate_1995_2002" ->
+      (col("l_shipdate") < lit("1995-01-01").cast("timestamp") ||
+        col("l_shipdate") >= lit("2002-01-01").cast("timestamp")))
+
+  /** Data-quality expectation sweep (the Deequ/Great-Expectations
+    * product surface): one row per declared rule —
+    * (rule, n_checked, n_violations, pass) — the gate a 100 TB ingest
+    * runs BEFORE training ever sees the data.
+    *
+    * Scale shape: all row-local rules fold into ONE aggregate pass over
+    * the scan (conditional sums — no per-rule re-scan); uniqueness is
+    * one key-shuffle aggregate counting rows inside multiply-occurring
+    * key groups; referential integrity is one anti join on the foreign
+    * key (shuffle hash at fact×fact scale, broadcast when the dimension
+    * allows). The three 1-row summaries cross-join (1×1×1) and explode
+    * into the rule rows — driver never sees the data. */
+  def dqExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val singleAggs = count(lit(1)).as("n_rows") +:
+      DqSingle.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"v__$name") }
+    val single = li.agg(singleAggs.head, singleAggs.tail: _*)
+    val orders = Tables(spark, sfDir, "orders")
+    val uniq = orders.groupBy("o_orderkey")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_orders"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("v__uniq"))
+    val refv = li.join(orders,
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v__ref"))
+    val rules = DqSingle.map { case (name, _) =>
+      struct(lit(name).as("rule"), col("n_rows").as("n_checked"),
+        col(s"v__$name").as("n_violations")) } ++ Seq(
+      struct(lit("uniqueness_o_orderkey").as("rule"),
+        col("n_orders").as("n_checked"), col("v__uniq").as("n_violations")),
+      struct(lit("ref_l_orderkey_in_orders").as("rule"),
+        col("n_rows").as("n_checked"), col("v__ref").as("n_violations")))
+    single.crossJoin(uniq).crossJoin(refv)
+      .select(explode(array(rules: _*)).as("r")).select("r.*")
+      .withColumn("pass", when(col("n_violations") === 0L, 1L).otherwise(0L))
+      .orderBy("rule")
+  }
+
+  /** DuckDB twin of [[dqExpectations]] — same rules, FILTER-aggregated. */
+  def dqExpectationsOracle: String = {
+    val singles = Seq(
+      "completeness_l_shipdate" -> "l_shipdate IS NULL",
+      "range_l_quantity_1_50" -> "(l_quantity < 1.0 OR l_quantity > 50.0)",
+      "set_l_returnflag_ANR" -> "l_returnflag NOT IN ('A', 'N', 'R')",
+      "nonneg_l_extendedprice" -> "l_extendedprice < 0.0",
+      "freshness_l_shipdate_1995_2002" ->
+        ("(l_shipdate < TIMESTAMP '1995-01-01 00:00:00' " +
+          "OR l_shipdate >= TIMESTAMP '2002-01-01 00:00:00')"))
+      .map { case (name, pred) =>
+        s"""SELECT '$name' AS rule, count(*) AS n_checked,
+           |  count(*) FILTER (WHERE $pred) AS n_violations FROM lineitem""".stripMargin }
+    val uniq =
+      """SELECT 'uniqueness_o_orderkey' AS rule,
+        |  (SELECT count(*) FROM orders) AS n_checked,
+        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_violations
+        |FROM (SELECT count(*) AS c FROM orders
+        |      GROUP BY o_orderkey HAVING count(*) > 1)""".stripMargin
+    val refv =
+      """SELECT 'ref_l_orderkey_in_orders' AS rule,
+        |  (SELECT count(*) FROM lineitem) AS n_checked,
+        |  count(*) AS n_violations
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin
+    (singles ++ Seq(uniq, refv))
+      .mkString("SELECT rule, n_checked, n_violations,\n" +
+        "  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass FROM (\n",
+        "\nUNION ALL\n", "\n) ORDER BY rule")
+  }
+
   /** CDC latest-snapshot compaction (SCD type-1 read path): one current
     * row per key — here the most recent order per customer, ties broken
     * by the larger orderkey. The canonical change-log → snapshot collapse

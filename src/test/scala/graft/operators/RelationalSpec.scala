@@ -36,6 +36,42 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
   }
 
+  test("dq expectations: clean fixture passes every rule; planted violations count exactly") {
+    import spark.implicits._
+    // the shipped fixture satisfies all 7 rules
+    val clean = Relational.dqExpectations(spark, sf).collect()
+    assert(clean.length == 7 && clean.forall(_.getLong(3) == 1L))
+    assert(clean.forall(r => r.getLong(2) == 0L && r.getLong(1) > 0L))
+    // plant one violation per rule class in a scratch copy
+    val d = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    val li = Tables(spark, sf, "lineitem")
+    val bad = Seq(
+      // null shipdate + out-of-range qty + bad flag + negative price + stale date
+      (900001L, 1L, 1L, 1, 99.0, -5.0, 0.0, 0.0, "X", "O",
+        java.sql.Timestamp.valueOf("1905-01-01 00:00:00")),
+      (900001L, 1L, 1L, 1, 99.0, -5.0, 0.0, 0.0, "X", "O", null))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    li.unionByName(bad.select(li.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    // plant a duplicated primary key in orders
+    val ord = Tables(spark, sf, "orders")
+    ord.unionByName(ord.limit(1)).write.parquet(s"$d/orders.parquet")
+    val got = Relational.dqExpectations(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = li.count() + 2
+    assert(got("completeness_l_shipdate") == ((n, 1L, 0L)))
+    assert(got("range_l_quantity_1_50") == ((n, 2L, 0L)))
+    assert(got("set_l_returnflag_ANR") == ((n, 2L, 0L)))
+    assert(got("nonneg_l_extendedprice") == ((n, 2L, 0L)))
+    assert(got("freshness_l_shipdate_1995_2002") == ((n, 1L, 0L)))
+    // both copies of the duplicated order count as violations
+    assert(got("uniqueness_o_orderkey") == ((ord.count() + 1, 2L, 0L)))
+    // orderkey 900001 exists in no order
+    assert(got("ref_l_orderkey_in_orders") == ((n, 2L, 0L)))
+  }
+
   test("scd_latest keeps exactly one current row per key, the max (date, orderkey)") {
     val out = Relational.scdLatest(spark, sf).collect()
     val orders = Tables(spark, sf, "orders")
