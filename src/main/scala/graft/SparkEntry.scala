@@ -250,6 +250,8 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) => graft.operators.Graphs.triangles(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
+    // exact-integer per-group OLS: rational slope/intercept + ppm
+    "stats_ols" -> ((s, dir) => Relational.statsOls(s, dir)),
     "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)),
     // deterministic %5 key sample on BOTH sides: the oracle leg that
     // runs at every sweep sf (the full NLJ's DuckDB replay is O(N²))
@@ -1162,7 +1164,8 @@ object SparkEntry {
     "decontaminate" -> Pipeline.decontaminateOracle,
     "text_repetition" -> Pipeline.repetitionStatsOracle,
     "profile_columns" -> Relational.profileColumnsOracle,
-    "dq_expectations" -> Relational.dqExpectationsOracle) ++
+    "dq_expectations" -> Relational.dqExpectationsOracle,
+    "stats_ols" -> Relational.statsOlsOracle) ++
     // composed E2E funnel: every stage's standalone oracle fragment
     // under ONE statement; gated on the frozen temperature (n, Z)
     // literals (run-then-dump — present once pipeline_e2e or

@@ -404,6 +404,64 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Per-group closed-form OLS (y = a + b·x, least squares) kept EXACT
+    * end-to-end: x = quantity (integer-valued), y = price in integer
+    * cents; the slope/intercept are emitted as exact rational
+    * numerator/denominator pairs (n·Σxy − Σx·Σy over n·Σx² − (Σx)²)
+    * plus truncating integer-ppm ratios — no float mean, variance or
+    * division ever crosses engines (Spark `div` and DuckDB HUGEINT `//`
+    * both truncate toward zero on negatives, FIXTURES.md; DuckDB's
+    * DECIMAL `//` does NOT truncate, so the oracle computes in HUGEINT).
+    *
+    * Scale shape: ONE partial-aggregated scan computes the five
+    * sufficient statistics per group (the classic map-side-combine
+    * regression); cross products then run on k-row data. The int64
+    * envelope breaks at sf1 (Σy² ~ 6e19), so the k-row cross products
+    * are DECIMAL(38,0) — magnitudes ≤ ~1e30 at 100 TB, comfortably
+    * inside 38 digits. The float-space twin of this query is
+    * [[statsAgg]]'s corr; regression in ppm is the exact face. */
+  def statsOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val g = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"), cents(col("l_extendedprice")).as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    g.select(col("l_returnflag"), col("n"),
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).as("slope_num"),
+        (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).as("slope_den"),
+        (d(col("sy")) * d(col("sxx")) - d(col("sx")) * d(col("sxy"))).as("intercept_num"))
+      .select(col("l_returnflag"), col("n"),
+        col("slope_num"), col("slope_den"),
+        expr("slope_num * 1000000 div slope_den").as("slope_ppm"),
+        col("intercept_num"),
+        expr("intercept_num * 1000000 div slope_den").as("intercept_ppm"))
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB twin of [[statsOls]] — HUGEINT cross products (int128 holds
+    * every magnitude here; DECIMAL `//` would true-divide). */
+  def statsOlsOracle: String =
+    """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+      |           FROM lineitem),
+      |g AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x * x) AS sxx, sum(x * y) AS sxy
+      |      FROM b GROUP BY l_returnflag),
+      |h AS (SELECT l_returnflag, n,
+      |             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+      |             CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS inum
+      |      FROM g)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |       CAST(num AS DECIMAL(38,0)) AS slope_num,
+      |       CAST(den AS DECIMAL(38,0)) AS slope_den,
+      |       CAST(num * 1000000 // den AS BIGINT) AS slope_ppm,
+      |       CAST(inum AS DECIMAL(38,0)) AS intercept_num,
+      |       CAST(inum * 1000000 // den AS BIGINT) AS intercept_ppm
+      |FROM h ORDER BY l_returnflag""".stripMargin
+
   /** Interval (range) join: every event matched to the orders of the same
     * hash key whose 7-day window [o_orderdate, o_orderdate+7d) contains
     * the event.

@@ -72,6 +72,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got("ref_l_orderkey_in_orders") == ((n, 2L, 0L)))
   }
 
+  test("stats_ols: hand-computed line with negative intercept truncates toward zero") {
+    import spark.implicits._
+    // (1, $0.50) (2, $3.01) (3, $5.50): n=3 sx=6 sy=901 sxx=14 sxy=2302
+    // slope_num=1500 den=6 -> slope exactly 250 cents/unit (ppm 250e6);
+    // intercept_num=-1198 -> -1198e6/6 = -199666666.67 -> -199666666
+    // (truncation toward zero; floor would give ...67 — the case that
+    // pins Spark div parity with DuckDB HUGEINT //)
+    val d = java.nio.file.Files.createTempDirectory("graft_ols").toString
+    val li = Tables(spark, sf, "lineitem")
+    Seq((1L, 1L, 1L, 1, 1.0, 0.50, 0.0, 0.0, "A", "O", "1996-01-01"),
+      (2L, 1L, 1L, 1, 2.0, 3.01, 0.0, 0.0, "A", "O", "1996-01-01"),
+      (3L, 1L, 1L, 1, 3.0, 5.50, 0.0, 0.0, "A", "O", "1996-01-01"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .select(li.columns.map(col): _*)
+      .write.parquet(s"$d/lineitem.parquet")
+    val r = Relational.statsOls(spark, d).collect().head
+    assert(r.getString(0) == "A" && r.getLong(1) == 3L)
+    assert(r.getDecimal(2).longValueExact == 1500L)
+    assert(r.getDecimal(3).longValueExact == 6L)
+    assert(r.getLong(4) == 250000000L)
+    assert(r.getDecimal(5).longValueExact == -1198L)
+    assert(r.getLong(6) == -199666666L)
+  }
+
   test("scd_latest keeps exactly one current row per key, the max (date, orderkey)") {
     val out = Relational.scdLatest(spark, sf).collect()
     val orders = Tables(spark, sf, "orders")
