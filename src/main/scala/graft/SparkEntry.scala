@@ -324,6 +324,8 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)),
     "ts_motif" -> ((s, dir) => TimeSeries.motifTopK(s, dir)),
     "ts_fill" -> ((s, dir) => TimeSeries.resampleFill(s, dir)),
+    // exact-integer ACF of the hourly count series, lags 1..5
+    "ts_autocorr" -> ((s, dir) => TimeSeries.autocorr(s, dir)),
     "ts_decompose" -> ((s, dir) => TimeSeries.decompose(s, dir)),
     // the exact feature pipeline feeding ts_cluster, oracle-pinned even
     // though the fit itself stays rows-only (iterative)
@@ -1271,6 +1273,7 @@ object SparkEntry {
         |WHERE (d.n * st.c - st.s1) * (d.n * st.c - st.s1)
         |      > 4 * (st.s2 * st.c - st.s1 * st.s1)
         |ORDER BY d.event_type, d.day""".stripMargin,
+    "ts_autocorr" -> TimeSeries.autocorrOracle(),
     "ts_fill" ->
       """WITH h AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
         |                  count(*) AS n, round(avg(value), 6) AS v

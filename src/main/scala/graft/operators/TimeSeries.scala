@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -285,6 +285,82 @@ object TimeSeries {
         (col("det") - col("seasonal_micro")).as("resid_micro"))
       .orderBy("hour_us")
   }
+
+  /** Lags measured by [[autocorr]]. */
+  val AcfMaxLag = 5
+
+  /** Autocorrelation of the hourly event-count series at lags
+    * 1..[[AcfMaxLag]], kept exact: per lag the paired sufficient
+    * statistics (n·Σxy − Σx·Σy and the two variance terms) are emitted
+    * as exact DECIMAL(38,0) integers, and r² lands in ppm through the
+    * always-bounded two-stage floor chain (r_milli on each axis, then
+    * their product — the [[TextAnalysis]] collocations device; both
+    * engines replay the identical truncations, FIXTURES.md negatives
+    * note) with the sign of r carried separately. The exact sums mean
+    * any consumer can recompute r to full precision; the ppm column is
+    * the cross-engine-pinned summary.
+    *
+    * Pairing is by ROW position in the hour-ordered series (lead(ℓ)),
+    * so a missing hour pairs across the gap — deterministic and
+    * engine-identical; run [[resampleFill]] first when calendar-true lags
+    * matter. Scale shape: one hourly aggregate (shuffle on hour), one
+    * window sort, then a lag-exploded aggregate over series-sized rows —
+    * at 100 TB the series is hours-sized (~1e5 rows/decade), trivially
+    * repartitionable; the raw events never pair. */
+  def autocorr(spark: SparkSession, sfDir: String,
+      maxLag: Int = AcfMaxLag): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val w = Window.orderBy("hour_us")
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("x"))
+    val paired = hourly
+      .select(col("hour_us"), col("x"),
+        array((1 to maxLag).map(l =>
+          struct(lit(l).as("lag"), lead("x", l).over(w).as("y"))): _*).as("ls"))
+      .select(col("x"), explode(col("ls")).as("p"))
+      .select(col("p.lag").as("lag"), col("x"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    paired.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        (d(col("n_pairs")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).as("num"),
+        (d(col("n_pairs")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).as("den_x"),
+        (d(col("n_pairs")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).as("den_y"))
+      .select(col("lag"), col("n_pairs"), col("num"), col("den_x"), col("den_y"),
+        signum(col("num")).cast("long").as("r_sign"),
+        (expr("num * 1000 div den_x") * expr("num * 1000 div den_y"))
+          .as("r2_ppm"))
+      .orderBy("lag")
+  }
+
+  /** DuckDB twin of [[autocorr]] — identical row-position pairing and
+    * the identical HUGEINT two-stage floor chain. */
+  def autocorrOracle(maxLag: Int = AcfMaxLag): String =
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, count(*) AS x
+       |  FROM events GROUP BY 1),
+       |paired AS (
+       |  SELECT l.lag, h.x,
+       |         lead(h.x, l.lag) OVER (PARTITION BY l.lag ORDER BY h.hour_us) AS y
+       |  FROM hourly h CROSS JOIN (SELECT unnest(range(1, ${maxLag + 1})) AS lag) l),
+       |g AS (SELECT lag, count(*) AS n_pairs, sum(x) AS sx, sum(y) AS sy,
+       |             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |      FROM paired WHERE y IS NOT NULL GROUP BY lag),
+       |h AS (SELECT lag, n_pairs,
+       |             CAST(n_pairs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |             CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_x,
+       |             CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
+       |      FROM g)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       |       CAST(num AS DECIMAL(38,0)) AS num,
+       |       CAST(den_x AS DECIMAL(38,0)) AS den_x,
+       |       CAST(den_y AS DECIMAL(38,0)) AS den_y,
+       |       CAST(sign(num) AS BIGINT) AS r_sign,
+       |       CAST((num * 1000 // den_x) * (num * 1000 // den_y) AS BIGINT) AS r2_ppm
+       |FROM h ORDER BY lag""".stripMargin
 
   /** DuckDB twin of [[decompose]] — identical micro-unit sums and the
     * identical truncating division chain. */

@@ -171,4 +171,44 @@ class EventsSpec extends AnyFunSuite {
       assert(gotUs == wantUs)
     }
   }
+
+  test("autocorr: hand-computed perfect ascending series gives r2_ppm = 1e6") {
+    import spark.implicits._
+    // hourly counts [1, 2, 3, 4]: every lag-1/lag-2 pair sits exactly on
+    // a line -> num = den_x = den_y at both lags, r_sign=1, r2_ppm=1e6
+    val d = Files.createTempDirectory("graft_acf").toString
+    def t(h: Int, m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    (1 to 4).flatMap(h => (0 until h).map(m => (h * 10L + m, t(h, m), 1L, "view", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val rows = graft.operators.TimeSeries.autocorr(spark, d, maxLag = 2).collect()
+    assert(rows.length == 2)
+    // lag 1: n=3 sx=6 sy=9 sxy=20 -> num=6 den_x=6 den_y=6
+    val l1 = rows(0)
+    assert(l1.getLong(0) == 1L && l1.getLong(1) == 3L)
+    assert(l1.getDecimal(2).longValueExact == 6L &&
+      l1.getDecimal(3).longValueExact == 6L && l1.getDecimal(4).longValueExact == 6L)
+    assert(l1.getLong(5) == 1L && l1.getLong(6) == 1000000L)
+    // lag 2: n=2 -> num=den=1
+    val l2 = rows(1)
+    assert(l2.getDecimal(2).longValueExact == 1L && l2.getLong(6) == 1000000L)
+  }
+
+  test("autocorr: alternating series has r_sign = -1 and r2_ppm = 1e6 at lag 1") {
+    import spark.implicits._
+    // counts [3, 1, 3, 1]: lag-1 pairs are perfectly anti-correlated
+    // (num = -8, dens = 8); the two-stage chain must carry the sign
+    // through truncation toward zero (-8000 div 8 = -1000)
+    val d = Files.createTempDirectory("graft_acf_neg").toString
+    def t(h: Int, m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val counts = Seq(3, 1, 3, 1)
+    counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(m => (h * 10L + m, t(h + 1, m), 1L, "view", 1.0, "{}")) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val l1 = graft.operators.TimeSeries.autocorr(spark, d, maxLag = 1).collect().head
+    assert(l1.getDecimal(2).longValueExact == -8L)
+    assert(l1.getDecimal(3).longValueExact == 8L && l1.getDecimal(4).longValueExact == 8L)
+    assert(l1.getLong(5) == -1L && l1.getLong(6) == 1000000L)
+  }
 }
