@@ -248,6 +248,8 @@ object SparkEntry {
     "graph_pagerank" -> ((s, dir) => graft.operators.Graphs.pageRank(s, dir)),
     // degree-oriented exact triangle census of the part co-order graph
     "graph_triangles" -> ((s, dir) => graft.operators.Graphs.triangles(s, dir)),
+    // k-core peel to the true fixpoint: per-round trajectory rows
+    "graph_kcore" -> ((s, dir) => graft.operators.Graphs.kcore(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     // exact-integer per-group OLS: rational slope/intercept + ppm
@@ -722,6 +724,7 @@ object SparkEntry {
         |FROM u ORDER BY l_returnflag, q_idx""".stripMargin,
     "graph_pagerank" -> graft.operators.Graphs.pageRankOracle,
     "graph_triangles" -> graft.operators.Graphs.trianglesOracle,
+    "graph_kcore" -> graft.operators.Graphs.kcoreOracle(),
     "window_range" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,

@@ -117,6 +117,24 @@ object Graphs {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** The part co-order projection (1997 window, same pushdown rationale
+    * as [[pairs]]): distinct (a < b) part pairs appearing in the same
+    * order — shared by [[triangles]] and [[kcore]]. The per-order pair
+    * expansion is bounded by the order-size cap (≤7 lineitems/order in
+    * this schema; a general corpus would cap the group like [[Dedup]]'s
+    * posting lists). */
+  private def coOrderEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    li.as("x").join(li.as("y"), Seq("o"))
+      .where(col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+  }
+
   /** Triangle census of the part co-order graph: distinct parts that
     * appear in the same 1997-window order are adjacent (the unipartite
     * projection of the order↔part graph — same analysis window and
@@ -136,15 +154,7 @@ object Graphs {
     * order-size cap (≤7 lineitems per order in this schema — a general
     * corpus would cap the group like [[Dedup]]'s posting lists). */
   def triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables(spark, sfDir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-      .distinct()
-    val e = li.as("x").join(li.as("y"), Seq("o"))
-      .where(col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .distinct()
+    val e = coOrderEdges(spark, sfDir)
     val deg = e.select(explode(array(col("a"), col("b"))).as("nd"))
       .groupBy("nd").agg(count(lit(1)).as("d"))
     val aFirst = col("da") < col("db") ||
@@ -199,6 +209,121 @@ object Graphs {
       |       CAST(n_triangles AS BIGINT) AS n_triangles,
       |       CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT) AS transitivity_ppm
       |FROM c""".stripMargin
+
+  /** Degree threshold of [[kcore]]. */
+  val CoreK = 3
+
+  /** k-core peeling of the part co-order graph, run to the TRUE
+    * fixpoint (not a fixed round count — the peel depth grows with
+    * scale: 15 rounds at sf0.01, 27 at sf0.1, measured): each round
+    * removes every node of degree < k, and the loop stops the first
+    * round nothing changes. Output: one row per round —
+    * (round, n_removed, n_nodes, n_edges) — the peeling TRAJECTORY,
+    * ending in an explicit 0-removed convergence row, so the oracle
+    * pins every round like the k-means `_trajectory` contracts.
+    * n_removed is the node-set difference in the edge-set
+    * representation (nodes whose last edge died count the round they
+    * vanish), identical on both engines by construction.
+    *
+    * Scale shape: per round ONE degree aggregate (shuffle on the node
+    * key) and ONE two-sided anti join against the broadcast low-degree
+    * node set (node-sized, shrinking every round); the surviving edge
+    * set is `localCheckpoint`ed and the previous round's blocks are
+    * released eagerly — the [[pageRank]] iterative-lineage device. The
+    * driver sees only the 4 counters per round. Round count is bounded
+    * by the peel depth (O(√m) worst case, tens in practice), the same
+    * bound any BSP peeling (e.g. Quick et al. k-core on Pregel) pays.
+    *
+    * The DuckDB twin replays the peel as a recursive CTE whose working
+    * table carries the full surviving edge set per level — every
+    * reference in the recursive term sees the PREVIOUS level
+    * consistently (verified against an imperative replay; the
+    * FIXTURES.md recursion hazards don't bite because no non-recursive
+    * CTE is referenced in the recursive term and no list state rides
+    * the recursion). */
+  def kcore(spark: SparkSession, sfDir: String, k: Int = CoreK): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    var cur = coOrderEdges(spark, sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def nodeCount(e: DataFrame): Long =
+      e.select(explode(array(col("a"), col("b"))).as("nd")).distinct().count()
+    var prevNodes = nodeCount(cur)
+    var prevEdges = cur.count()
+    val rows = Seq.newBuilder[(Long, Long, Long, Long)]
+    var round = 1L
+    var done = false
+    var prevCp: DataFrame = null
+    while (!done) {
+      val bad = cur.select(explode(array(col("a"), col("b"))).as("nd"))
+        .groupBy("nd").agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select("nd")
+      if (bad.isEmpty) {
+        rows += ((round, 0L, prevNodes, prevEdges))
+        done = true
+      } else {
+        val next = cur
+          .join(broadcast(bad).withColumnRenamed("nd", "a"), Seq("a"), "left_anti")
+          .join(broadcast(bad).withColumnRenamed("nd", "b"), Seq("b"), "left_anti")
+          .select("a", "b")
+          .localCheckpoint()
+        val nNodes = nodeCount(next)
+        val nEdges = next.count()
+        rows += ((round, prevNodes - nNodes, nNodes, nEdges))
+        if (prevCp != null) releaseLocalCheckpoint(prevCp)
+        else cur.unpersist(blocking = false)
+        prevCp = next
+        cur = next
+        prevNodes = nNodes
+        prevEdges = nEdges
+        round += 1
+      }
+    }
+    if (prevCp != null) releaseLocalCheckpoint(prevCp)
+    rows.result().toDF("round", "n_removed", "n_nodes", "n_edges")
+      .orderBy("round")
+  }
+
+  /** DuckDB twin of [[kcore]] — the recursive-CTE peel, every level's
+    * node/edge counts re-derived and differenced identically. */
+  def kcoreOracle(k: Int = CoreK): String =
+    s"""WITH RECURSIVE
+       |li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+       |       FROM lineitem
+       |       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+       |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+       |       FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |peel(r, a, b) AS (
+       |  SELECT 0, a, b FROM e0
+       |  UNION ALL
+       |  SELECT p.r + 1, p.a, p.b
+       |  FROM peel p
+       |  WHERE p.a NOT IN (SELECT nd FROM (SELECT a AS nd FROM peel
+       |                                    UNION ALL SELECT b AS nd FROM peel) t
+       |                    GROUP BY nd HAVING count(*) < $k)
+       |    AND p.b NOT IN (SELECT nd FROM (SELECT a AS nd FROM peel
+       |                                    UNION ALL SELECT b AS nd FROM peel) t
+       |                    GROUP BY nd HAVING count(*) < $k)
+       |    AND EXISTS (SELECT 1 FROM (SELECT a AS nd FROM peel
+       |                               UNION ALL SELECT b AS nd FROM peel) t
+       |                GROUP BY nd HAVING count(*) < $k)),
+       |lv AS (SELECT r, count(*) AS n_edges FROM peel GROUP BY r),
+       |nd AS (SELECT r, count(DISTINCT nd) AS n_nodes
+       |       FROM (SELECT r, a AS nd FROM peel UNION ALL SELECT r, b AS nd FROM peel)
+       |       GROUP BY r),
+       |j AS (SELECT lv.r, nd.n_nodes, lv.n_edges,
+       |             lag(nd.n_nodes) OVER (ORDER BY lv.r) AS prev_nodes
+       |      FROM lv JOIN nd USING (r)),
+       |out AS (
+       |  SELECT r AS round, prev_nodes - n_nodes AS n_removed, n_nodes, n_edges
+       |  FROM j WHERE r >= 1
+       |  UNION ALL
+       |  SELECT r + 1, 0, n_nodes, n_edges FROM j
+       |  WHERE r = (SELECT max(r) FROM j))
+       |SELECT CAST(round AS BIGINT) AS round, CAST(n_removed AS BIGINT) AS n_removed,
+       |       CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges
+       |FROM out ORDER BY round""".stripMargin
 
   /** DuckDB twin of [[pageRank]] (iters = 2, topN = 20). */
   def pageRankOracle: String =

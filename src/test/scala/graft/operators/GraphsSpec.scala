@@ -62,4 +62,36 @@ class GraphsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       == ((5L, 6L, 10L, 2L, 600000L)))
   }
+
+  test("kcore peels a hand-built graph to its 3-core with the exact trajectory") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_kcore").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // one order per edge: K4 on {1,2,3,4} plus pendant 5-1 plus a
+    // 2-chain 6-7 that dies entirely in round 1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (6L, 7L))
+    edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((10L + i, a, in), (10L + i, b, in)) }
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = Graphs.kcore(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // round 1 removes {5, 6, 7} (deg < 3); K4 survives (all deg 3);
+    // round 2 removes nothing -> explicit convergence row
+    assert(rows == Seq((1L, 3L, 4L, 6L), (2L, 0L, 4L, 6L)))
+  }
+
+  test("kcore on an empty-after-one-round graph converges to zero rows left") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_kcore0").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // a triangle has every degree = 2 < 3: the whole graph dies round 1
+    Seq((10L, 1L, in), (10L, 2L, in), (10L, 3L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = Graphs.kcore(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, 3L, 0L, 0L), (2L, 0L, 0L, 0L)))
+  }
 }
