@@ -182,6 +182,38 @@ object SparkEntry {
               |                    AND o_orderdate >= timestamp'2001-01-01 00:00:00')
               |GROUP BY c_nationkey ORDER BY cntry""".stripMargin)
     }),
+    // TPC-H Q2 shape: correlated scalar MIN over a join — per size-10
+    // part, the 1997 supplier(s) with the minimum account balance among
+    // those who shipped it; balances compared in exact cents
+    "sql_q2" -> ((s, dir) => {
+      Seq("part", "lineitem", "supplier")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ2)
+    }),
+    // TPC-H Q13 shape: outer-join count distribution — orders per
+    // customer INCLUDING zero-order customers, then the histogram
+    "sql_q13" -> ((s, dir) => {
+      Seq("customer", "orders")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ13)
+    }),
+    // TPC-H Q15 shape: max over an aggregated view — the top-revenue
+    // supplier(s) of 1997Q1 via a scalar subquery on the same CTE;
+    // revenue in exact cents×percent so the max-equality has no ties
+    // hazard across engines
+    "sql_q15" -> ((s, dir) => {
+      Seq("supplier", "lineitem")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ15)
+    }),
+    // TPC-H Q20 shape: nested IN + correlated aggregate threshold in
+    // HAVING — suppliers who shipped over half of some small part's
+    // 1997 volume (2·sum > total keeps the half-test in integers)
+    "sql_q20" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "part")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ20)
+    }),
     // CDC latest-snapshot compaction: one current row per key
     "scd_latest" -> ((s, dir) => Relational.scdLatest(s, dir)),
     // MERGE INTO semantics: base ⟗ change set → insert/update/keep
@@ -817,6 +849,10 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= timestamp '2001-01-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY cntry""".stripMargin,
+    "sql_q2" -> SqlQ2,
+    "sql_q13" -> SqlQ13,
+    "sql_q15" -> SqlQ15,
+    "sql_q20" -> SqlQ20,
     "scd_latest" -> Relational.scdLatestOracle,
     "zorder_key" -> Relational.zorderKeyOracle,
     "lake_compaction" -> Relational.compactionPlanOracle(),
@@ -1394,6 +1430,63 @@ object SparkEntry {
 
   /** Shared fragments: distinct word-3-gram shingle rows (keyed by their
     * 60-bit md5 hash, mirroring Dedup.shingleRows) / double vectors. */
+  /** TPC-H-shape SQL shared VERBATIM between the Spark query and the
+    * DuckDB oracle (ANSI subset both dialects parse identically —
+    * sharing the text makes query/oracle drift impossible). */
+  private val SqlQ2 =
+    """SELECT p_partkey, s_suppkey, s_name,
+      |       CAST(round(s_acctbal * 100, 0) AS BIGINT) AS acct_cents
+      |FROM part JOIN lineitem ON l_partkey = p_partkey
+      |          JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE p_size = 10
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND CAST(round(s_acctbal * 100, 0) AS BIGINT) =
+      |      (SELECT min(CAST(round(s2.s_acctbal * 100, 0) AS BIGINT))
+      |       FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+      |       WHERE l2.l_partkey = p_partkey
+      |         AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |         AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |GROUP BY 1, 2, 3, 4 ORDER BY p_partkey, s_suppkey""".stripMargin
+
+  private val SqlQ13 =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |           AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private val SqlQ15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+      |              AS BIGINT) AS total_revenue_c4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue_c4
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue_c4 = (SELECT max(total_revenue_c4) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val SqlQ20 =
+    """SELECT s_suppkey, s_name
+      |FROM supplier WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+      |  WHERE l1.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l1.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |    AND p_size < 15
+      |  GROUP BY l1.l_suppkey, l1.l_partkey
+      |  HAVING 2 * sum(CAST(l1.l_quantity AS BIGINT)) >
+      |         (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |          WHERE l2.l_partkey = l1.l_partkey
+      |            AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |            AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+      |ORDER BY s_suppkey""".stripMargin
+
   private val SHROWS =
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |s0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
