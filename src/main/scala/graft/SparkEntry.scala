@@ -214,6 +214,8 @@ object SparkEntry {
         .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(SqlQ20)
     }),
+    // MMR diversification re-rank of the dense leg's top-R candidates
+    "rag_mmr" -> ((s, dir) => Similarity.ragMmr(s, dir)),
     // CDC latest-snapshot compaction: one current row per key
     "scd_latest" -> ((s, dir) => Relational.scdLatest(s, dir)),
     // MERGE INTO semantics: base ⟗ change set → insert/update/keep
@@ -849,6 +851,7 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= timestamp '2001-01-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY cntry""".stripMargin,
+    "rag_mmr" -> Similarity.ragMmrOracle,
     "sql_q2" -> SqlQ2,
     "sql_q13" -> SqlQ13,
     "sql_q15" -> SqlQ15,

@@ -768,20 +768,28 @@ object Similarity {
   def ragRetrieve(spark: SparkSession, sfDir: String): DataFrame =
     rankRag(ragDenseScored(spark, sfDir), "dot", RAG_K)
 
-  /** The dense leg's scored candidate relation `(q_doc, p_doc, p_blk,
-    * dot)` — shared by [[ragRetrieve]] and the [[ragHybrid]] fusion so
-    * the two queries cannot drift. */
-  private def ragDenseScored(spark: SparkSession, sfDir: String): DataFrame = {
-    val pv = Dedup.passageBlocksOf(
+  /** (p_doc, p_blk, pv) — every passage's hash-embedding, the shared
+    * vector relation behind the dense leg and the MMR re-rank. */
+  private[graft] def ragPassageVecs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.passageBlocksOf(
         Tables(spark, sfDir, "documents"), Dedup.PASSAGE_WORDS)
       .select(col("doc_id").as("p_doc"), col("blk_idx").cast("long").as("p_blk"),
         hashEmbed(col("blk")).as("pv"))
+
+  /** Exact integer dot product of two dense embedding arrays. */
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** The dense leg's scored candidate relation `(q_doc, p_doc, p_blk,
+    * dot)` — shared by [[ragRetrieve]] and the [[ragHybrid]] fusion so
+    * the two queries cannot drift. */
+  private[graft] def ragDenseScored(spark: SparkSession, sfDir: String): DataFrame = {
+    val pv = ragPassageVecs(spark, sfDir)
     val qv = pv.filter(col("p_doc") < RAG_NQ && col("p_blk") === 0)
       .select(col("p_doc").as("q_doc"), col("pv").as("qv"))
     pv.join(broadcast(qv), col("p_doc") =!= col("q_doc"))
       .select(col("q_doc"), col("p_doc"), col("p_blk"),
-        aggregate(zip_with(col("qv"), col("pv"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("dot"))
+        dotL(col("qv"), col("pv")).as("dot"))
   }
 
   /** Per-query top-k over a scored passage relation: the two-phase
@@ -971,6 +979,135 @@ object Similarity {
        |                                   ORDER BY score DESC, p_doc, p_blk) AS rn
        |      FROM bm)
        |WHERE rn <= $RAG_K ORDER BY q_doc, rank""".stripMargin
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein SIGIR
+    * 1998, λ = 1/2) of the dense leg's top-[[RAG_R]] candidates: pick
+    * the most relevant passage, then twice more the passage maximizing
+    * `relevance − max(similarity to already-selected)` — at λ = 1/2 the
+    * argmax of the classic λ·rel − (1−λ)·maxsim. Every quantity is an
+    * exact integer dot product of the hash embeddings, and each greedy
+    * step is a deterministic argmax (score DESC, p_doc, p_blk), so both
+    * engines replay the identical selection — the k = 3 greedy loop
+    * unrolls into three chained argmax stages instead of a recursion
+    * (the [[graft.kmeans.KMeansSteps.fitSteps]] fixed-unroll device).
+    *
+    * Scale shape: corpus-sized work ends at the candidate cut (the
+    * [[ragRetrieve]] top-k reduction); the re-rank itself touches only
+    * the q×R candidate relation (persisted — three stages reuse it;
+    * caller releases via `spark.catalog.clearCache()`, the [[sqTopK]]
+    * contract), with candidate-candidate similarity as one narrow
+    * zip_with per stage. Exactly how a production RAG stack runs MMR:
+    * over the retrieved page, never the corpus. */
+  def ragMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val notSel = (d: String, b: String) =>
+      !(col("p_doc") === col(d) && col("p_blk") === col(b))
+    val ord = Seq(desc("dot"), asc("p_doc"), asc("p_blk"))
+    val w = Window.partitionBy("q_doc").orderBy(ord: _*)
+    val cand = Relational.topkPerGroup(ragDenseScored(spark, sfDir),
+        Seq(col("q_doc")), ord, RAG_R)
+      .withColumn("r", row_number().over(w)).filter(col("r") <= RAG_R)
+      .join(ragPassageVecs(spark, sfDir), Seq("p_doc", "p_blk"))
+      .select("q_doc", "p_doc", "p_blk", "dot", "pv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s1 = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_doc"), col("p_doc").as("s1_doc"), col("p_blk").as("s1_blk"),
+        col("pv").as("s1v"), col("dot").as("s1_dot"))
+    val wm = Window.partitionBy("q_doc")
+      .orderBy(desc("mmr"), asc("p_doc"), asc("p_blk"))
+    val s2 = cand.join(broadcast(s1), Seq("q_doc"))
+      .filter(notSel("s1_doc", "s1_blk"))
+      .withColumn("mmr", col("dot") - dotL(col("pv"), col("s1v")))
+      .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+      .select(col("q_doc"), col("p_doc").as("s2_doc"), col("p_blk").as("s2_blk"),
+        col("pv").as("s2v"), col("dot").as("s2_dot"), col("mmr").as("s2_mmr"))
+    val s3 = cand.join(broadcast(s1), Seq("q_doc")).join(broadcast(s2), Seq("q_doc"))
+      .filter(notSel("s1_doc", "s1_blk") && notSel("s2_doc", "s2_blk"))
+      .withColumn("mmr", col("dot") -
+        greatest(dotL(col("pv"), col("s1v")), dotL(col("pv"), col("s2v"))))
+      .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+      .select(col("q_doc"), col("p_doc").as("s3_doc"), col("p_blk").as("s3_blk"),
+        col("dot").as("s3_dot"), col("mmr").as("s3_mmr"))
+    s1.select(col("q_doc"), lit(1L).as("rank"), col("s1_doc").as("p_doc"),
+        col("s1_blk").as("p_blk"), col("s1_dot").as("dot"), col("s1_dot").as("mmr"))
+      .unionByName(s2.select(col("q_doc"), lit(2L).as("rank"),
+        col("s2_doc").as("p_doc"), col("s2_blk").as("p_blk"),
+        col("s2_dot").as("dot"), col("s2_mmr").as("mmr")))
+      .unionByName(s3.select(col("q_doc"), lit(3L).as("rank"),
+        col("s3_doc").as("p_doc"), col("s3_blk").as("p_blk"),
+        col("s3_dot").as("dot"), col("s3_mmr").as("mmr")))
+      .orderBy("q_doc", "rank")
+  }
+
+  /** DuckDB twin of [[ragMmr]] — identical candidate cut, identical
+    * three-stage argmax; candidate-candidate sims rebuilt from the
+    * sparse `sv` vectors (missing shared dims sum to 0 exactly like the
+    * dense zip_with). */
+  def ragMmrOracle: String =
+    s"""WITH $ragBaseCtes,
+       |$ragDenseCtes,
+       |cand AS (SELECT q_doc, p_doc, p_blk, dot
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY q_doc
+       |                 ORDER BY dot DESC, p_doc, p_blk) AS r FROM dots)
+       |         WHERE r <= $RAG_R),
+       |s1 AS (SELECT q_doc, p_doc AS s1_doc, p_blk AS s1_blk, dot AS s1_dot
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY q_doc
+       |               ORDER BY dot DESC, p_doc, p_blk) AS rn FROM cand)
+       |       WHERE rn = 1),
+       |sim1 AS (SELECT c.q_doc, c.p_doc, c.p_blk,
+       |                coalesce(sum(a.v * b.v), 0) AS sim
+       |         FROM cand c JOIN s1 USING (q_doc)
+       |         LEFT JOIN sv a ON a.doc_id = c.p_doc AND a.blk_idx = c.p_blk
+       |         LEFT JOIN sv b ON b.doc_id = s1.s1_doc AND b.blk_idx = s1.s1_blk
+       |                       AND b.d = a.d
+       |         GROUP BY 1, 2, 3),
+       |s2 AS (SELECT q_doc, p_doc AS s2_doc, p_blk AS s2_blk,
+       |              dot AS s2_dot, mmr AS s2_mmr
+       |       FROM (SELECT c.q_doc, c.p_doc, c.p_blk, c.dot,
+       |                    c.dot - sim1.sim AS mmr,
+       |                    row_number() OVER (PARTITION BY c.q_doc
+       |                      ORDER BY c.dot - sim1.sim DESC, c.p_doc, c.p_blk) AS rn
+       |             FROM cand c
+       |             JOIN s1 USING (q_doc)
+       |             JOIN sim1 ON sim1.q_doc = c.q_doc AND sim1.p_doc = c.p_doc
+       |                      AND sim1.p_blk = c.p_blk
+       |             WHERE NOT (c.p_doc = s1.s1_doc AND c.p_blk = s1.s1_blk))
+       |       WHERE rn = 1),
+       |sim2 AS (SELECT c.q_doc, c.p_doc, c.p_blk,
+       |                coalesce(sum(a.v * b.v), 0) AS sim
+       |         FROM cand c JOIN s2 USING (q_doc)
+       |         LEFT JOIN sv a ON a.doc_id = c.p_doc AND a.blk_idx = c.p_blk
+       |         LEFT JOIN sv b ON b.doc_id = s2.s2_doc AND b.blk_idx = s2.s2_blk
+       |                       AND b.d = a.d
+       |         GROUP BY 1, 2, 3),
+       |s3 AS (SELECT q_doc, p_doc AS s3_doc, p_blk AS s3_blk,
+       |              dot AS s3_dot, mmr AS s3_mmr
+       |       FROM (SELECT c.q_doc, c.p_doc, c.p_blk, c.dot,
+       |                    c.dot - greatest(sim1.sim, sim2.sim) AS mmr,
+       |                    row_number() OVER (PARTITION BY c.q_doc
+       |                      ORDER BY c.dot - greatest(sim1.sim, sim2.sim) DESC,
+       |                               c.p_doc, c.p_blk) AS rn
+       |             FROM cand c
+       |             JOIN s1 USING (q_doc) JOIN s2 USING (q_doc)
+       |             JOIN sim1 ON sim1.q_doc = c.q_doc AND sim1.p_doc = c.p_doc
+       |                      AND sim1.p_blk = c.p_blk
+       |             JOIN sim2 ON sim2.q_doc = c.q_doc AND sim2.p_doc = c.p_doc
+       |                      AND sim2.p_blk = c.p_blk
+       |             WHERE NOT (c.p_doc = s1.s1_doc AND c.p_blk = s1.s1_blk)
+       |               AND NOT (c.p_doc = s2.s2_doc AND c.p_blk = s2.s2_blk))
+       |       WHERE rn = 1)
+       |SELECT q_doc, CAST(1 AS BIGINT) AS rank, s1_doc AS p_doc,
+       |       CAST(s1_blk AS BIGINT) AS p_blk, CAST(s1_dot AS BIGINT) AS dot,
+       |       CAST(s1_dot AS BIGINT) AS mmr
+       |FROM s1
+       |UNION ALL
+       |SELECT q_doc, 2, s2_doc, CAST(s2_blk AS BIGINT), CAST(s2_dot AS BIGINT),
+       |       CAST(s2_mmr AS BIGINT)
+       |FROM s2
+       |UNION ALL
+       |SELECT q_doc, 3, s3_doc, CAST(s3_blk AS BIGINT), CAST(s3_dot AS BIGINT),
+       |       CAST(s3_mmr AS BIGINT)
+       |FROM s3
+       |ORDER BY q_doc, rank""".stripMargin
 
   /** DuckDB twin of [[ragHybrid]] — composes the dense and BM25 CTE
     * chains verbatim, ranks each leg to [[RAG_R]], fuses. */

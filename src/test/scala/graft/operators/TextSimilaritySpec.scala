@@ -264,6 +264,50 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got.head._2 == 3L)
   }
 
+  test("rag mmr equals an independent greedy reimplementation over sf0.001") {
+    val sfd = sf
+    val scored = Similarity.ragDenseScored(spark, sfd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vecs = Similarity.ragPassageVecs(spark, sfd).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = scored.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (q, rows) =>
+      val cand = rows.map { case (_, pd, pb, s) => (pd, pb, s) }
+        .sortBy { case (pd, pb, s) => (-s, pd, pb) }.take(Similarity.RAG_R)
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      val s1 = cand.head
+      sel += ((s1._1, s1._2, s1._3, s1._3))
+      for (_ <- 2 to 3) {
+        val pick = cand
+          .filter(c => !sel.exists(s => s._1 == c._1 && s._2 == c._2))
+          .map { c =>
+            val maxSim = sel.map(s => dot(vecs((c._1, c._2)), vecs((s._1, s._2)))).max
+            (c._1, c._2, c._3, c._3 - maxSim)
+          }
+          .minBy { case (pd, pb, _, m) => (-m, pd, pb) }
+        sel += pick
+      }
+      sel.zipWithIndex.map { case ((pd, pb, d0, m), i) =>
+        (q, (i + 1).toLong, pd, pb, d0, m) }
+    }
+    val got = Similarity.ragMmr(spark, sfd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    spark.catalog.clearCache() // ragMmr's candidate persist: caller releases
+    assert(got == want)
+    // diversification must actually bite somewhere: some query's MMR
+    // selection departs from the pure-relevance top-3
+    val pure = scored.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.map { case (_, pd, pb, s) => (pd, pb) }
+        .sortBy { case (pd, pb) => (-rows.find(r => r._2 == pd && r._3 == pb).get._4, pd, pb) }
+        .take(3)
+    }
+    val mmrSel = got.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.sortBy(_._2).map(r => (r._3, r._4)) }
+    assert(pure.exists { case (q, p) => mmrSel(q) != p })
+  }
+
   test("bm25 + rrf hybrid: integer scores match the hand-computed formula") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_bm25").toString
