@@ -218,6 +218,8 @@ object SparkEntry {
     "rag_mmr" -> ((s, dir) => Similarity.ragMmr(s, dir)),
     // CDC latest-snapshot compaction: one current row per key
     "scd_latest" -> ((s, dir) => Relational.scdLatest(s, dir)),
+    // SCD type-2 history: per-key validity intervals from the changelog
+    "scd2_history" -> ((s, dir) => Relational.scd2History(s, dir)),
     // MERGE INTO semantics: base ⟗ change set → insert/update/keep
     "merge_upsert" -> ((s, dir) => Relational.mergeUpsert(s, dir)),
     // Z-order (Morton) lake-layout key
@@ -857,6 +859,7 @@ object SparkEntry {
     "sql_q15" -> SqlQ15,
     "sql_q20" -> SqlQ20,
     "scd_latest" -> Relational.scdLatestOracle,
+    "scd2_history" -> Relational.scd2HistoryOracle,
     "zorder_key" -> Relational.zorderKeyOracle,
     "lake_compaction" -> Relational.compactionPlanOracle(),
     "ts_decompose" -> TimeSeries.decomposeOracle(),

@@ -993,6 +993,57 @@ object Relational {
       |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
       |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** Key restriction of [[scd2History]] (oracle-tractability device:
+    * the history build emits one row per change row, so the sweep-sf
+    * compare stays bounded by restricting to 1% of keys — the
+    * `join_theta_sampled` keepMod convention). */
+  val Scd2Mod = 100L
+
+  /** SCD type-2 history build — the versioned-dimension complement of
+    * [[scdLatest]]: per key the changelog becomes contiguous validity
+    * intervals — (version, valid_from, valid_to, is_current) — with
+    * `valid_to` = the NEXT version's start (lead) and the open current
+    * row capped at 9999-12-31, the standard warehouse convention.
+    *
+    * One shuffle on the key; version numbering, the interval ends and
+    * the current flag all come from a single window sort (never a
+    * self-join against max(ts) — the same single-pass argument as
+    * [[scdLatest]]). At 100 TB this is the dimension-history rebuild
+    * that runs after every CDC ingest; the changelog shuffles once. */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey") % Scd2Mod === 0)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("next_from", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey").cast("long").as("o_custkey"), col("version"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("next_from"), "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"),
+        when(col("next_from").isNull, 1L).otherwise(0L).as("is_current"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .orderBy("o_custkey", "version")
+  }
+
+  /** DuckDB twin of [[scd2History]] — identical ordering and interval
+    * construction. */
+  def scd2HistoryOracle: String =
+    s"""WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |             row_number() OVER (PARTITION BY o_custkey
+       |               ORDER BY o_orderdate, o_orderkey) AS version,
+       |             lead(o_orderdate) OVER (PARTITION BY o_custkey
+       |               ORDER BY o_orderdate, o_orderkey) AS next_from
+       |           FROM orders WHERE o_custkey % ${Scd2Mod} = 0)
+       |SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       |       CAST(version AS BIGINT) AS version, o_orderkey,
+       |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       |       coalesce(strftime(next_from, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+       |       CAST(CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+       |FROM w ORDER BY o_custkey, version""".stripMargin
+
   /** MERGE INTO semantics (the lakehouse upsert): a base snapshot
     * full-outer-joined with a change set, every key resolving to
     * insert / update / keep — the batch form of what

@@ -99,6 +99,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getLong(6) == -199666666L)
   }
 
+  test("scd2_history: contiguous validity intervals, one current row per key") {
+    val rows = Relational.scd2History(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4),
+        r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val s = vs.sortBy(_._2)
+      // dense version numbering from 1
+      assert(s.map(_._2).toSeq == (1L to s.length), s"key $k versions")
+      // each interval ends where the next begins; only the last is open
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"key $k gap: $a -> $b")
+        case _ =>
+      }
+      assert(s.last._4 == "9999-12-31" && s.last._5 == 1L)
+      assert(s.init.forall(_._5 == 0L), s"key $k multiple current rows")
+    }
+  }
+
   test("scd_latest keeps exactly one current row per key, the max (date, orderkey)") {
     val out = Relational.scdLatest(spark, sf).collect()
     val orders = Tables(spark, sf, "orders")
