@@ -226,6 +226,8 @@ object SparkEntry {
     "zorder_key" -> ((s, dir) => Relational.zorderKey(s, dir)),
     // small-file compaction planner: cumulative-size binning per lang
     "lake_compaction" -> ((s, dir) => Relational.compactionPlan(s, dir)),
+    // zone-map skipping planner: z-order vs natural layout, one box
+    "lake_skipping" -> ((s, dir) => Relational.lakeSkipping(s, dir)),
     // equal-frequency discretization (deterministic ntile binning)
     "feature_bins" -> ((s, dir) => Relational.featureBins(s, dir)),
     // RANGE frame (value-based window): customers with an account
@@ -862,6 +864,7 @@ object SparkEntry {
     "scd2_history" -> Relational.scd2HistoryOracle,
     "zorder_key" -> Relational.zorderKeyOracle,
     "lake_compaction" -> Relational.compactionPlanOracle(),
+    "lake_skipping" -> Relational.lakeSkippingOracle(),
     "ts_decompose" -> TimeSeries.decomposeOracle(),
     "feature_bins" -> Relational.featureBinsOracle(),
     "text_collocations" -> TextAnalysis.collocationsOracle(),

@@ -1131,6 +1131,118 @@ object Relational {
       |      i -> (((px >> i) & 1) << (2*i)) + (((sx >> i) & 1) << (2*i+1)))) AS BIGINT) AS zkey
       |FROM t ORDER BY zkey, l_orderkey, l_linenumber LIMIT 50""".stripMargin
 
+  /** Rows per simulated file in [[lakeSkipping]]. */
+  val SkipFileRows = 512L
+
+  /** File-skipping (zone-map) planner: the measurable case FOR the
+    * z-order layout. The fact table is laid out twice — natural
+    * (orderkey) order and [[mortonKey]] z-order — chunked into
+    * [[SkipFileRows]]-row files, and a 2-D box predicate
+    * (px ∈ [max/4, max/2), sx likewise — bounds derived from the data
+    * by exact integer division so the box scales with any sf) is
+    * planned against each layout's per-file min/max stats. Output: one
+    * row per layout — (layout, n_files, files_scanned,
+    * files_with_matches, rows_matching) — where `files_scanned` is the
+    * zone-map candidate count (min < hi AND max ≥ lo on both dims) and
+    * `rows_matching` must be layout-invariant (the built-in
+    * self-check). Z-order co-locates both dimensions, so its candidate
+    * set collapses toward the files that truly match, while the
+    * natural layout's px/sx zones span everything — THE reason a 100 TB
+    * lake z-orders its scan keys (Delta/Iceberg data skipping; the
+    * write path is [[graft.sources.Sinks.writeZOrdered]], tested for
+    * exactly this 2-D clustering).
+    *
+    * Scale shape: each layout costs one total-order window (the sort a
+    * real writer pays once at write time) and one file-keyed aggregate;
+    * the summaries are file-count-sized. The 1-row bounds aggregate
+    * broadcast-cross-joins (declared, the [[bloomSemiStats]] shape). */
+  def lakeSkipping(spark: SparkSession, sfDir: String,
+      fileRows: Long = SkipFileRows): DataFrame = {
+    val base = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        (col("l_partkey") % 65536).cast("long").as("px"),
+        (col("l_suppkey") % 65536).cast("long").as("sx"))
+      .withColumn("zkey", mortonKey(col("px"), col("sx")))
+    val bounds = base.agg(
+      expr("max(px) div 4").as("p_lo"), expr("max(px) div 2").as("p_hi"),
+      expr("max(sx) div 4").as("s_lo"), expr("max(sx) div 2").as("s_hi"))
+    def layout(name: String, ord: Seq[Column]): DataFrame = {
+      val rn = row_number().over(Window.orderBy(ord: _*))
+      val hit = col("px") >= col("p_lo") && col("px") < col("p_hi") &&
+        col("sx") >= col("s_lo") && col("sx") < col("s_hi")
+      base.crossJoin(broadcast(bounds))
+        .withColumn("rn", rn.cast("long"))
+        .withColumn("f", expr(s"(rn - 1) div $fileRows"))
+        .groupBy("f")
+        .agg(min("px").as("min_px"), max("px").as("max_px"),
+          min("sx").as("min_sx"), max("sx").as("max_sx"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_match"),
+          first("p_lo").as("p_lo"), first("p_hi").as("p_hi"),
+          first("s_lo").as("s_lo"), first("s_hi").as("s_hi"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("min_px") < col("p_hi") && col("max_px") >= col("p_lo") &&
+            col("min_sx") < col("s_hi") && col("max_sx") >= col("s_lo"),
+            1L).otherwise(0L)).as("files_scanned"),
+          sum(when(col("n_match") > 0, 1L).otherwise(0L)).as("files_with_matches"),
+          sum("n_match").as("rows_matching"))
+        .select(lit(name).as("layout"), col("n_files"), col("files_scanned"),
+          col("files_with_matches"), col("rows_matching"))
+    }
+    layout("natural", Seq(asc("l_orderkey"), asc("ln")))
+      .unionByName(layout("zorder", Seq(asc("zkey"), asc("l_orderkey"), asc("ln"))))
+      .orderBy("layout")
+  }
+
+  /** DuckDB twin of [[lakeSkipping]] — identical Morton key, file
+    * chunking, bounds derivation and zone-map test. */
+  def lakeSkippingOracle(fileRows: Long = SkipFileRows): String =
+    s"""WITH base AS (
+       |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+       |         CAST(l_partkey % 65536 AS BIGINT) AS px,
+       |         CAST(l_suppkey % 65536 AS BIGINT) AS sx,
+       |         CAST(list_sum(list_transform(range(0, 16),
+       |             i -> ((((l_partkey % 65536) >> i) & 1) << (2*i))
+       |                + ((((l_suppkey % 65536) >> i) & 1) << (2*i+1)))) AS BIGINT) AS zkey
+       |  FROM lineitem),
+       |bounds AS (SELECT max(px) // 4 AS p_lo, max(px) // 2 AS p_hi,
+       |                  max(sx) // 4 AS s_lo, max(sx) // 2 AS s_hi FROM base),
+       |nat AS (SELECT (row_number() OVER (ORDER BY l_orderkey, ln) - 1) // $fileRows AS f,
+       |               px, sx, p_lo, p_hi, s_lo, s_hi,
+       |               CASE WHEN px >= p_lo AND px < p_hi
+       |                     AND sx >= s_lo AND sx < s_hi THEN 1 ELSE 0 END AS m
+       |        FROM base CROSS JOIN bounds),
+       |zor AS (SELECT (row_number() OVER (ORDER BY zkey, l_orderkey, ln) - 1) // $fileRows AS f,
+       |               px, sx, p_lo, p_hi, s_lo, s_hi,
+       |               CASE WHEN px >= p_lo AND px < p_hi
+       |                     AND sx >= s_lo AND sx < s_hi THEN 1 ELSE 0 END AS m
+       |        FROM base CROSS JOIN bounds),
+       |natf AS (SELECT f, min(px) AS min_px, max(px) AS max_px,
+       |                min(sx) AS min_sx, max(sx) AS max_sx, sum(m) AS n_match,
+       |                any_value(p_lo) AS p_lo, any_value(p_hi) AS p_hi,
+       |                any_value(s_lo) AS s_lo, any_value(s_hi) AS s_hi
+       |         FROM nat GROUP BY f),
+       |zorf AS (SELECT f, min(px) AS min_px, max(px) AS max_px,
+       |                min(sx) AS min_sx, max(sx) AS max_sx, sum(m) AS n_match,
+       |                any_value(p_lo) AS p_lo, any_value(p_hi) AS p_hi,
+       |                any_value(s_lo) AS s_lo, any_value(s_hi) AS s_hi
+       |         FROM zor GROUP BY f)
+       |SELECT 'natural' AS layout, count(*) AS n_files,
+       |  CAST(sum(CASE WHEN min_px < p_hi AND max_px >= p_lo
+       |                 AND min_sx < s_hi AND max_sx >= s_lo
+       |            THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       |  CAST(sum(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_with_matches,
+       |  CAST(sum(n_match) AS BIGINT) AS rows_matching
+       |FROM natf
+       |UNION ALL
+       |SELECT 'zorder', count(*),
+       |  CAST(sum(CASE WHEN min_px < p_hi AND max_px >= p_lo
+       |                 AND min_sx < s_hi AND max_sx >= s_lo
+       |            THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(sum(CASE WHEN n_match > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(sum(n_match) AS BIGINT)
+       |FROM zorf
+       |ORDER BY layout""".stripMargin
+
   /** [[compactionPlan]] target output-file size — shared with the
     * oracle builder so query and oracle cannot drift. */
   val COMPACT_TARGET = 8192L

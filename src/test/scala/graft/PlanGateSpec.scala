@@ -34,6 +34,7 @@ class PlanGateSpec extends AnyFunSuite {
     "rag_hybrid" -> "contains the dense leg's declared broadcast-query-batch scan + the BM25 leg's 1-row stats cross-join",
     "rag_mmr" -> "contains the dense leg's declared broadcast-query-batch scan; the MMR stages themselves are equi-joins on the qxR candidate relation",
     "dq_expectations" -> "the three 1-row rule summaries (single-pass, uniqueness, referential) cross-join 1x1x1 into the rule rows",
+    "lake_skipping" -> "1-row box-bounds aggregate broadcast-cross-joined onto both layout simulations (the bloomSemiStats shape)",
     "ann_pq_topk" -> "PQ code scan: same broadcast-query-batch shape as brute (8 bytes/vector at scale)",
     "ann_recall" -> "evaluation harness over brute/sq (their NLJs) + 1-row count cross-joins",
     "ann_recall_sampled" -> "same harness over the %5-sampled corpus (its own quantizers) so recall stays oracle-checked at sf1+",

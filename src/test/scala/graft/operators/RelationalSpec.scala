@@ -99,6 +99,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getLong(6) == -199666666L)
   }
 
+  test("lake_skipping: zone maps never skip a matching file; z-order prunes") {
+    val r = Relational.lakeSkipping(spark, sf, fileRows = 64).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toMap
+    val (nat, zor) = (r("natural"), r("zorder"))
+    // same data, same predicate -> identical matching rows and file counts
+    assert(nat._1 == zor._1 && nat._4 == zor._4 && nat._4 > 0)
+    // a zone map may over-scan but can NEVER skip a file holding a match
+    assert(nat._2 >= nat._3 && zor._2 >= zor._3)
+    // the point of z-ordering: strictly fewer candidate files on a 2-D box
+    assert(zor._2 < nat._2, s"zorder ${zor._2} !< natural ${nat._2}")
+  }
+
   test("scd2_history: contiguous validity intervals, one current row per key") {
     val rows = Relational.scd2History(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4),
