@@ -882,7 +882,7 @@ object Relational {
     * each rule is (name, violation predicate) evaluable inside one
     * aggregate pass. Uniqueness and referential integrity need their
     * own shapes and are appended separately. */
-  private val DqSingle: Seq[(String, Column)] = Seq(
+  private[graft] val DqSingle: Seq[(String, Column)] = Seq(
     "completeness_l_shipdate" -> col("l_shipdate").isNull,
     "range_l_quantity_1_50" -> (col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
     "set_l_returnflag_ANR" -> !col("l_returnflag").isin("A", "N", "R"),
@@ -904,30 +904,41 @@ object Relational {
     * allows). The three 1-row summaries cross-join (1×1×1) and explode
     * into the rule rows — driver never sees the data. */
   def dqExpectations(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables(spark, sfDir, "lineitem")
+    val orders = Tables(spark, sfDir, "orders")
+    val uniqRow = orders.groupBy("o_orderkey")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_orders"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("v__uniq"))
+      .select(lit("uniqueness_o_orderkey").as("rule"),
+        col("n_orders").as("n_checked"), col("v__uniq").as("n_violations"))
+    dqStreamableRows(Tables(spark, sfDir, "lineitem"), orders)
+      .unionByName(uniqRow)
+      .withColumn("pass", when(col("n_violations") === 0L, 1L).otherwise(0L))
+      .orderBy("rule")
+  }
+
+  /** The batch-incremental subset of the [[dqExpectations]] rules —
+    * (rule, n_checked, n_violations) for the five row-local rules plus
+    * referential integrity. Every counter is a SUM over input rows
+    * (the anti join is per-row too), so per-micro-batch results merge
+    * by addition: the property [[graft.streaming.DqStream]] builds on.
+    * The orders-table uniqueness rule is NOT in this set — it is a
+    * dimension-side check, not a property of the streamed fact rows. */
+  private[graft] def dqStreamableRows(li: DataFrame, orders: DataFrame): DataFrame = {
     val singleAggs = count(lit(1)).as("n_rows") +:
       DqSingle.map { case (name, bad) =>
         sum(when(bad, 1L).otherwise(0L)).as(s"v__$name") }
     val single = li.agg(singleAggs.head, singleAggs.tail: _*)
-    val orders = Tables(spark, sfDir, "orders")
-    val uniq = orders.groupBy("o_orderkey")
-      .agg(count(lit(1)).as("c"))
-      .agg(sum(col("c")).as("n_orders"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("v__uniq"))
     val refv = li.join(orders,
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("v__ref"))
     val rules = DqSingle.map { case (name, _) =>
       struct(lit(name).as("rule"), col("n_rows").as("n_checked"),
-        col(s"v__$name").as("n_violations")) } ++ Seq(
-      struct(lit("uniqueness_o_orderkey").as("rule"),
-        col("n_orders").as("n_checked"), col("v__uniq").as("n_violations")),
+        col(s"v__$name").as("n_violations")) } :+
       struct(lit("ref_l_orderkey_in_orders").as("rule"),
-        col("n_rows").as("n_checked"), col("v__ref").as("n_violations")))
-    single.crossJoin(uniq).crossJoin(refv)
+        col("n_rows").as("n_checked"), col("v__ref").as("n_violations"))
+    single.crossJoin(refv)
       .select(explode(array(rules: _*)).as("r")).select("r.*")
-      .withColumn("pass", when(col("n_violations") === 0L, 1L).otherwise(0L))
-      .orderBy("rule")
   }
 
   /** DuckDB twin of [[dqExpectations]] — same rules, FILTER-aggregated. */

@@ -33,7 +33,7 @@ class PlanGateSpec extends AnyFunSuite {
     "rag_bm25" -> "1-row corpus-stats aggregate (N, L) broadcast-cross-joined onto the posting-intersection scores",
     "rag_hybrid" -> "contains the dense leg's declared broadcast-query-batch scan + the BM25 leg's 1-row stats cross-join",
     "rag_mmr" -> "contains the dense leg's declared broadcast-query-batch scan; the MMR stages themselves are equi-joins on the qxR candidate relation",
-    "dq_expectations" -> "the three 1-row rule summaries (single-pass, uniqueness, referential) cross-join 1x1x1 into the rule rows",
+    "dq_expectations" -> "the 1-row single-pass and referential rule summaries cross-join 1x1 into the rule rows",
     "lake_skipping" -> "1-row box-bounds aggregate broadcast-cross-joined onto both layout simulations (the bloomSemiStats shape)",
     "ann_pq_topk" -> "PQ code scan: same broadcast-query-batch shape as brute (8 bytes/vector at scale)",
     "ann_recall" -> "evaluation harness over brute/sq (their NLJs) + 1-row count cross-joins",

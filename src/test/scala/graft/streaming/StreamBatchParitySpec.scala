@@ -368,6 +368,45 @@ class StreamBatchParitySpec extends AnyFunSuite {
       "one-big-batch slicing must produce the identical ledger")
   }
 
+  test("parity: incremental DQ monitor == oracle-green dq_expectations, slicing-independent") {
+    // Stream the sf0.001 lineitem in 3 l_orderkey%3 files against the
+    // static orders dimension; the accumulated rule counters must
+    // row-equal the batch dq_expectations (itself oracle-green at the
+    // gate) on the streamable rules, under 1-file and one-big-batch
+    // slicings alike (counter merge is addition — associative).
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val src = Files.createTempDirectory("graft_dq_src").toString
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_dq_stage").toString
+      li.filter(col("l_orderkey") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    def runMonitor(maxFiles: Int): Set[Seq[Any]] = {
+      val snap = Files.createTempDirectory("graft_dq_snap").toString
+      val stream = spark.readStream
+        .schema(li.schema)
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .parquet(src)
+      val q = DqStream.monitorStream(spark, stream, orders, snap)
+      q.processAllAvailable(); q.stop()
+      rows(DqStream.currentReport(spark, snap))
+    }
+    val want = rows(batchQuery("dq_expectations")
+      .filter(col("rule") =!= "uniqueness_o_orderkey"))
+    assert(want.size == 6)
+    val got = runMonitor(1)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(runMonitor(10) == want,
+      "one-big-batch slicing must produce the identical report")
+  }
+
   test("parity: incremental passage ledger == oracle-green dedup_passage, slicing-independent") {
     // Stream the sf0.001 documents in 3 doc_id%3 files (file b1 holds
     // ids 1,4,7,… — NOT in global doc_id order), then summarize the
