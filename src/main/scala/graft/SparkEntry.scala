@@ -228,6 +228,8 @@ object SparkEntry {
     "lake_compaction" -> ((s, dir) => Relational.compactionPlan(s, dir)),
     // zone-map skipping planner: z-order vs natural layout, one box
     "lake_skipping" -> ((s, dir) => Relational.lakeSkipping(s, dir)),
+    // 2-itemset association rules over brand baskets, exact ppm metrics
+    "basket_rules" -> ((s, dir) => Relational.basketRules(s, dir)),
     // equal-frequency discretization (deterministic ntile binning)
     "feature_bins" -> ((s, dir) => Relational.featureBins(s, dir)),
     // RANGE frame (value-based window): customers with an account
@@ -865,6 +867,7 @@ object SparkEntry {
     "zorder_key" -> Relational.zorderKeyOracle,
     "lake_compaction" -> Relational.compactionPlanOracle(),
     "lake_skipping" -> Relational.lakeSkippingOracle(),
+    "basket_rules" -> Relational.basketRulesOracle(),
     "ts_decompose" -> TimeSeries.decomposeOracle(),
     "feature_bins" -> Relational.featureBinsOracle(),
     "text_collocations" -> TextAnalysis.collocationsOracle(),

@@ -1142,6 +1142,82 @@ object Relational {
       |      i -> (((px >> i) & 1) << (2*i)) + (((sx >> i) & 1) << (2*i+1)))) AS BIGINT) AS zkey
       |FROM t ORDER BY zkey, l_orderkey, l_linenumber LIMIT 50""".stripMargin
 
+  /** Top-rule count of [[basketRules]]. */
+  val BasketTopN = 50
+
+  /** Market-basket association rules (the Agrawal–Srikant 2-itemset
+    * core): baskets are orders, items are part BRANDS (a bounded
+    * 25-value vocabulary at every sf — the category level real basket
+    * analysis mines), and every directed rule a→b gets exact integer
+    * support/confidence/lift in ppm. Lift's cross product
+    * (c_pair·N·1e6) exceeds int64 by sf10, so the k²-row rule relation
+    * computes it in DECIMAL(38,0) ↔ HUGEINT — the [[statsOls]] device.
+    * Top [[BasketTopN]] by (lift DESC, antecedent, consequent).
+    *
+    * Scale shape: ONE distinct (order, brand) projection (brand joins
+    * in via broadcast of the part dimension at bench scale; at fact×
+    * fact scale the join shuffles on partkey), pair expansion bounded
+    * by items-per-order² (≤21 here; a wide-basket corpus would cap the
+    * per-basket item list like [[graft.operators.Dedup]]'s posting
+    * lists), then everything after the two count aggregates runs on
+    * brand²-sized relations — hundreds of rows regardless of corpus
+    * size. */
+  def basketRules(spark: SparkSession, sfDir: String,
+      topN: Int = BasketTopN): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val li = Tables(spark, sfDir, "lineitem")
+      .join(broadcast(Tables(spark, sfDir, "part")),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("br"))
+      .distinct()
+    val n = li.agg(countDistinct(col("o")).as("n_baskets"))
+    val items = li.groupBy("br").agg(count(lit(1)).as("ci"))
+    val pairs = li.as("x").join(li.as("y"), Seq("o"))
+      .where(col("x.br") < col("y.br"))
+      .groupBy(col("x.br").as("a"), col("y.br").as("b"))
+      .agg(count(lit(1)).as("cp"))
+    val rules = pairs.select(col("a").as("ant"), col("b").as("cons"), col("cp"))
+      .unionByName(pairs.select(col("b").as("ant"), col("a").as("cons"), col("cp")))
+      .join(items.select(col("br").as("ant"), col("ci").as("c_ant")), "ant")
+      .join(items.select(col("br").as("cons"), col("ci").as("c_cons")), "cons")
+      .crossJoin(broadcast(n))
+    rules.select(col("ant"), col("cons"), col("cp").as("n_pair"),
+        col("c_ant"), col("c_cons"), col("n_baskets"),
+        expr("cp * 1000000 div n_baskets").as("support_ppm"),
+        expr("cp * 1000000 div c_ant").as("confidence_ppm"),
+        (d(col("cp")) * d(col("n_baskets")) * d(lit(1000000L))).as("ln_"),
+        (d(col("c_ant")) * d(col("c_cons"))).as("ld_"))
+      .select(col("ant"), col("cons"), col("n_pair"), col("c_ant"), col("c_cons"),
+        col("support_ppm"), col("confidence_ppm"),
+        expr("ln_ div ld_").as("lift_ppm"))
+      .orderBy(desc("lift_ppm"), asc("ant"), asc("cons"))
+      .limit(topN)
+  }
+
+  /** DuckDB twin of [[basketRules]] — identical pair expansion and the
+    * identical HUGEINT lift chain. */
+  def basketRulesOracle(topN: Int = BasketTopN): String =
+    s"""WITH li AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS br
+       |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+       |n AS (SELECT count(DISTINCT o) AS n_baskets FROM li),
+       |items AS (SELECT br, count(*) AS ci FROM li GROUP BY br),
+       |pairs AS (SELECT x.br AS a, y.br AS b, count(*) AS cp
+       |          FROM li x JOIN li y ON x.o = y.o AND x.br < y.br
+       |          GROUP BY 1, 2),
+       |dir AS (SELECT a AS ant, b AS cons, cp FROM pairs
+       |        UNION ALL SELECT b, a, cp FROM pairs),
+       |r AS (SELECT ant, cons, cp, ia.ci AS c_ant, ic.ci AS c_cons, n_baskets
+       |      FROM dir JOIN items ia ON ia.br = ant
+       |               JOIN items ic ON ic.br = cons
+       |      CROSS JOIN n)
+       |SELECT ant, cons, cp AS n_pair, c_ant, c_cons,
+       |       CAST(cp * 1000000 // n_baskets AS BIGINT) AS support_ppm,
+       |       CAST(cp * 1000000 // c_ant AS BIGINT) AS confidence_ppm,
+       |       CAST(CAST(cp AS HUGEINT) * n_baskets * 1000000
+       |            // (CAST(c_ant AS HUGEINT) * c_cons) AS BIGINT) AS lift_ppm
+       |FROM r
+       |ORDER BY lift_ppm DESC, ant, cons LIMIT $topN""".stripMargin
+
   /** Rows per simulated file in [[lakeSkipping]]. */
   val SkipFileRows = 512L
 

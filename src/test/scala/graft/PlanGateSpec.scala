@@ -35,6 +35,7 @@ class PlanGateSpec extends AnyFunSuite {
     "rag_mmr" -> "contains the dense leg's declared broadcast-query-batch scan; the MMR stages themselves are equi-joins on the qxR candidate relation",
     "dq_expectations" -> "the 1-row single-pass and referential rule summaries cross-join 1x1 into the rule rows",
     "lake_skipping" -> "1-row box-bounds aggregate broadcast-cross-joined onto both layout simulations (the bloomSemiStats shape)",
+    "basket_rules" -> "1-row basket-count aggregate broadcast-cross-joined onto the brand-squared rule relation",
     "ann_pq_topk" -> "PQ code scan: same broadcast-query-batch shape as brute (8 bytes/vector at scale)",
     "ann_recall" -> "evaluation harness over brute/sq (their NLJs) + 1-row count cross-joins",
     "ann_recall_sampled" -> "same harness over the %5-sampled corpus (its own quantizers) so recall stays oracle-checked at sf1+",

@@ -99,6 +99,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getLong(6) == -199666666L)
   }
 
+  test("basket_rules: hand-computed support/confidence/lift in exact ppm") {
+    import spark.implicits._
+    // baskets {A,B} {A,B} {A,C} {B}: N=4, c(A)=3 c(B)=3 c(C)=1,
+    // pairs (A,B)=2 (A,C)=1 -> lift(A,C)=4e6//3=1333333 tops the list
+    val d = java.nio.file.Files.createTempDirectory("graft_basket").toString
+    val t = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    Seq((1L, 1L, t), (1L, 2L, t), (2L, 1L, t), (2L, 2L, t),
+      (3L, 1L, t), (3L, 3L, t), (4L, 2L, t))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    Seq((1L, "BA"), (2L, "BB"), (3L, "BC"))
+      .toDF("p_partkey", "p_brand").write.parquet(s"$d/part.parquet")
+    val rows = Relational.basketRules(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(rows.toSeq == Seq(
+      ("BA", "BC", 1L, 250000L, 333333L, 1333333L),
+      ("BC", "BA", 1L, 250000L, 1000000L, 1333333L),
+      ("BA", "BB", 2L, 500000L, 666666L, 888888L),
+      ("BB", "BA", 2L, 500000L, 666666L, 888888L)))
+  }
+
   test("lake_skipping: zone maps never skip a matching file; z-order prunes") {
     val r = Relational.lakeSkipping(spark, sf, fileRows = 64).collect()
       .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
