@@ -246,29 +246,42 @@ object Graphs {
     import spark.implicits._
     var cur = coOrderEdges(spark, sfDir)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def nodeCount(e: DataFrame): Long =
-      e.select(explode(array(col("a"), col("b"))).as("nd")).distinct().count()
-    var prevNodes = nodeCount(cur)
-    var prevEdges = cur.count()
+    // (n_nodes, n_edges) in ONE job: every edge contributes both
+    // endpoints, so edges = rows/2 and nodes = distinct endpoints
+    def stats(e: DataFrame): (Long, Long) = {
+      val r = e.select(explode(array(col("a"), col("b"))).as("nd"))
+        .agg(countDistinct(col("nd")).as("nn"), count(lit(1)).as("n2"))
+        .collect().head
+      (r.getLong(0), r.getLong(1) / 2)
+    }
+    var (prevNodes, prevEdges) = stats(cur)
     val rows = Seq.newBuilder[(Long, Long, Long, Long)]
     var round = 1L
     var done = false
     var prevCp: DataFrame = null
+    // peel unconditionally each round (2 jobs: checkpoint + stats); an
+    // empty bad set leaves the edge set unchanged, so removed == 0 IS
+    // the convergence test — no separate emptiness probe per round
     while (!done) {
+      // materialize the low-degree set ONCE (node-sized, shrinking);
+      // both broadcast anti-join builds then read the checkpointed
+      // blocks instead of re-running the degree aggregate each
       val bad = cur.select(explode(array(col("a"), col("b"))).as("nd"))
         .groupBy("nd").agg(count(lit(1)).as("d"))
         .filter(col("d") < k).select("nd")
-      if (bad.isEmpty) {
+        .localCheckpoint()
+      val next = cur
+        .join(broadcast(bad).withColumnRenamed("nd", "a"), Seq("a"), "left_anti")
+        .join(broadcast(bad).withColumnRenamed("nd", "b"), Seq("b"), "left_anti")
+        .select("a", "b")
+        .localCheckpoint()
+      releaseLocalCheckpoint(bad) // next is materialized; bad is dead
+      val (nNodes, nEdges) = stats(next)
+      if (nNodes == prevNodes) {
         rows += ((round, 0L, prevNodes, prevEdges))
+        releaseLocalCheckpoint(next)
         done = true
       } else {
-        val next = cur
-          .join(broadcast(bad).withColumnRenamed("nd", "a"), Seq("a"), "left_anti")
-          .join(broadcast(bad).withColumnRenamed("nd", "b"), Seq("b"), "left_anti")
-          .select("a", "b")
-          .localCheckpoint()
-        val nNodes = nodeCount(next)
-        val nEdges = next.count()
         rows += ((round, prevNodes - nNodes, nNodes, nEdges))
         if (prevCp != null) releaseLocalCheckpoint(prevCp)
         else cur.unpersist(blocking = false)
