@@ -19,3 +19,8 @@ if [[ -z "${SPARK_GRAFT_ONLY:-}" && -z "${SPARK_GRAFT_SKIP:-}" && "$SF" == *sf0.
   JSON_ARGS=(--json /root/repo/CORRECTNESS_LOCAL.json)
 fi
 python3 scripts/compare_oracle.py "$SF" "$OUT" "${JSON_ARGS[@]}"
+# second-engine division-semantics check: Python // FLOORS negatives
+# (the driver-DuckDB behavior) while local DuckDB 1.0.0 truncates —
+# replaying the negative-capable division chains under floor proves the
+# oracles are version-portable (the r10 stats_ols/ts_autocorr breach)
+python3 scripts/check_division_portability.py "$OUT"

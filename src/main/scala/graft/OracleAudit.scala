@@ -1,0 +1,268 @@
+package graft
+
+/** Static audit of oracle SQL for the division construct that produced
+  * the round-10 driver-oracle breach: an integer `//` whose operand can
+  * go NEGATIVE.
+  *
+  * DuckDB versions disagree on negative integer `//`: 1.0.0 truncates
+  * toward zero (matching Spark `div`), newer engines floor — so an
+  * oracle that divides a possibly-negative value is correct on one
+  * DuckDB version and wrong on another, invisible to any single-version
+  * local verify. The FIXTURES.md negative-// rule: only provably
+  * non-negative operands may cross `//` / `div`; signs are carried
+  * separately (`sign(x) * (abs(x) // den)` — identical under floor AND
+  * truncate semantics).
+  *
+  * Mechanics: every `//` site's MINIMAL operands are extracted with
+  * `*`-precedence (numerator = the maximal chain of `*`/`%`-connected
+  * primaries scanning backwards — an additive `+`/`-` terminates it;
+  * denominator = the single primary after). An operand offends when,
+  * outside `abs(...)`/`sign(...)` wrappers, it contains an inline
+  * subtraction or an alias whose defining line carries one (propagated
+  * alias→alias to fixpoint). Both operands are checked: floor-vs-
+  * truncate diverges on negative divisors too.
+  *
+  * Sites that are provably non-negative DESPITE a syntactic subtraction
+  * (prefix-sum differences, `row_number() - 1`, ceil-division idioms,
+  * Cauchy–Schwarz variance terms) are declared in [[allow]] with a
+  * one-line proof; the audit fails on any NEW undeclared site. Limit
+  * (by design): a negative SOURCE column with no subtraction anywhere
+  * is invisible statically — that class is covered by the
+  * floor-semantics replay (`scripts/check_division_portability.py`,
+  * run by verify_local.sh).
+  */
+object OracleAudit {
+
+  /** (query-name prefix, operand pattern) → proof of non-negativity.
+    * A violation is accepted iff some entry's prefix matches the query
+    * and its pattern matches the OFFENDING OPERAND (whitespace-
+    * collapsed): exact equality always, containment only for patterns
+    * of length >= 4 (so a one-letter alias can't wave through unrelated
+    * sites). Scoping allow to the offending operand — never the whole
+    * site — is what keeps `den` (a justified denominator) from
+    * whitelisting a signed NUMERATOR divided by den, i.e. the exact
+    * r10 breach shape. */
+  val allow: Seq[(String, String, String)] = Seq(
+    ("", "(pos - 1)",
+      "token positions are 1-based: pos - 1 >= 0"),
+    ("", "(2 * n_p - 2 * df + 1)",
+      "BM25 IDF factor: df <= n_p by construction (df counts passages containing the term), so 2*n_p - 2*df + 1 >= 1; every other factor in the operand is a product of counts"),
+    ("", "(cum - n_tok)",
+      "cum is the running sum INCLUDING n_tok: cum - n_tok >= 0 (prefix-sum packing idiom)"),
+    ("graph_triangles", "d * (d - 1)",
+      "degrees d >= 1, so d*(d-1) >= 0 (C(d,2) wedge count)"),
+    ("graph_triangles", "n_wedges",
+      "n_wedges is a sum of C(d,2) >= 0 terms"),
+    ("lake_skipping", "ln) - 1)",
+      "row_number() >= 1, so rn - 1 >= 0 (0-based file index)"),
+    ("dedup_jaccard_prefix", "+ 5 - 1)",
+      "ceil-division idiom (a + b - 1) // b with a >= 0, b >= 1"),
+    ("dedup_jaccard_prefix", "(na + nb - i)",
+      "i <= min(na, nb), so the union size na + nb - i >= max(na, nb) >= 1"),
+    ("dedup_chunk_stats", "dup_bytes, 0) * 1000000",
+      "dup_bytes is a sum of CDC chunk lengths (cut-position differences, each >= 0)"),
+    ("dedup_chunk_stats", "greatest(tot.n_bytes, 1)",
+      "n_bytes is a sum of chunk lengths >= 0; greatest(.., 1) bounds the divisor >= 1"),
+    ("", "22 * tf * l_tot",
+      "BM25 numerator: tf (term frequency) and l_tot (corpus token count) are counts >= 0"),
+    ("", "(2 * df + 1)",
+      "df is a document-frequency count >= 0, so 2*df + 1 >= 1"),
+    ("", "(10 * l_tot * tf + 3 * l_tot + 9 * plen * n_p)",
+      "BM25 denominator: l_tot/tf/plen/n_p are all counts >= 0; the l_tot term makes it >= 1 on any nonempty corpus"),
+    ("text_collocations", "c_xy *",
+      "c_xy is the bigram co-occurrence count(*) — the subtraction in its lineage is position pairing, the count is >= 0"),
+    ("join_bloom", "p",
+      "bit position p = (md5-derived nonneg hash) % m, >= 0"),
+    ("join_bloom", "op.p",
+      "bit position p = (md5-derived nonneg hash) % m, >= 0"),
+    ("multimodal_features", "y * 2",
+      "y/x are generate_series(0, h-1) pixel indices >= 0"),
+    ("multimodal_features", "x * 2",
+      "y/x are generate_series(0, h-1) pixel indices >= 0"),
+    ("multimodal_audio", "i * 4",
+      "i is a generate_series(0, ns-1) sample index >= 0"),
+    ("rag_hybrid", "(60 + r)",
+      "r is a row_number() rank >= 1 (RRF denominator)"),
+    ("stats_ols", "den",
+      "den = n*Sxx - Sx^2 >= 0 by Cauchy-Schwarz (the signed numerators are sign-separated)"),
+    ("ts_autocorr", "den_x",
+      "den_x = n*Sxx - Sx^2 >= 0 by Cauchy-Schwarz"),
+    ("ts_autocorr", "den_y",
+      "den_y = n*Syy - Sy^2 >= 0 by Cauchy-Schwarz")
+  )
+
+  private val absSignRe = "(?i)\\b(abs|sign)\\s*\\(".r
+
+  /** Replace every `abs(...)`/`sign(...)` span (balanced parens) with a
+    * neutral token so their contents can't trip the subtraction scan. */
+  private[graft] def neutralize(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      absSignRe.findPrefixMatchOf(s.substring(i)) match {
+        case Some(m) =>
+          var depth = 1
+          var j = i + m.end
+          while (j < s.length && depth > 0) {
+            if (s(j) == '(') depth += 1
+            else if (s(j) == ')') depth -= 1
+            j += 1
+          }
+          out.append("NEUTRAL")
+          i = j
+        case None =>
+          out.append(s(i)); i += 1
+      }
+    }
+    out.toString
+  }
+
+  private val aliasRe = "(?i)\\bAS\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+  private val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Words after `AS` that are CAST targets or keywords, not aliases. */
+  private val NonAliases = Set(
+    "BIGINT", "HUGEINT", "INTEGER", "INT", "SMALLINT", "TINYINT",
+    "DECIMAL", "DOUBLE", "FLOAT", "REAL", "VARCHAR", "TEXT", "DATE",
+    "TIMESTAMP", "BOOLEAN", "BLOB", "MATERIALIZED", "SELECT")
+
+  /** Aliases whose defining line carries a subtraction (or another
+    * signed alias), propagated to fixpoint. Line-granular by design —
+    * matches the one-alias-per-line oracle style of this repo.
+    * Over-approximates (a count defined NEXT TO a subtraction is
+    * marked); the [[allow]] list resolves those with proofs. */
+  private[graft] def signedAliases(sql: String): Set[String] = {
+    val lines = sql.split('\n').map(neutralize)
+    var signed = Set.empty[String]
+    var changed = true
+    while (changed) {
+      changed = false
+      for (line <- lines) {
+        val hasMinus = line.contains(" - ")
+        val hasSigned = identRe.findAllIn(line).exists(signed.contains)
+        if (hasMinus || hasSigned) {
+          for (m <- aliasRe.findAllMatchIn(line)) {
+            val a = m.group(1)
+            if (!signed.contains(a) && !NonAliases.contains(a.toUpperCase)) {
+              signed += a; changed = true
+            }
+          }
+        }
+      }
+    }
+    signed
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '.' || c == '\''
+
+  /** Minimal left operand of the `//` at `at`: the maximal backwards
+    * chain of `*`/`%`-connected primaries (`//` binds like `*`); an
+    * additive boundary terminates it. */
+  private[graft] def leftOperand(s: String, at: Int): String = {
+    var i = at - 1
+    var start = at
+    var continue = true
+    while (continue) {
+      while (i >= 0 && s(i).isWhitespace) i -= 1
+      if (i < 0) { continue = false }
+      else if (s(i) == ')') {
+        var depth = 1; i -= 1
+        while (i >= 0 && depth > 0) {
+          if (s(i) == ')') depth += 1 else if (s(i) == '(') depth -= 1
+          i -= 1
+        }
+        while (i >= 0 && isIdentChar(s(i))) i -= 1 // attached fn name
+        start = i + 1
+      } else if (isIdentChar(s(i))) {
+        while (i >= 0 && isIdentChar(s(i))) i -= 1
+        start = i + 1
+      } else {
+        continue = false
+      }
+      if (continue) {
+        val save = i
+        while (i >= 0 && s(i).isWhitespace) i -= 1
+        if (i >= 0 && (s(i) == '*' || s(i) == '%')) i -= 1
+        else { i = save; continue = false }
+      }
+    }
+    s.substring(start, at)
+  }
+
+  /** Minimal right operand: the single primary after the `//`
+    * (a following `*` starts a NEW factor of the enclosing product). */
+  private[graft] def rightOperand(s: String, at: Int): String = {
+    var i = at
+    while (i < s.length && s(i).isWhitespace) i += 1
+    val start = i
+    if (i < s.length && s(i) == '-') i += 1 // negative literal divisor: flagged by the minus
+    if (i < s.length && (s(i).isLetter || s(i) == '_')) {
+      while (i < s.length && isIdentChar(s(i))) i += 1
+      if (i < s.length && s(i) == '(') { // function call
+        var depth = 1; i += 1
+        while (i < s.length && depth > 0) {
+          if (s(i) == '(') depth += 1 else if (s(i) == ')') depth -= 1
+          i += 1
+        }
+      }
+    } else if (i < s.length && s(i) == '(') {
+      var depth = 1; i += 1
+      while (i < s.length && depth > 0) {
+        if (s(i) == '(') depth += 1 else if (s(i) == ')') depth -= 1
+        i += 1
+      }
+    } else {
+      while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+    }
+    s.substring(start, i)
+  }
+
+  private def collapseWs(s: String): String =
+    s.replaceAll("\\s+", " ").trim
+
+  /** Audit one oracle. Returns human-readable violations (empty = clean). */
+  def audit(name: String, sql: String): Seq[String] = {
+    val signed = signedAliases(sql)
+    // join margin-stripped lines so multi-line operands resolve, keeping
+    // a line-offset index for readable reports
+    val lines = sql.split('\n').map(_.replaceFirst("^\\s*\\|", " "))
+    val joined = lines.mkString(" ")
+    val lineStart = lines.scanLeft(0)((acc, l) => acc + l.length + 1)
+    def lineOf(off: Int): Int =
+      lineStart.lastIndexWhere(_ <= off) max 0
+    def offends(operand: String): Option[String] = {
+      val n = neutralize(operand)
+      if (n.contains(" - ") || n.matches(".*\\w\\s*-\\s*\\w.*"))
+        Some(s"inline subtraction")
+      else identRe.findAllIn(n).find(signed.contains)
+        .map(a => s"subtraction-lineage alias '$a'")
+    }
+    def allowed(operand: String): Boolean = {
+      val op = collapseWs(operand)
+      allow.exists { case (q, pat, _) =>
+        name.startsWith(q) && (op == pat || (pat.length >= 4 && op.contains(pat)))
+      }
+    }
+    val out = Seq.newBuilder[String]
+    var from = 0
+    while (joined.indexOf("//", from) >= 0) {
+      val at = joined.indexOf("//", from)
+      from = at + 2
+      val num = leftOperand(joined, at)
+      val den = rightOperand(joined, at + 2)
+      val site = collapseWs(s"$num // $den")
+      // each operand is judged independently: an allowed denominator
+      // must never excuse a signed numerator (the r10 breach shape)
+      val hit = offends(num).filterNot(_ => allowed(num)).map("numerator " + _)
+        .orElse(offends(den).filterNot(_ => allowed(den)).map("denominator " + _))
+      for (reason <- hit)
+        out += s"$name line ${lineOf(at) + 1}: $reason in `$site`"
+    }
+    out.result()
+  }
+
+  /** Audit a full oracle map; returns all violations. */
+  def auditAll(oracles: Map[String, String]): Seq[String] =
+    oracles.toSeq.sortBy(_._1).flatMap { case (n, s) => audit(n, s) }
+}

@@ -54,6 +54,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // negative-// audit over the FULL oracle map, run-then-dump oracles
+    // included (OracleAuditSpec can only see the static subset): a
+    // version-unportable division must fail the dump loudly, not ship
+    // to the driver's DuckDB (the r10 stats_ols/ts_autocorr breach)
+    val violations = OracleAudit.auditAll(SparkEntry.oracleSql)
+    if (violations.nonEmpty)
+      throw new IllegalStateException(
+        "negative-division oracle audit failed (FIXTURES.md negative-// " +
+          "rule):\n" + violations.mkString("\n"))
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

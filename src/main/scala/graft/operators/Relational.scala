@@ -409,9 +409,13 @@ object Relational {
     * cents; the slope/intercept are emitted as exact rational
     * numerator/denominator pairs (n·Σxy − Σx·Σy over n·Σx² − (Σx)²)
     * plus truncating integer-ppm ratios — no float mean, variance or
-    * division ever crosses engines (Spark `div` and DuckDB HUGEINT `//`
-    * both truncate toward zero on negatives, FIXTURES.md; DuckDB's
-    * DECIMAL `//` does NOT truncate, so the oracle computes in HUGEINT).
+    * division ever crosses engines. The ppm divisions are
+    * SIGN-SEPARATED (sign(num) · (|num| // den)): DuckDB versions
+    * disagree on whether negative HUGEINT `//` floors or truncates
+    * (the r10 driver-oracle breach, FIXTURES.md negative-// rule), but
+    * every floor/truncate semantic agrees on non-negative operands.
+    * DuckDB's DECIMAL `//` TRUE-divides, so the oracle computes in
+    * HUGEINT.
     *
     * Scale shape: ONE partial-aggregated scan computes the five
     * sufficient statistics per group (the classic map-side-combine
@@ -434,9 +438,18 @@ object Relational {
         (d(col("sy")) * d(col("sxx")) - d(col("sx")) * d(col("sxy"))).as("intercept_num"))
       .select(col("l_returnflag"), col("n"),
         col("slope_num"), col("slope_den"),
-        expr("slope_num * 1000000 div slope_den").as("slope_ppm"),
+        // sign-separated magnitude division (FIXTURES.md negative-//
+        // rule): the numerators go negative for some groups, and floor
+        // vs truncate semantics on negative integer division differ
+        // ACROSS DuckDB VERSIONS (the r10 driver-oracle breach). With
+        // only non-negative magnitudes crossing `div`/`//`, every
+        // engine/version agrees; values are unchanged (Spark div always
+        // truncated toward zero).
+        expr("cast(signum(slope_num) as bigint) * " +
+          "(abs(slope_num) * 1000000 div slope_den)").as("slope_ppm"),
         col("intercept_num"),
-        expr("intercept_num * 1000000 div slope_den").as("intercept_ppm"))
+        expr("cast(signum(intercept_num) as bigint) * " +
+          "(abs(intercept_num) * 1000000 div slope_den)").as("intercept_ppm"))
       .orderBy("l_returnflag")
   }
 
@@ -457,9 +470,9 @@ object Relational {
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
       |       CAST(num AS DECIMAL(38,0)) AS slope_num,
       |       CAST(den AS DECIMAL(38,0)) AS slope_den,
-      |       CAST(num * 1000000 // den AS BIGINT) AS slope_ppm,
+      |       CAST(CAST(sign(num) AS HUGEINT) * (abs(num) * 1000000 // den) AS BIGINT) AS slope_ppm,
       |       CAST(inum AS DECIMAL(38,0)) AS intercept_num,
-      |       CAST(inum * 1000000 // den AS BIGINT) AS intercept_ppm
+      |       CAST(CAST(sign(inum) AS HUGEINT) * (abs(inum) * 1000000 // den) AS BIGINT) AS intercept_ppm
       |FROM h ORDER BY l_returnflag""".stripMargin
 
   /** Interval (range) join: every event matched to the orders of the same

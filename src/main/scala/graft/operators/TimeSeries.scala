@@ -253,11 +253,13 @@ object TimeSeries {
     * value series: trend = centered (2·[[halfWin]]+1)-hour moving
     * average, seasonal = per hour-of-day mean deviation from trend,
     * residual = obs − trend − seasonal. Every component lives in exact
-    * integer micro-units: the only divisions are truncating integer
-    * sum/count divisions, which Spark `div` and DuckDB `//` evaluate
-    * identically (both truncate toward zero, negatives included) — so
-    * the whole decomposition hash-matches, unlike a float moving
-    * average.
+    * integer micro-units: the only divisions are SIGN-SEPARATED
+    * truncating integer sum/count divisions (sign(s) · (|s| div n) —
+    * the sums go negative, and DuckDB versions disagree on negative
+    * integer `//` floor-vs-truncate; only non-negative magnitudes may
+    * cross a division, FIXTURES.md negative-// rule) — so the whole
+    * decomposition hash-matches on any engine version, unlike a float
+    * moving average.
     *
     * Scale shape: the O(events) work is ONE hour-keyed aggregate
     * (map-side combinable); the moving average, hour-of-day aggregate
@@ -274,12 +276,14 @@ object TimeSeries {
       .agg(sum(round(col("value") * 1000000, 0).cast("long")).as("obs_micro"))
       .withColumn("tsum", sum("obs_micro").over(wT))
       .withColumn("tn", count(lit(1)).over(wT))
-      .withColumn("trend_micro", expr("tsum div tn"))
+      .withColumn("trend_micro",
+        expr("cast(signum(tsum) as bigint) * (abs(tsum) div tn)"))
       .withColumn("det", col("obs_micro") - col("trend_micro"))
       .withColumn("hod", expr("(hour_us div 3600000000) % 24"))
       .withColumn("ssum", sum("det").over(wS))
       .withColumn("sn", count(lit(1)).over(wS))
-      .withColumn("seasonal_micro", expr("ssum div sn"))
+      .withColumn("seasonal_micro",
+        expr("cast(signum(ssum) as bigint) * (abs(ssum) div sn)"))
       .select(col("hour_us"), col("obs_micro"), col("trend_micro"),
         col("seasonal_micro"),
         (col("det") - col("seasonal_micro")).as("resid_micro"))
@@ -293,10 +297,12 @@ object TimeSeries {
     * 1..[[AcfMaxLag]], kept exact: per lag the paired sufficient
     * statistics (n·Σxy − Σx·Σy and the two variance terms) are emitted
     * as exact DECIMAL(38,0) integers, and r² lands in ppm through the
-    * always-bounded two-stage floor chain (r_milli on each axis, then
-    * their product — the [[TextAnalysis]] collocations device; both
-    * engines replay the identical truncations, FIXTURES.md negatives
-    * note) with the sign of r carried separately. The exact sums mean
+    * always-bounded two-stage division chain over MAGNITUDES ONLY
+    * (|num|·1000 on each axis, then their product — the
+    * [[TextAnalysis]] collocations device, sign-separated per the
+    * FIXTURES.md negative-// rule since DuckDB versions disagree on
+    * negative HUGEINT `//`) with the sign of r carried separately in
+    * r_sign. The exact sums mean
     * any consumer can recompute r to full precision; the ppm column is
     * the cross-engine-pinned summary.
     *
@@ -331,7 +337,12 @@ object TimeSeries {
         (d(col("n_pairs")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).as("den_y"))
       .select(col("lag"), col("n_pairs"), col("num"), col("den_x"), col("den_y"),
         signum(col("num")).cast("long").as("r_sign"),
-        (expr("num * 1000 div den_x") * expr("num * 1000 div den_y"))
+        // magnitudes only (FIXTURES.md negative-// rule): both den terms
+        // are ≥ 0, so under truncation the signed product equals the
+        // |num| product — but only the |num| form is identical across
+        // DuckDB versions that floor negative HUGEINT `//` (the r10
+        // driver-oracle breach). The sign of r rides r_sign.
+        (expr("abs(num) * 1000 div den_x") * expr("abs(num) * 1000 div den_y"))
           .as("r2_ppm"))
       .orderBy("lag")
   }
@@ -359,29 +370,37 @@ object TimeSeries {
        |       CAST(den_x AS DECIMAL(38,0)) AS den_x,
        |       CAST(den_y AS DECIMAL(38,0)) AS den_y,
        |       CAST(sign(num) AS BIGINT) AS r_sign,
-       |       CAST((num * 1000 // den_x) * (num * 1000 // den_y) AS BIGINT) AS r2_ppm
+       |       CAST((abs(num) * 1000 // den_x) * (abs(num) * 1000 // den_y) AS BIGINT) AS r2_ppm
        |FROM h ORDER BY lag""".stripMargin
 
   /** DuckDB twin of [[decompose]] — identical micro-unit sums and the
-    * identical truncating division chain. */
+    * identical sign-separated truncating division chain (the sums go
+    * negative; FIXTURES.md negative-// rule). */
   def decomposeOracle(halfWin: Int = DECOMP_HALF_WIN): String =
     s"""WITH hourly AS (
        |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
        |         sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS obs_micro
        |  FROM events GROUP BY 1),
-       |t AS (SELECT hour_us, obs_micro,
-       |        CAST(sum(obs_micro) OVER w AS BIGINT) // (count(*) OVER w) AS trend_micro
+       |t0 AS (SELECT hour_us, obs_micro,
+       |        CAST(sum(obs_micro) OVER w AS BIGINT) AS tsum,
+       |        count(*) OVER w AS tn
        |      FROM hourly
        |      WINDOW w AS (ORDER BY hour_us
        |                   ROWS BETWEEN $halfWin PRECEDING AND $halfWin FOLLOWING)),
+       |t AS (SELECT hour_us, obs_micro,
+       |        CAST(sign(tsum) AS BIGINT) * (abs(tsum) // tn) AS trend_micro
+       |      FROM t0),
        |d AS (SELECT hour_us, obs_micro, trend_micro,
        |        obs_micro - trend_micro AS det,
        |        (hour_us // 3600000000) % 24 AS hod FROM t),
        |s AS (SELECT *, CAST(sum(det) OVER (PARTITION BY hod) AS BIGINT) AS ssum,
-       |        count(*) OVER (PARTITION BY hod) AS sn FROM d)
+       |        count(*) OVER (PARTITION BY hod) AS sn FROM d),
+       |z AS (SELECT hour_us, obs_micro, trend_micro, det,
+       |        CAST(sign(ssum) AS BIGINT) * (abs(ssum) // sn) AS seasonal_micro
+       |      FROM s)
        |SELECT hour_us, CAST(obs_micro AS BIGINT) AS obs_micro,
        |       CAST(trend_micro AS BIGINT) AS trend_micro,
-       |       CAST(ssum // sn AS BIGINT) AS seasonal_micro,
-       |       CAST(det - ssum // sn AS BIGINT) AS resid_micro
-       |FROM s ORDER BY hour_us""".stripMargin
+       |       CAST(seasonal_micro AS BIGINT) AS seasonal_micro,
+       |       CAST(det - seasonal_micro AS BIGINT) AS resid_micro
+       |FROM z ORDER BY hour_us""".stripMargin
 }

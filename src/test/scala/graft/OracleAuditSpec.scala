@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gate for the FIXTURES.md negative-// rule: no oracle may feed a
+  * possibly-negative operand to integer `//` (DuckDB versions disagree
+  * on floor-vs-truncate for negatives — the round-10 driver-oracle
+  * breach). Every justified syntactic subtraction is declared in
+  * [[OracleAudit.allow]] with a proof; anything new fails here. */
+class OracleAuditSpec extends AnyFunSuite {
+
+  test("every static oracle passes the negative-division audit") {
+    // the run-then-dump oracles (frozen centroids/codebooks/vocab) are
+    // absent before their queries run; Verify re-audits the FULL map at
+    // dump time, so they are gated on every verify run instead
+    val violations = OracleAudit.auditAll(SparkEntry.oracleSql)
+    assert(violations.isEmpty,
+      "negative-division audit violations:\n" + violations.mkString("\n"))
+  }
+
+  test("the audit catches the exact r10 breach construct (stats_ols pre-fix)") {
+    // the original oracle form: num is defined by a subtraction and
+    // crosses `//` bare — local DuckDB 1.0.0 truncated, the driver's
+    // floored, one row flipped
+    val breached =
+      """WITH h AS (SELECT CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |                  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+        |           FROM g)
+        |SELECT CAST(num * 1000000 // den AS BIGINT) AS slope_ppm FROM h""".stripMargin
+    val v = OracleAudit.audit("stats_ols_regression", breached)
+    assert(v.nonEmpty, "audit MUST flag the r10 breach form")
+    assert(v.exists(_.contains("num")), s"expected the signed alias 'num' flagged: $v")
+  }
+
+  test("the fixed sign-separated form is clean") {
+    val fixed =
+      """WITH h AS (SELECT CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |                  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+        |           FROM g)
+        |SELECT CAST(CAST(sign(num) AS HUGEINT) * (abs(num) * 1000000 // den) AS BIGINT) AS slope_ppm
+        |FROM h""".stripMargin
+    assert(OracleAudit.audit("stats_ols_fixed", fixed).isEmpty)
+  }
+
+  test("signed-alias propagation reaches aliases-of-aliases") {
+    val sql =
+      """WITH a AS (SELECT x - y AS det FROM t),
+        |b AS (SELECT sum(det) AS ssum FROM a)
+        |SELECT ssum // 24 AS r FROM b""".stripMargin
+    val v = OracleAudit.audit("propagation", sql)
+    assert(v.nonEmpty && v.exists(_.contains("ssum")), s"got: $v")
+  }
+
+  test("a multi-line numerator ending in a signed alias is caught") {
+    val sql =
+      """WITH a AS (SELECT x - y AS diff FROM t)
+        |SELECT CAST(CAST(diff AS HUGEINT) * 1000000
+        |            // total AS BIGINT) AS ppm FROM a""".stripMargin
+    val v = OracleAudit.audit("multiline", sql)
+    assert(v.nonEmpty && v.exists(_.contains("diff")), s"got: $v")
+  }
+
+  test("a subtraction in the DENOMINATOR is caught too") {
+    val sql = "SELECT i * 1000000 // (total - used) AS ppm FROM t"
+    assert(OracleAudit.audit("denominator", sql).nonEmpty)
+  }
+
+  test("negative literals and abs/sign wrappers do not false-positive") {
+    val sql =
+      """SELECT v // 10 AS a, abs(x - y) // 2 AS b, -5 AS c,
+        |       CAST(sign(x - y) AS BIGINT) * (abs(x - y) // 3) AS d
+        |FROM (VALUES (20, 7, 3, -0.5)) t(v, x, y, z)""".stripMargin
+    assert(OracleAudit.audit("clean", sql).isEmpty)
+  }
+}

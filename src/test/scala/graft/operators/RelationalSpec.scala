@@ -77,8 +77,10 @@ class RelationalSpec extends AnyFunSuite {
     // (1, $0.50) (2, $3.01) (3, $5.50): n=3 sx=6 sy=901 sxx=14 sxy=2302
     // slope_num=1500 den=6 -> slope exactly 250 cents/unit (ppm 250e6);
     // intercept_num=-1198 -> -1198e6/6 = -199666666.67 -> -199666666
-    // (truncation toward zero; floor would give ...67 — the case that
-    // pins Spark div parity with DuckDB HUGEINT //)
+    // (truncation toward zero; a flooring engine on the SIGNED form
+    // would give ...67 — the r10 driver breach. The sign-separated
+    // form sign(n)*( |n| div d ) keeps the truncated value on every
+    // engine version; this row pins it.)
     val d = java.nio.file.Files.createTempDirectory("graft_ols").toString
     val li = Tables(spark, sf, "lineitem")
     Seq((1L, 1L, 1L, 1, 1.0, 0.50, 0.0, 0.0, "A", "O", "1996-01-01"),
