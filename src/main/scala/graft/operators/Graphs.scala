@@ -25,6 +25,24 @@ import graft.sources.Tables
   */
 object Graphs {
 
+  /** Node-count threshold under which the node-sized relations (rank
+    * vectors, degree tables, peel bad-sets) get an explicit
+    * `broadcast()` hint. Above it the hint is DROPPED: the joins then
+    * co-partition on the node key across rounds (and AQE may still
+    * pick a broadcast from measured runtime stats — the point is that
+    * a data-proportional relation must never be FORCED into a
+    * broadcast build, which at billions of nodes is a driver/executor
+    * OOM). 1M nodes of (long, double) ≈ 16-24 MB — the same
+    * small-side economics as [[Dedup.COMPONENTS_LOCAL_EDGES]]. */
+  val GraphBroadcastMaxNodes = 1000000L
+
+  /** The size-guarded hint device: hint only while the MEASURED node
+    * count is under the limit; otherwise return the relation unhinted
+    * and let the planner decide from stats. */
+  private[operators] def maybeBroadcast(df: DataFrame, measured: Long,
+      limit: Long): DataFrame =
+    if (measured <= limit) broadcast(df) else df
+
   /** Distinct bipartite pairs of the 1997 trade graph: part nodes are
     * even ids (2·partkey), supplier nodes odd (2·suppkey + 1). The date
     * bound scopes the analysis window (and pushes down to the parquet
@@ -47,9 +65,13 @@ object Graphs {
     * ONCE and cached; the rank relation (node-sized — always ≪ edges)
     * broadcasts into a single hash join per round, so the edge list is
     * never shuffled inside the loop — one broadcast join + one partial-
-    * aggregated node-keyed shuffle per round. On a graph whose rank
-    * relation outgrows broadcast, drop the hint: both sides then
-    * co-partition on the node key across rounds.
+    * aggregated node-keyed shuffle per round. The hint is SIZE-GUARDED
+    * by the measured node count ([[GraphBroadcastMaxNodes]]): on a
+    * graph whose rank relation outgrows broadcast the engine drops the
+    * hint itself and both sides co-partition on the node key across
+    * rounds — a forced broadcast of a data-proportional relation would
+    * be an OOM at the 100 TB node scale, and an explicit hint would
+    * also stop AQE from re-planning.
     *
     * Cache contract: the degree-annotated edge list stays persisted —
     * the returned DataFrame is lazy and every downstream action replays
@@ -63,22 +85,27 @@ object Graphs {
     * RDD reference (ContextCleaner) — bounded at one node-sized relation
     * per invocation, not one per round. */
   def pageRank(spark: SparkSession, sfDir: String,
-      iters: Int = 2, topN: Int = 20): DataFrame = {
+      iters: Int = 2, topN: Int = 20,
+      bcastMaxNodes: Long = GraphBroadcastMaxNodes): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val p = pairs(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
-    // per-side degrees are node-sized → they BROADCAST back onto the
-    // pair list; the only full-width shuffles in the whole build are
-    // the distinct above and the two degree aggregates over the cache
+    // per-side degrees are node-sized → under the size guard they
+    // BROADCAST back onto the pair list; the only full-width shuffles
+    // in the whole build are the distinct above and the two degree
+    // aggregates over the cache
     val degA = p.groupBy("a").agg(count(lit(1)).as("da"))
     val degB = p.groupBy("b").agg(count(lit(1)).as("db"))
-    val withDeg = p.join(broadcast(degA), "a").join(broadcast(degB), "b")
+    val nodes = degA.select(col("a"), col("da").as("d"))
+      .unionByName(degB.select(col("b").as("a"), col("db").as("d")))
+    // every node has degree ≥ 1 (both directions); the count feeds both
+    // the uniform init and the broadcast size guard
+    val n = nodes.count()
+    val withDeg = p.join(maybeBroadcast(degA, n, bcastMaxNodes), "a")
+      .join(maybeBroadcast(degB, n, bcastMaxNodes), "b")
     val eDeg = withDeg.select(col("a"), col("b"), col("da").as("d"))
       .unionByName(withDeg.select(col("b").as("a"), col("a").as("b"),
         col("db").as("d")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = degA.select(col("a"), col("da").as("d"))
-      .unionByName(degB.select(col("b").as("a"), col("db").as("d")))
-    val n = nodes.count() // every node has degree ≥ 1 (both directions)
     var ranks = nodes.select(col("a").as("v"), round(lit(1.0) / n, 12).as("r"))
     // previous round's checkpointed plan — its blocks die once the next
     // round is materialized, so release them instead of pinning one
@@ -93,7 +120,8 @@ object Graphs {
       // classic iterative-lineage blowup. The k-means loop solves the
       // same problem with its driver-side centroid holder; ranks are
       // node-sized, too big to literalize.
-      val next = eDeg.join(broadcast(ranks), col("a") === col("v"))
+      val next = eDeg.join(maybeBroadcast(ranks, n, bcastMaxNodes),
+          col("a") === col("v"))
         .select(col("b").as("v2"), (col("r") / col("d")).as("c"))
         .groupBy(col("v2").as("v"))
         .agg(round(lit(0.15) / n + lit(0.85) * sum("c"), 12).as("r"))
@@ -226,8 +254,11 @@ object Graphs {
     * vanish), identical on both engines by construction.
     *
     * Scale shape: per round ONE degree aggregate (shuffle on the node
-    * key) and ONE two-sided anti join against the broadcast low-degree
-    * node set (node-sized, shrinking every round); the surviving edge
+    * key) and ONE two-sided anti join against the low-degree node set
+    * (node-sized, shrinking every round; its broadcast hint is
+    * SIZE-GUARDED by the measured surviving node count — above
+    * [[GraphBroadcastMaxNodes]] the anti joins co-partition on the
+    * node key instead of forcing a broadcast build); the surviving edge
     * set is `localCheckpoint`ed and the previous round's blocks are
     * released eagerly — the [[pageRank]] iterative-lineage device. The
     * driver sees only the 4 counters per round. Round count is bounded
@@ -241,7 +272,8 @@ object Graphs {
     * FIXTURES.md recursion hazards don't bite because no non-recursive
     * CTE is referenced in the recursive term and no list state rides
     * the recursion). */
-  def kcore(spark: SparkSession, sfDir: String, k: Int = CoreK): DataFrame = {
+  def kcore(spark: SparkSession, sfDir: String, k: Int = CoreK,
+      bcastMaxNodes: Long = GraphBroadcastMaxNodes): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
     var cur = coOrderEdges(spark, sfDir)
@@ -270,9 +302,15 @@ object Graphs {
         .groupBy("nd").agg(count(lit(1)).as("d"))
         .filter(col("d") < k).select("nd")
         .localCheckpoint()
+      // the bad set is bounded by the CURRENT surviving node count
+      // (prevNodes, shrinking every round) — size-guard the hint on it
+      val badA = maybeBroadcast(bad.withColumnRenamed("nd", "a"),
+        prevNodes, bcastMaxNodes)
+      val badB = maybeBroadcast(bad.withColumnRenamed("nd", "b"),
+        prevNodes, bcastMaxNodes)
       val next = cur
-        .join(broadcast(bad).withColumnRenamed("nd", "a"), Seq("a"), "left_anti")
-        .join(broadcast(bad).withColumnRenamed("nd", "b"), Seq("b"), "left_anti")
+        .join(badA, Seq("a"), "left_anti")
+        .join(badB, Seq("b"), "left_anti")
         .select("a", "b")
         .localCheckpoint()
       releaseLocalCheckpoint(bad) // next is materialized; bad is dead

@@ -94,4 +94,29 @@ class GraphsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(rows == Seq((1L, 3L, 0L, 0L), (2L, 0L, 0L, 0L)))
   }
+
+  test("broadcast size guard: hint under the threshold, plain relation above it") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val small = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    assert(hints(Graphs.maybeBroadcast(small, 10L, 100L)) == 1,
+      "measured count under the limit must carry the broadcast hint")
+    assert(hints(Graphs.maybeBroadcast(small, 1000L, 100L)) == 0,
+      "measured count over the limit must NOT force a broadcast — the " +
+        "join co-partitions (or AQE decides from runtime stats)")
+  }
+
+  test("over-threshold (unhinted) path computes identical pagerank and kcore results") {
+    // threshold 0 forces the co-partitioned join path everywhere; the
+    // trajectories and ranks must be bit-identical to the hinted plan
+    def pr(limit: Long) = Graphs.pageRank(spark, sf, bcastMaxNodes = limit)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(pr(0L) == pr(Graphs.GraphBroadcastMaxNodes))
+    def kc(limit: Long) = Graphs.kcore(spark, sf, bcastMaxNodes = limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(kc(0L) == kc(Graphs.GraphBroadcastMaxNodes))
+  }
 }
