@@ -119,8 +119,15 @@ object Bpe {
     * queries and the oracle dump (run-then-dump contract). */
   private[operators] def model(spark: SparkSession, sfDir: String): Model = {
     val m = reg.getOrElseUpdate(sfDir, {
+      // empty words (consecutive/leading/trailing spaces) are dropped
+      // EVERYWHERE — train, encode, and both oracle CTE chains: the
+      // oracle's recursion produces no id rows for '' so its enc CTE
+      // loses those positions while the Spark fold kept an n_tok=0 row
+      // that still joined and counted (ADVICE r10). One convention,
+      // filtered identically on both engines.
       val wf = Tables(spark, sfDir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
         .groupBy("w").agg(count(lit(1)).as("f"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       train(wf)
@@ -162,7 +169,8 @@ object Bpe {
           (acc.getField("n") + 1L).as("n")))
     })
     Tables(spark, sfDir, "documents")
-      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
       .select(w, folded.as("e"))
       .select(w, col("e.n").as("n_tok"), col("e.ids").as("ids"))
   }
@@ -176,6 +184,7 @@ object Bpe {
     val enc = encodeDistinctWords(spark, sfDir, m)
     val tok = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
     tok.join(broadcast(enc), Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"),
@@ -201,6 +210,7 @@ object Bpe {
         s => element_at(idToTok, s.cast("int") + 1)), "").as("dec"))
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
       .join(broadcast(dec), Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
@@ -219,6 +229,7 @@ object Bpe {
     val enc = encodeDistinctWords(spark, sfDir, m)
     val docTok = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
       .join(broadcast(enc.select("w", "n_tok")), Seq("w"))
       .groupBy("doc_id").agg(sum("n_tok").as("n_tok"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
@@ -242,7 +253,8 @@ object Bpe {
     val vals = m.vocab
       .map { case (t, i) => s"('${t.replace("'", "''")}', $i)" }
       .mkString(", ")
-    s"""words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+    s"""words AS (SELECT w FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+       |                         FROM documents) WHERE w <> ''),
        |vocab(tok, id) AS (SELECT * FROM (VALUES $vals) v(tok, id)),
        |steps AS (
        |  SELECT w, CAST(1 AS INT) AS pos, CAST(NULL AS BIGINT) AS id, 0 AS step FROM words
@@ -269,8 +281,10 @@ object Bpe {
       Map(
         "bpe_encode" ->
           s"""WITH RECURSIVE ${encOracleCtes(m)},
-             |tok AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS w
-             |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+             |tok AS (SELECT doc_id, pos, w FROM (
+             |          SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS w
+             |          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+             |        WHERE w <> '')
              |SELECT t.doc_id, count(*) AS n_words,
              |       CAST(sum(e.n_tok) AS BIGINT) AS n_tokens,
              |       md5(string_agg(e.ids, ' ' ORDER BY t.pos)) AS tok_hash
@@ -281,7 +295,9 @@ object Bpe {
              |dec AS (SELECT s.w, string_agg(v.tok, '' ORDER BY s.step) AS d
              |        FROM steps s JOIN vocab v ON v.id = s.id
              |        GROUP BY s.w),
-             |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |tok AS (SELECT doc_id, w FROM (
+             |          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |        WHERE w <> '')
              |SELECT t.doc_id, count(*) AS n_words,
              |       CAST(sum(CASE WHEN d.d = t.w THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
              |       CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
@@ -290,7 +306,9 @@ object Bpe {
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
         "pack_sequences_bpe" ->
           s"""WITH RECURSIVE ${encOracleCtes(m)},
-             |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |tok AS (SELECT doc_id, w FROM (
+             |          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |        WHERE w <> ''),
              |dt AS (SELECT doc_id, sum(e.n_tok) AS n_tok
              |       FROM tok JOIN enc e USING (w) GROUP BY doc_id),
              |c AS (SELECT doc_id, doc_id % 8 AS shard, n_tok,

@@ -366,12 +366,22 @@ object Graphs {
        |j AS (SELECT lv.r, nd.n_nodes, lv.n_edges,
        |             lag(nd.n_nodes) OVER (ORDER BY lv.r) AS prev_nodes
        |      FROM lv JOIN nd USING (r)),
+       |fin AS (SELECT r, n_nodes, n_edges FROM j WHERE r = (SELECT max(r) FROM j)),
+       |die AS (SELECT EXISTS (
+       |          SELECT 1 FROM (SELECT a AS nd FROM peel WHERE r = (SELECT max(r) FROM j)
+       |                         UNION ALL SELECT b AS nd FROM peel WHERE r = (SELECT max(r) FROM j)) t
+       |          GROUP BY nd HAVING count(*) < $k) AS all_die),
        |out AS (
        |  SELECT r AS round, prev_nodes - n_nodes AS n_removed, n_nodes, n_edges
        |  FROM j WHERE r >= 1
        |  UNION ALL
-       |  SELECT r + 1, 0, n_nodes, n_edges FROM j
-       |  WHERE r = (SELECT max(r) FROM j))
+       |  SELECT f.r + 1,
+       |         CASE WHEN d.all_die THEN f.n_nodes ELSE 0 END,
+       |         CASE WHEN d.all_die THEN 0 ELSE f.n_nodes END,
+       |         CASE WHEN d.all_die THEN 0 ELSE f.n_edges END
+       |  FROM fin f, die d
+       |  UNION ALL
+       |  SELECT f.r + 2, 0, 0, 0 FROM fin f, die d WHERE d.all_die)
        |SELECT CAST(round AS BIGINT) AS round, CAST(n_removed AS BIGINT) AS n_removed,
        |       CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges
        |FROM out ORDER BY round""".stripMargin

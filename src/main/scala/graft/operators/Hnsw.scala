@@ -169,16 +169,18 @@ object Hnsw {
     * The result rows freeze into the registry for the recall oracles;
     * the returned DataFrame is the frozen rows. */
   def topK(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5, keepMod: Option[Long] = None,
-      nShards: Int = 0): DataFrame = {
+      nQueries: Int = 10, k: Int = 5,
+      keepMod: Option[Long] = None): DataFrame = {
+    // no nShards parameter: the shard count is always the auto default.
+    // A caller-chosen count would change the graph (and hence the
+    // frozen pairs) while the registry key wouldn't see it — a stale
+    // cache hazard for zero expressive gain (ADVICE r10).
     val rows = reg.getOrElseUpdate((sfDir, keepMod, nQueries, k), {
       import spark.implicits._
       val p = Similarity.pointsFor(spark, sfDir, keepMod)
       // auto shard count: bounded per-shard graphs at any corpus size
-      val ns =
-        if (nShards > 0) nShards
-        else math.max(NShards.toLong,
-          (p.count() + ShardTarget - 1) / ShardTarget).toInt
+      val ns = math.max(NShards.toLong,
+        (p.count() + ShardTarget - 1) / ShardTarget).toInt
       val queries = p.filter(col("vec_id") < nQueries)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -220,7 +222,11 @@ object Hnsw {
     * (run-then-dump). Consumed by the recall oracles as the hnsw leg. */
   def pairsSql(sfDir: String, keepMod: Option[Long], nQueries: Int,
       k: Int = 5): Option[String] =
-    reg.get((sfDir, keepMod, nQueries, k)).map { rows =>
+    // an empty frozen row set would render `VALUES ` — a SQL syntax
+    // error, not an empty relation (ADVICE r10): degrade to None so the
+    // recall oracle falls back to the rows-only check like the other
+    // run-then-dump legs
+    reg.get((sfDir, keepMod, nQueries, k)).filter(_.nonEmpty).map { rows =>
       val vals = rows.map(t => s"(${t._1}, ${t._3})").mkString(", ")
       s"SELECT q_id, n_id FROM (VALUES $vals) t(q_id, n_id)"
     }

@@ -421,9 +421,12 @@ object Similarity {
     * the `ann_ivf_trained` prefix); the frozen PQ codebooks, encode,
     * ADC grouping and both ranks come from the same string pieces as
     * [[pqSqlFor]]. Empty until the PQ registry trained in this JVM
-    * (run-then-dump). */
+    * (run-then-dump). k/nprobe/rerank are THREADED (same defaults as
+    * [[ivfPqTopK]]) so a non-default query call can be given a
+    * matching oracle instead of silently drifting (ADVICE r10). */
   def ivfPqOracleSql(lloydPrefix: String, keepMod: Option[Long] = None,
-      nQueries: Int = nQueriesDefault): Option[String] =
+      nQueries: Int = nQueriesDefault, k: Int = kDefault,
+      nprobe: Int = nprobeDefault, rerank: Int = rerankDefault): Option[String] =
     pqLastDir.flatMap(d => pqReg.get((d, keepMod))).map { cbs =>
       s"""WITH $lloydPrefix,
          |p AS (SELECT vec_id, v FROM pts),
@@ -441,7 +444,7 @@ object Similarity {
          |             SELECT q.q_id, c.cid,
          |                    row_number() OVER (PARTITION BY q.q_id
          |                      ORDER BY list_distance(q.qv, c.c), c.cid) AS rn
-         |             FROM q CROSS JOIN cents2 c) WHERE rn <= $nprobeDefault),
+         |             FROM q CROSS JOIN cents2 c) WHERE rn <= $nprobe),
          |sc AS (SELECT q.q_id, enc.vec_id AS n_id, $pqAdcExpr AS adc
          |       FROM enc JOIN bkt USING (vec_id)
          |       JOIN probes pr ON bkt.bucket = pr.bucket
@@ -450,13 +453,13 @@ object Similarity {
          |cand AS (SELECT q_id, n_id FROM
          |           (SELECT q_id, n_id,
          |              row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM sc)
-         |         WHERE rn <= $rerankDefault),
+         |         WHERE rn <= $rerank),
          |s AS (SELECT c.q_id, c.n_id,
          |             list_inner_product(qp.v, np.v) / (sqrt(list_inner_product(qp.v, qp.v)) * sqrt(list_inner_product(np.v, np.v))) AS cos
          |      FROM cand c JOIN p qp ON qp.vec_id = c.q_id JOIN p np ON np.vec_id = c.n_id)
          |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
-         |WHERE rn <= $kDefault ORDER BY q_id, rank""".stripMargin
+         |WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
     }
 
   /** Registry-backed per-subspace codebooks for `sfDir` (trained once

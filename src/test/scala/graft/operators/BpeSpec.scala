@@ -91,4 +91,26 @@ class BpeSpec extends AnyFunSuite {
     assert(rows(0L) == (3L, 3L, 11L, 11L))
     assert(rows(1L) == (2L, 2L, 5L, 5L))
   }
+
+  test("empty words from repeated/leading/trailing spaces never count (ADVICE r10)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_bpe4").toString
+    // doc 0 has a DOUBLE space, doc 1 leading+trailing spaces: split()
+    // yields '' words, which the oracle's recursion drops — both sides
+    // must drop them, or n_words/tok_hash drift
+    Seq((0L, "abab  abc", "en", "s", 9L), (1L, " cd ", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = Bpe.model(spark, d)
+    val encWords = Bpe.encodeDistinctWords(spark, d, m).collect()
+      .map(_.getString(0)).toSet
+    assert(!encWords.contains(""), "'' must not reach the encode fold")
+    val rows = Bpe.encode(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(0L -> 2L, 1L -> 1L),
+      s"empty words must not count toward n_words: $rows")
+    val rt = Bpe.roundtrip(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rt == Map(0L -> (2L, 2L), 1L -> (1L, 1L)))
+  }
 }
