@@ -117,7 +117,7 @@ object Bpe {
   /** Frozen tokenizer for `sfDir` — trained once per JVM from the
     * corpus word-frequency table (vocab-sized collect), shared by the
     * queries and the oracle dump (run-then-dump contract). */
-  private[operators] def model(spark: SparkSession, sfDir: String): Model = {
+  private[graft] def model(spark: SparkSession, sfDir: String): Model = {
     val m = reg.getOrElseUpdate(sfDir, {
       // empty words (consecutive/leading/trailing spaces) are dropped
       // EVERYWHERE — train, encode, and both oracle CTE chains: the
@@ -146,7 +146,14 @@ object Bpe {
     * input (train-time invariant) but map to `-1`-advance-1 anyway so
     * the fold is total on any input. */
   private[operators] def encodeDistinctWords(spark: SparkSession, sfDir: String,
-      m: Model): DataFrame = {
+      m: Model): DataFrame =
+    encodeDistinctWordsOf(Tables(spark, sfDir, "documents"), m)
+
+  /** [[encodeDistinctWords]] over an arbitrary `(…, text)` relation —
+    * the form the streaming packer feeds micro-batches through (the
+    * vocab stays the FROZEN corpus-trained model, exactly like a
+    * production tokenizer fixed before ingest). */
+  private[graft] def encodeDistinctWordsOf(docs: DataFrame, m: Model): DataFrame = {
     val toksLit = array(m.byLenDesc.map(t => lit(t._1)): _*)
     val idsLit = array(m.byLenDesc.map(t => lit(t._2)): _*)
     val w = col("w")
@@ -168,7 +175,7 @@ object Bpe {
               .otherwise(concat(lit(" "), idStr))).as("ids"),
           (acc.getField("n") + 1L).as("n")))
     })
-    Tables(spark, sfDir, "documents")
+    docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "").distinct()
       .select(w, folded.as("e"))

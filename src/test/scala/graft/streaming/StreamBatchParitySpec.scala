@@ -502,4 +502,45 @@ class StreamBatchParitySpec extends AnyFunSuite {
       s"stream≠arrival-order replay: extra=${(got -- want).take(3)} " +
         s"missing=${(want -- got).take(3)}")
   }
+
+  test("parity: incremental BPE packer == oracle-green pack_sequences_bpe, slicing-independent") {
+    // Packing is a per-shard PREFIX-SUM partition, so the stream's
+    // contract is ascending doc_id arrival (monotone-id corpus ingest):
+    // slice the corpus into three doc_id RANGES with increasing mtimes.
+    // The carried per-shard token count must continue the prefix sum
+    // across batch boundaries, and a sequence straddling a boundary
+    // must accumulate by sum — any slicing then yields the ledger of
+    // the single-shot batch packing (itself oracle-green at the gate).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.agg(max("doc_id")).collect().head.getLong(0) + 1
+    val src = Files.createTempDirectory("graft_pack_src").toString
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_pack_stage").toString
+      docs.filter(col("doc_id") >= i * n / 3 && col("doc_id") < (i + 1) * n / 3)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    def runPacker(maxFiles: Int): Set[Seq[Any]] = {
+      val snap = Files.createTempDirectory("graft_pack_snap").toString
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .parquet(src)
+      val q = PackLedgerStream.packStream(spark, stream, sf, snap)
+      q.processAllAvailable(); q.stop()
+      rows(PackLedgerStream.currentPacking(spark, snap))
+    }
+    val want = rows(batchQuery("pack_sequences_bpe"))
+    assert(want.nonEmpty)
+    val got = runPacker(1)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(runPacker(10) == want,
+      "one-big-batch slicing must produce the identical packing ledger")
+  }
 }
