@@ -83,6 +83,8 @@ object OracleAudit {
       "i is a generate_series(0, ns-1) sample index >= 0"),
     ("rag_hybrid", "(60 + r)",
       "r is a row_number() rank >= 1 (RRF denominator)"),
+    ("sql_q14", "t",
+      "t = sum of cents x (100 - disc_pct) with disc_pct in [0, 100] — every term >= 0 (and p <= t, so the share is a true fraction)"),
     ("stats_ols", "den",
       "den = n*Sxx - Sx^2 >= 0 by Cauchy-Schwarz (the signed numerators are sign-separated)"),
     ("ts_autocorr", "den_x",

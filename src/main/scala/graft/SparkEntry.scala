@@ -214,6 +214,65 @@ object SparkEntry {
         .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(SqlQ20)
     }),
+    // TPC-H Q4 shape: priority count over orders with an EXISTS
+    // decorrelated to a left-semi join (returned-item orders — the
+    // fixture has no commit/receipt dates)
+    "sql_q4" -> ((s, dir) => {
+      Seq("orders", "lineitem")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ4)
+    }),
+    // TPC-H Q6 shape: single-scan predicate-band revenue aggregate —
+    // the canonical pushdown probe (every filter reaches the scan)
+    "sql_q6" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(SqlQ6)
+    }),
+    // TPC-H Q7 shape: cross-nation shipping volume per year through a
+    // 5-way join with a disjunctive nation-pair predicate (nation
+    // PARITY lanes — the 25-nation fixture is too sparse for one
+    // named pair at sf0.001)
+    "sql_q7" -> ((s, dir) => {
+      Seq("lineitem", "orders", "supplier", "customer", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ7)
+    }),
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // the classic fact-to-dims star join + deterministic top-k
+    "sql_q10" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ10)
+    }),
+    // TPC-H Q14 shape: promo revenue share — conditional sum over one
+    // scan; the ppm division follows the FIXTURES.md engine split
+    // (Spark DECIMAL(38,0) div / DuckDB HUGEINT //, both on
+    // non-negative operands) because cents×pct sums overflow int64·1e6
+    "sql_q14" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(s"WITH $SqlQ14Body\n$SqlQ14SelectSpark")
+    }),
+    // TPC-H Q16 shape: supplier-count-distinct per part attribute with
+    // a NOT EXISTS exclusion (anti join — NOT IN would plan the
+    // null-aware nested loop)
+    "sql_q16" -> ((s, dir) => {
+      Seq("part", "lineitem", "supplier")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ16)
+    }),
+    // TPC-H Q19 shape: disjunctive multi-band predicate over an
+    // equi-join (brand×size×quantity bands OR'ed — Catalyst keeps the
+    // hash join and applies the disjunction as a post-join filter)
+    "sql_q19" -> ((s, dir) => {
+      Seq("lineitem", "part")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ19)
+    }),
+    // Heaps-law vocabulary growth curve over the corpus ingest order
+    "text_heaps" -> ((s, dir) => TextAnalysis.heapsLaw(s, dir)),
+    // CUSUM change-point scan over the hourly event-count series
+    "ts_changepoint" -> ((s, dir) => TimeSeries.changepoint(s, dir)),
     // MMR diversification re-rank of the dense leg's top-R candidates
     "rag_mmr" -> ((s, dir) => Similarity.ragMmr(s, dir)),
     // CDC latest-snapshot compaction: one current row per key
@@ -862,6 +921,14 @@ object SparkEntry {
     "sql_q13" -> SqlQ13,
     "sql_q15" -> SqlQ15,
     "sql_q20" -> SqlQ20,
+    "sql_q4" -> SqlQ4,
+    "sql_q6" -> SqlQ6,
+    "sql_q7" -> SqlQ7,
+    "sql_q10" -> SqlQ10,
+    // Q14: shared body, engine-split ppm division (FIXTURES.md)
+    "sql_q14" -> s"WITH $SqlQ14Body\n$SqlQ14SelectDuck",
+    "sql_q16" -> SqlQ16,
+    "sql_q19" -> SqlQ19,
     "scd_latest" -> Relational.scdLatestOracle,
     "scd2_history" -> Relational.scd2HistoryOracle,
     "zorder_key" -> Relational.zorderKeyOracle,
@@ -1325,6 +1392,7 @@ object SparkEntry {
         |      > 4 * (st.s2 * st.c - st.s1 * st.s1)
         |ORDER BY d.event_type, d.day""".stripMargin,
     "ts_autocorr" -> TimeSeries.autocorrOracle(),
+    "ts_changepoint" -> TimeSeries.changepointOracle(),
     "ts_fill" ->
       """WITH h AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
         |                  count(*) AS n, round(avg(value), 6) AS v
@@ -1460,6 +1528,105 @@ object SparkEntry {
       |         AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |         AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
       |GROUP BY 1, 2, 3, 4 ORDER BY p_partkey, s_suppkey""".stripMargin
+
+  private val SqlQ4 =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private val SqlQ6 =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |              * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_c4,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin
+
+  private val SqlQ7 =
+    """SELECT CASE WHEN n1.n_nationkey % 2 = 0 THEN 'EVEN->ODD'
+      |            ELSE 'ODD->EVEN' END AS lane,
+      |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_c4
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
+      |    OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  private val SqlQ10 =
+    """SELECT c_custkey, c_name, n_name,
+      |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_c4
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue_c4 DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Q14's scan+conditional-sum body — shared VERBATIM by both engines;
+    * only the final ppm division differs (FIXTURES.md engine split:
+    * cents×pct sums × 1e6 overflow int64, so Spark divides in
+    * DECIMAL(38,0) and DuckDB in HUGEINT — both see only non-negative
+    * operands). */
+  private val SqlQ14Body =
+    """s AS (SELECT sum(CASE WHEN p_type = 'PROMO'
+      |                 THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+      |                 ELSE 0 END) AS p,
+      |             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS t
+      |      FROM lineitem JOIN part ON p_partkey = l_partkey
+      |      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')""".stripMargin
+
+  private val SqlQ14SelectSpark =
+    """SELECT CAST(p AS DECIMAL(38,0)) AS promo_c4, CAST(t AS DECIMAL(38,0)) AS total_c4,
+      |       CAST(CAST(p AS DECIMAL(38,0)) * 1000000 div t AS BIGINT) AS promo_ppm
+      |FROM s""".stripMargin
+
+  private val SqlQ14SelectDuck =
+    """SELECT CAST(p AS DECIMAL(38,0)) AS promo_c4, CAST(t AS DECIMAL(38,0)) AS total_c4,
+      |       CAST(CAST(p AS HUGEINT) * 1000000 // t AS BIGINT) AS promo_ppm
+      |FROM s""".stripMargin
+
+  private val SqlQ16 =
+    """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_size IN (1, 5, 9, 13, 17, 21, 25)
+      |  AND NOT EXISTS (SELECT 1 FROM supplier
+      |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 1000)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  private val SqlQ19 =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |              * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_c4,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
 
   private val SqlQ13 =
     """SELECT c_count, count(*) AS custdist
@@ -1914,6 +2081,7 @@ object SparkEntry {
         """SELECT w, count(DISTINCT doc_id) AS df, count(*) AS cf
           |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
           |GROUP BY w ORDER BY cf DESC, w LIMIT 100""".stripMargin,
+      "text_heaps" -> TextAnalysis.heapsOracle(),
       "text_tfidf" ->
         """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
           |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),

@@ -548,4 +548,62 @@ object TextAnalysis {
        |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
        |ORDER BY t.doc_id""".stripMargin
   }
+
+  /** Docs per [[heapsLaw]] growth bucket. */
+  val HeapsBucketDocs = 50L
+
+  /** Heaps-law vocabulary growth curve: ingest the corpus in doc_id
+    * order, bucketed [[HeapsBucketDocs]] docs at a time, and report per
+    * bucket the cumulative token count and cumulative DISTINCT-word
+    * vocabulary — the (N, V) pairs whose log-log slope is the Heaps
+    * exponent, the standard corpus-growth diagnostic a training-data
+    * pipeline tracks while crawling. Exact integers throughout: a
+    * word's contribution to vocabulary growth lands in the bucket of
+    * its FIRST occurrence (min bucket per word — associative, so the
+    * computation is one word-keyed aggregate, not a quadratic
+    * prefix-distinct).
+    *
+    * Scale shape: ONE corpus scan explodes words (narrow), one
+    * map-side-combinable word aggregate (the vocabulary shuffle), one
+    * bucket aggregate, then windows over the buckets-sized relation
+    * (bounded by design — corpus/[[HeapsBucketDocs]] rows). */
+  def heapsLaw(spark: SparkSession, sfDir: String,
+      bucketDocs: Long = HeapsBucketDocs): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables(spark, sfDir, "documents")
+      .select(expr(s"doc_id div $bucketDocs").as("bucket"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tokPerB = words.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val newPerB = words.groupBy("w").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_words"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokPerB.join(newPerB, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_words"))
+      .withColumn("n_tokens_cum", sum("n_tokens").over(w))
+      .withColumn("vocab_size", sum("n_new_words").over(w))
+      .select(col("bucket"), col("n_tokens_cum"), col("n_new_words"),
+        col("vocab_size"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB twin of [[heapsLaw]] — identical bucketing, first-bucket
+    * attribution and cumulative windows. */
+  def heapsOracle(bucketDocs: Long = HeapsBucketDocs): String =
+    s"""WITH wd AS (SELECT doc_id // $bucketDocs AS bucket,
+       |                  unnest(string_split(text, ' ')) AS w
+       |            FROM documents),
+       |wf AS (SELECT bucket, w FROM wd WHERE w <> ''),
+       |tok AS (SELECT bucket, count(*) AS n_tokens FROM wf GROUP BY bucket),
+       |nw AS (SELECT bucket, count(*) AS n_new_words
+       |       FROM (SELECT w, min(bucket) AS bucket FROM wf GROUP BY w)
+       |       GROUP BY bucket)
+       |SELECT t.bucket,
+       |       CAST(sum(t.n_tokens) OVER cw AS BIGINT) AS n_tokens_cum,
+       |       CAST(coalesce(nw.n_new_words, 0) AS BIGINT) AS n_new_words,
+       |       CAST(sum(coalesce(nw.n_new_words, 0)) OVER cw AS BIGINT) AS vocab_size
+       |FROM tok t LEFT JOIN nw ON t.bucket = nw.bucket
+       |WINDOW cw AS (ORDER BY t.bucket ROWS UNBOUNDED PRECEDING)
+       |ORDER BY t.bucket""".stripMargin
 }

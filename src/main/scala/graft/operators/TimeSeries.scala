@@ -373,6 +373,53 @@ object TimeSeries {
        |       CAST((abs(num) * 1000 // den_x) * (abs(num) * 1000 // den_y) AS BIGINT) AS r2_ppm
        |FROM h ORDER BY lag""".stripMargin
 
+  /** CUSUM change-point scan over the hourly event-count series: the
+    * classic mean-shift statistic S_i = Σ_{j≤i}(x_j − μ), kept EXACT by
+    * scaling with n (S'_i = n·cum_i − i·T — all integer, no division
+    * anywhere, so negative values are safe per the FIXTURES.md
+    * negative-// rule: they are only compared/abs'd, never divided).
+    * Output: the top-`topK` hours by |S'| — the candidate change
+    * points, each with its raw count and signed scaled CUSUM.
+    *
+    * Scale shape: ONE hour-keyed aggregate over the events (map-side
+    * combinable), then windows over the hours-sized series (bounded by
+    * design, same contract as [[decompose]]); the 1-row (n, T)
+    * aggregate broadcast-cross-joins on (PlanGateSpec-declared). */
+  def changepoint(spark: SparkSession, sfDir: String, topK: Int = 5): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("x"))
+    val stats = hourly.agg(count(lit(1)).as("n"), sum("x").as("t"))
+    val wc = Window.orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = hourly
+      .withColumn("cum", sum("x").over(wc))
+      .withColumn("idx", row_number().over(Window.orderBy("hour_us")).cast("long"))
+      .crossJoin(broadcast(stats))
+      .withColumn("cusum", col("n") * col("cum") - col("idx") * col("t"))
+    s.withColumn("rank",
+        row_number().over(Window.orderBy(abs(col("cusum")).desc, col("hour_us").asc))
+          .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("hour_us"), col("x"), col("cusum"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB twin of [[changepoint]] — identical integer CUSUM chain. */
+  def changepointOracle(topK: Int = 5): String =
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, count(*) AS x
+       |  FROM events GROUP BY 1),
+       |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS t FROM hourly),
+       |c AS (SELECT hour_us, x,
+       |        CAST(sum(x) OVER (ORDER BY hour_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |        row_number() OVER (ORDER BY hour_us) AS idx
+       |      FROM hourly),
+       |s AS (SELECT hour_us, x, n * cum - idx * t AS cusum FROM c CROSS JOIN st)
+       |SELECT CAST(row_number() OVER (ORDER BY abs(cusum) DESC, hour_us) AS BIGINT) AS rank,
+       |       hour_us, x, CAST(cusum AS BIGINT) AS cusum
+       |FROM s ORDER BY abs(cusum) DESC, hour_us LIMIT $topK""".stripMargin
+
   /** DuckDB twin of [[decompose]] — identical micro-unit sums and the
     * identical sign-separated truncating division chain (the sums go
     * negative; FIXTURES.md negative-// rule). */

@@ -48,7 +48,8 @@ class PlanGateSpec extends AnyFunSuite {
     "dedup_semantic_recall_sampled" -> "same eval, %5-sample-restricted pair sweep so the schedule's recall stays oracle-checked at sf1+",
     "kmeans_dbi" -> "k x k centroid-pair relation - k rows, never data-sized",
     "sample_importance" -> "1-row token-totals aggregate broadcast-cross-joined onto the ratio projection",
-    "text_collocations" -> "1-row token-total aggregate broadcast-cross-joined onto the pruned bigram relation")
+    "text_collocations" -> "1-row token-total aggregate broadcast-cross-joined onto the pruned bigram relation",
+    "ts_changepoint" -> "1-row (n, T) series-stats aggregate broadcast-cross-joined onto the hours-sized CUSUM relation")
 
   test("no undeclared query plans a cartesian product or nested-loop join") {
     val offenders = Seq.newBuilder[String]
