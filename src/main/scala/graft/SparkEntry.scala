@@ -385,6 +385,9 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, dir) => Pipeline.piiScrub(s, dir)),
     "sample_stratified" -> ((s, dir) => Pipeline.stratifiedSample(s, dir)),
     "sample_bottomk" -> ((s, dir) => Pipeline.bottomKSample(s, dir)),
+    // epoch-composition planning: weighted per-source quotas, filled by
+    // the bottom-k md5-priority reservoir
+    "sample_mixture" -> ((s, dir) => Pipeline.mixtureSample(s, dir)),
     // DSIR-style importance resampling: per-doc target/corpus unigram
     // likelihood ratio + deterministic proportional keep decision
     "sample_importance" -> ((s, dir) => Pipeline.importanceSample(s, dir)),
@@ -526,6 +529,8 @@ object SparkEntry {
     "ann_recall_sampled" -> ((s, dir) =>
       Similarity.recallEval(s, dir, keepMod = Some(5L), nQueries = 50)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
+    // Matryoshka prefix-dimension recall curve vs the full-dim truth
+    "ann_matryoshka" -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     // contrastive hard-negative mining: per-anchor top-k inside the
     // cosine band [0.15, 0.35) — related-but-not-duplicate corpus rows,
     // the negatives an embedding-model trainer actually wants
@@ -1279,6 +1284,7 @@ object SparkEntry {
     "text_pii_scrub" -> Pipeline.piiScrubOracle,
     "sample_stratified" -> Pipeline.stratifiedSampleOracle,
     "sample_bottomk" -> Pipeline.bottomKSampleOracle(),
+    "sample_mixture" -> Pipeline.mixtureSampleOracle(),
     "events_cep" -> Events.cepOracle(),
     "sample_importance" -> Pipeline.importanceSampleOracle,
     "decontaminate" -> Pipeline.decontaminateOracle,
@@ -1969,6 +1975,7 @@ object SparkEntry {
          |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
          |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann_matryoshka" -> Similarity.matryoshkaOracle,
     "ann_sq_topk" ->
       s"""WITH $cosp,
          |u AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM p),

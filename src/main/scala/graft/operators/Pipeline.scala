@@ -212,6 +212,90 @@ object Pipeline {
        |        FROM (SELECT lang, doc_id, md5('res_' || doc_id) AS m FROM documents)))
        |WHERE rn <= $k ORDER BY lang, rank""".stripMargin
 
+  // ------------------------------------------- source-mixture planning
+
+  /** Per-source mixing weights for [[mixtureSample]] (undeclared sources
+    * get [[MixDefaultWeight]]) and the epoch document budget — shared
+    * with the oracle builder so query and oracle cannot drift. */
+  val MixWeights: Seq[(String, Long)] = Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L)
+  val MixDefaultWeight = 1L
+  val MixBudget = 200L
+
+  /** Epoch-composition planning — the data-MIXING step of a training
+    * pipeline (cf. the Pile / DoReMi-style fixed source weights): each
+    * source receives an integer document quota proportional to its
+    * declared weight (`budget·w // Σw` — exact, non-negative), and the
+    * quota is filled by the source's bottom-`quota` md5-priority
+    * documents (the [[bottomKSample]] reservoir device — deterministic,
+    * partition/retry stable). Output per source: weight, availability,
+    * quota, how many the source actually filled, and the exact
+    * selected-id sum (pins the SELECTION, not just its size).
+    *
+    * Scale shape: one narrow scan builds (source, doc_id, priority);
+    * per-partition top-k heaps cap every partition at budget rows per
+    * source before the single exchange; the weight/total relation is
+    * sources-sized and the 1-row Σw aggregate broadcast-cross-joins on
+    * (PlanGateSpec-declared). */
+  def mixtureSample(spark: SparkSession, sfDir: String,
+      budget: Long = MixBudget): DataFrame = {
+    val wcol = coalesce(
+      element_at(
+        map(MixWeights.flatMap { case (s, w) => Seq(lit(s), lit(w)) }: _*),
+        col("source")),
+      lit(MixDefaultWeight))
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        HashOps.wordHashN(concat(lit("mix_"), col("doc_id").cast("string")), 15)
+          .as("priority"))
+    val wt = d.groupBy("source").agg(count(lit(1)).as("n_avail"))
+      .withColumn("weight", wcol)
+    val tot = wt.agg(sum("weight").as("wsum"))
+    val quotas = wt.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"$budget * weight div wsum"))
+      .select("source", "weight", "n_avail", "quota")
+    val ord = Seq(asc("priority"), asc("doc_id"))
+    val w = Window.partitionBy("source").orderBy(ord: _*)
+    val ranked = Relational.topkPerGroup(d, Seq(col("source")), ord, budget.toInt)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    val sel = ranked
+      .join(broadcast(quotas.select("source", "quota")), "source")
+      .filter(col("rnk") <= col("quota"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("doc_id").as("sel_docid_sum"))
+    quotas.join(sel, Seq("source"), "left")
+      .na.fill(0L, Seq("n_selected", "sel_docid_sum"))
+      .select(col("source"), col("weight"), col("n_avail"), col("quota"),
+        col("n_selected"), col("sel_docid_sum"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[mixtureSample]] — identical weights, quota
+    * arithmetic, priority kernel and tie-breaks. */
+  def mixtureSampleOracle(budget: Long = MixBudget): String = {
+    val cases = MixWeights
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    s"""WITH d AS (SELECT source, doc_id, ${HashOps.wordHashSqlN(15)} AS priority
+       |           FROM (SELECT source, doc_id, md5('mix_' || doc_id) AS m FROM documents)),
+       |wt AS (SELECT source, CASE source $cases ELSE $MixDefaultWeight END AS weight,
+       |              count(*) AS n_avail
+       |       FROM d GROUP BY source),
+       |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM wt),
+       |q AS (SELECT wt.source, wt.weight, wt.n_avail,
+       |             CAST($budget * wt.weight // tot.wsum AS BIGINT) AS quota
+       |      FROM wt CROSS JOIN tot),
+       |r AS (SELECT source, doc_id, row_number() OVER (
+       |        PARTITION BY source ORDER BY priority, doc_id) AS rnk FROM d),
+       |sel AS (SELECT r.source, count(*) AS n_selected, sum(r.doc_id) AS sel_docid_sum
+       |        FROM r JOIN q ON r.source = q.source AND r.rnk <= q.quota
+       |        GROUP BY r.source)
+       |SELECT q.source, CAST(q.weight AS BIGINT) AS weight,
+       |       CAST(q.n_avail AS BIGINT) AS n_avail, q.quota,
+       |       CAST(coalesce(sel.n_selected, 0) AS BIGINT) AS n_selected,
+       |       CAST(coalesce(sel.sel_docid_sum, 0) AS BIGINT) AS sel_docid_sum
+       |FROM q LEFT JOIN sel ON q.source = sel.source
+       |ORDER BY q.source""".stripMargin
+  }
+
   // ------------------------------------------- importance resampling (DSIR)
 
   /** Target-slice selector for [[importanceSample]]: a deterministic

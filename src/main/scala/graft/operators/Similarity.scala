@@ -99,6 +99,82 @@ object Similarity {
        |      FROM s WHERE cos >= $hardNegLoDefault AND cos < $hardNegHiDefault)
        |WHERE rn <= $kDefault ORDER BY q_id, rank""".stripMargin
 
+  /** Prefix dimensions evaluated by [[matryoshkaRecall]] — the largest
+    * is the full-dimension truth. */
+  val MrlDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka-representation retrieval evaluation (Kusupati et al.,
+    * NeurIPS 2022): rank the corpus by cosine over the first-d PREFIX
+    * of each embedding for d ∈ [[MrlDims]] and measure recall@k of each
+    * prefix against the full-dimension truth — the standard MRL
+    * trade-off curve (a production stack retrieves with a cheap prefix
+    * and reranks with the full vector; this measures what the prefix
+    * loses). One row per d: (dim, n_truth, n_hits, recall_ppm), recall
+    * in exact integer ppm (counts only — audit-clean division).
+    *
+    * Scale shape: one broadcast-query-batch scan per prefix dim (the
+    * [[bruteTopK]] declared NLJ shape; the prefix legs read the SAME
+    * cached corpus relation and score d/64 of each vector — exactly
+    * the bandwidth saving MRL exists for), per-partition top-k heaps
+    * before the only exchange. Cache contract: the points relation
+    * persists across the [[MrlDims]] legs; caller releases
+    * ([[sqTopK]]'s convention). */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String,
+      nQueries: Int = nQueriesDefault, k: Int = kDefault): DataFrame = {
+    val p = points(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def pairsFor(d: Int): DataFrame = {
+      val pv = slice(col("v"), 1, d)
+      val qv = slice(col("qv"), 1, d)
+      val scored = p.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (dot(qv, pv) / (sqrt(dot(qv, qv)) * sqrt(dot(pv, pv)))).as("cos"))
+      rankTopK(scored, k).select(col("q_id"), col("n_id"))
+    }
+    val truth = pairsFor(MrlDims.max)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val legs = MrlDims.map(d => pairsFor(d).withColumn("dim", lit(d.toLong)))
+      .reduce(_.unionByName(_))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    legs.join(truth, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("dim").agg(count(lit(1)).as("n_hits"))
+      .join(legs.groupBy("dim").agg(count(lit(1)).as("n_pairs")), "dim")
+      .crossJoin(broadcast(nTruth))
+      .select(col("dim"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+      .orderBy("dim")
+  }
+
+  /** DuckDB twin of [[matryoshkaRecall]] — identical prefix slices,
+    * fold kernels and tie-breaks per dim. */
+  def matryoshkaOracle: String = {
+    val maxD = MrlDims.max
+    def leg(d: Int): String =
+      s"""t$d AS (SELECT q_id, n_id FROM (
+         |  SELECT q.q_id, p.vec_id AS n_id,
+         |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |           list_inner_product(q.qv[1:$d], p.v[1:$d])
+         |             / (sqrt(list_inner_product(q.qv[1:$d], q.qv[1:$d]))
+         |                * sqrt(list_inner_product(p.v[1:$d], p.v[1:$d]))) DESC,
+         |           p.vec_id) AS rn
+         |  FROM q JOIN p ON p.vec_id <> q.q_id) WHERE rn <= $kDefault)""".stripMargin
+    val rows = MrlDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim,
+         |       (SELECT count(*) FROM t$maxD) AS n_truth,
+         |       (SELECT count(*) FROM t$d a JOIN t$maxD b
+         |        ON a.q_id = b.q_id AND a.n_id = b.n_id) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $nQueriesDefault),
+       |${MrlDims.map(leg).mkString(",\n")},
+       |r AS ($rows)
+       |SELECT dim, CAST(n_truth AS BIGINT) AS n_truth, CAST(n_hits AS BIGINT) AS n_hits,
+       |       CAST(n_hits * 1000000 // n_truth AS BIGINT) AS recall_ppm
+       |FROM r ORDER BY dim""".stripMargin
+  }
+
   /** IVF-style ANN: corpus is coarse-quantized to the literal centroid
     * set (Euclidean argmin — [[KMeansSteps]] assignment); each query
     * probes its `nprobe` nearest buckets and scores only those members.
