@@ -401,7 +401,9 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => Pipeline.repetitionStats(s, dir)),
     "profile_columns" -> ((s, dir) => Relational.profileColumns(s, dir)),
     // Deequ-style expectation sweep: per-rule violation counts + pass
-    "dq_expectations" -> ((s, dir) => Relational.dqExpectations(s, dir)))
+    "dq_expectations" -> ((s, dir) => Relational.dqExpectations(s, dir)),
+    // exact binned two-sample KS drift between two event-value windows
+    "dq_drift" -> ((s, dir) => Relational.dqDrift(s, dir)))
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> ((s, dir) => Events.retention(s, dir)),
@@ -1291,6 +1293,7 @@ object SparkEntry {
     "text_repetition" -> Pipeline.repetitionStatsOracle,
     "profile_columns" -> Relational.profileColumnsOracle,
     "dq_expectations" -> Relational.dqExpectationsOracle,
+    "dq_drift" -> Relational.dqDriftOracle,
     "stats_ols" -> Relational.statsOlsOracle) ++
     // composed E2E funnel: every stage's standalone oracle fragment
     // under ONE statement; gated on the frozen temperature (n, Z)

@@ -984,6 +984,79 @@ object Relational {
         "\nUNION ALL\n", "\n) ORDER BY rule")
   }
 
+  /** [[dqDrift]] comparison windows and ECDF grid — shared with the
+    * oracle builder so query and oracle cannot drift. */
+  val DriftWinA: (String, String) = ("2024-01-01 00:00:00", "2024-01-08 00:00:00")
+  val DriftWinB: (String, String) = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+
+  /** Two-sample Kolmogorov–Smirnov distribution-drift check between two
+    * time windows of the event `value` stream — the standard "did this
+    * week's data shift?" monitor of a data-quality stack, kept EXACT:
+    * values land on a deci-unit grid (binned KS — the grid is bounded
+    * by the VALUE RANGE, not the corpus, so the ECDF relation never
+    * grows with data), and the statistic is the integer
+    * D' = max |n_b·cumA(v) − n_a·cumB(v)| (the classic KS D times
+    * n_a·n_b — no float ECDF ever crosses engines). Output: the argmax
+    * grid value, both window sizes, D', and D in integer ppm via the
+    * FIXTURES.md engine-split division (n_a·n_b·1e6 overflows int64 at
+    * large windows: Spark DECIMAL(38,0) `div`, DuckDB HUGEINT `//`,
+    * operands non-negative by construction — |·| and counts).
+    *
+    * Scale shape: one scan builds both windows' per-bin counts (one
+    * grid-keyed aggregate, map-side combinable); the ECDF windows and
+    * the argmax run on the grid-sized relation (bounded by design); the
+    * 1-row (n_a, n_b) totals broadcast-cross-join on
+    * (PlanGateSpec-declared). */
+  def dqDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts"), expr("cast(round(value * 10, 0) as bigint)").as("v"))
+    def cnt(win: (String, String), name: String) =
+      ev.filter(col("ts") >= lit(win._1).cast("timestamp") &&
+          col("ts") < lit(win._2).cast("timestamp"))
+        .groupBy("v").agg(count(lit(1)).as(name))
+    val m = cnt(DriftWinA, "ca").join(cnt(DriftWinB, "cb"), Seq("v"), "full")
+      .na.fill(0L, Seq("ca", "cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = m.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    m.withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("d_scaled",
+        abs(col("n_b") * col("cuma") - col("n_a") * col("cumb")))
+      .orderBy(desc("d_scaled"), asc("v"))
+      .limit(1)
+      .select(col("v").as("at_value_deci"), col("n_a"), col("n_b"),
+        col("d_scaled"),
+        expr("cast(cast(d_scaled as decimal(38,0)) * 1000000 " +
+          "div (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("ks_ppm"))
+  }
+
+  /** DuckDB twin of [[dqDrift]] — identical grid, windows and integer
+    * KS chain (HUGEINT on the ppm division per the engine split). */
+  def dqDriftOracle: String =
+    s"""WITH ev AS (SELECT ts, CAST(round(value * 10, 0) AS BIGINT) AS v FROM events),
+       |a AS (SELECT v, count(*) AS ca FROM ev
+       |      WHERE ts >= TIMESTAMP '${DriftWinA._1}' AND ts < TIMESTAMP '${DriftWinA._2}'
+       |      GROUP BY v),
+       |b AS (SELECT v, count(*) AS cb FROM ev
+       |      WHERE ts >= TIMESTAMP '${DriftWinB._1}' AND ts < TIMESTAMP '${DriftWinB._2}'
+       |      GROUP BY v),
+       |m AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+       |      FROM a FULL OUTER JOIN b ON a.v = b.v),
+       |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM m),
+       |c AS (SELECT v,
+       |        CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+       |        CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+       |      FROM m),
+       |d AS (SELECT v, n_a, n_b, abs(n_b * cuma - n_a * cumb) AS d_scaled
+       |      FROM c CROSS JOIN t)
+       |SELECT v AS at_value_deci, n_a, n_b, CAST(d_scaled AS BIGINT) AS d_scaled,
+       |       CAST(CAST(d_scaled AS HUGEINT) * 1000000
+       |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm
+       |FROM d ORDER BY d_scaled DESC, v LIMIT 1""".stripMargin
+
   /** CDC latest-snapshot compaction (SCD type-1 read path): one current
     * row per key — here the most recent order per customer, ties broken
     * by the larger orderkey. The canonical change-log → snapshot collapse
