@@ -85,6 +85,10 @@ object OracleAudit {
       "r is a row_number() rank >= 1 (RRF denominator)"),
     ("sql_q14", "t",
       "t = sum of cents x (100 - disc_pct) with disc_pct in [0, 100] — every term >= 0 (and p <= t, so the share is a true fraction)"),
+    ("sql_q8", "t",
+      "t = sum of cents x (100 - disc_pct) with disc_pct in [0, 100] — every term >= 0"),
+    ("sql_q8", "CAST(p AS HUGEINT) * 1000000",
+      "p = conditional sum of the same non-negative cents x (100 - disc_pct) terms; p <= t"),
     ("stats_ols", "den",
       "den = n*Sxx - Sx^2 >= 0 by Cauchy-Schwarz (the signed numerators are sign-separated)"),
     ("ts_autocorr", "den_x",

@@ -253,6 +253,14 @@ object SparkEntry {
         .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(s"WITH $SqlQ14Body\n$SqlQ14SelectSpark")
     }),
+    // TPC-H Q8 shape: market share per year — the even-supplier lane's
+    // revenue share of the cross-parity trade; ppm division follows the
+    // FIXTURES.md engine split (same rationale as sql_q14)
+    "sql_q8" -> ((s, dir) => {
+      Seq("lineitem", "orders", "supplier", "customer", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(s"WITH $SqlQ8Body\n$SqlQ8SelectSpark")
+    }),
     // TPC-H Q16 shape: supplier-count-distinct per part attribute with
     // a NOT EXISTS exclusion (anti join — NOT IN would plan the
     // null-aware nested loop)
@@ -932,8 +940,9 @@ object SparkEntry {
     "sql_q6" -> SqlQ6,
     "sql_q7" -> SqlQ7,
     "sql_q10" -> SqlQ10,
-    // Q14: shared body, engine-split ppm division (FIXTURES.md)
+    // Q14/Q8: shared body, engine-split ppm division (FIXTURES.md)
     "sql_q14" -> s"WITH $SqlQ14Body\n$SqlQ14SelectDuck",
+    "sql_q8" -> s"WITH $SqlQ8Body\n$SqlQ8SelectDuck",
     "sql_q16" -> SqlQ16,
     "sql_q19" -> SqlQ19,
     "scd_latest" -> Relational.scdLatestOracle,
@@ -1617,6 +1626,39 @@ object SparkEntry {
     """SELECT CAST(p AS DECIMAL(38,0)) AS promo_c4, CAST(t AS DECIMAL(38,0)) AS total_c4,
       |       CAST(CAST(p AS HUGEINT) * 1000000 // t AS BIGINT) AS promo_ppm
       |FROM s""".stripMargin
+
+  /** Q8's join+conditional-share body — shared VERBATIM by both
+    * engines; only the final ppm division differs (the [[SqlQ14Body]]
+    * engine split, same non-negative operands). */
+  private val SqlQ8Body =
+    """b AS (SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |             CASE WHEN n1.n_nationkey % 2 = 0 THEN 1 ELSE 0 END AS is_even_supp,
+      |             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS vol
+      |      FROM lineitem
+      |      JOIN orders   ON l_orderkey = o_orderkey
+      |      JOIN supplier ON l_suppkey = s_suppkey
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE ((n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
+      |          OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0))
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+      |y AS (SELECT l_year,
+      |             sum(CASE WHEN is_even_supp = 1 THEN vol ELSE 0 END) AS p,
+      |             sum(vol) AS t
+      |      FROM b GROUP BY l_year)""".stripMargin
+
+  private val SqlQ8SelectSpark =
+    """SELECT l_year, CAST(p AS DECIMAL(38,0)) AS even_c4, CAST(t AS DECIMAL(38,0)) AS total_c4,
+      |       CAST(CAST(p AS DECIMAL(38,0)) * 1000000 div t AS BIGINT) AS share_ppm
+      |FROM y ORDER BY l_year""".stripMargin
+
+  private val SqlQ8SelectDuck =
+    """SELECT l_year, CAST(p AS DECIMAL(38,0)) AS even_c4, CAST(t AS DECIMAL(38,0)) AS total_c4,
+      |       CAST(CAST(p AS HUGEINT) * 1000000 // t AS BIGINT) AS share_ppm
+      |FROM y ORDER BY l_year""".stripMargin
 
   private val SqlQ16 =
     """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt

@@ -1007,16 +1007,29 @@ object Relational {
     * the argmax run on the grid-sized relation (bounded by design); the
     * 1-row (n_a, n_b) totals broadcast-cross-join on
     * (PlanGateSpec-declared). */
-  def dqDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, sfDir)
+  def dqDrift(spark: SparkSession, sfDir: String): DataFrame =
+    driftFromBins(driftBinCounts(Tables.events(spark, sfDir)))
+
+  /** Per-grid-bin counts of both [[DriftWinA]]/[[DriftWinB]] windows
+    * over an arbitrary events relation — `(v, ca, cb)`. ADDITIVE across
+    * corpus slices (counts sum), which is what makes the streaming twin
+    * ([[graft.streaming.DriftStream]]) slicing-independent. */
+  def driftBinCounts(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("ts"), expr("cast(round(value * 10, 0) as bigint)").as("v"))
-    def cnt(win: (String, String), name: String) =
-      ev.filter(col("ts") >= lit(win._1).cast("timestamp") &&
-          col("ts") < lit(win._2).cast("timestamp"))
-        .groupBy("v").agg(count(lit(1)).as(name))
-    val m = cnt(DriftWinA, "ca").join(cnt(DriftWinB, "cb"), Seq("v"), "full")
-      .na.fill(0L, Seq("ca", "cb"))
+    def in(win: (String, String)) =
+      col("ts") >= lit(win._1).cast("timestamp") &&
+        col("ts") < lit(win._2).cast("timestamp")
+    ev.filter(in(DriftWinA) || in(DriftWinB))
+      .groupBy("v")
+      .agg(sum(when(in(DriftWinA), 1L).otherwise(0L)).as("ca"),
+        sum(when(in(DriftWinB), 1L).otherwise(0L)).as("cb"))
+  }
+
+  /** The KS statistic over a merged `(v, ca, cb)` bin relation — the
+    * deterministic tail of [[dqDrift]], shared by batch and stream. */
+  def driftFromBins(m: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = m.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))

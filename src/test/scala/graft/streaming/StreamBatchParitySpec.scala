@@ -543,4 +543,25 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(runPacker(10) == want,
       "one-big-batch slicing must produce the identical packing ledger")
   }
+
+  test("parity: incremental KS drift monitor == oracle-green dq_drift, slicing-independent") {
+    // Bin counts merge by ADDITION — any slicing of the event stream
+    // (here: the real file + sentinel batches, 1-file and all-files
+    // triggers) must accumulate the identical grid ledger, and the KS
+    // tail is the SAME function the batch query runs.
+    def runMonitor(maxFiles: Int): Set[Seq[Any]] = {
+      val snap = Files.createTempDirectory("graft_drift_snap").toString
+      val stream = EventStream.readEvents(spark, dir, maxFilesPerTrigger = maxFiles)
+      val q = DriftStream.monitorStream(spark, stream, snap)
+      q.processAllAvailable(); q.stop()
+      rows(DriftStream.currentDrift(spark, snap))
+    }
+    val want = rows(batchQuery("dq_drift"))
+    assert(want.nonEmpty)
+    val got = runMonitor(1)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(runMonitor(10) == want,
+      "one-big-batch slicing must produce the identical drift report")
+  }
 }
