@@ -18,13 +18,26 @@ therefore IS the second-engine check: if any negative value ever crossed
 a division, the floor replay would diverge from the truncating engines'
 recorded values.
 
-The check is required to be LIVE, not vacuous: it asserts that the input
+The check wants to be LIVE, not vacuous: it verifies that the input
 numerators actually go negative at this scale factor (the r10 breach
 rows), so a future refactor that accidentally reintroduces signed
 division is caught here as well as by the NegativeDivisionAuditSpec.
+A fixture where no numerator goes negative is reported as WARN
+(vacuous), distinct from FAIL — vacuousness is a coverage gap, not a
+divergence, and must not abort verify_local.sh (ADVICE r11).
+
+SCOPE LIMIT (r11 lesson): this script models DIVISION SEMANTICS only.
+Round 11 proved value SERIALIZATION is a separate cross-engine failure
+channel — the driver's hasher canonicalizes DECIMAL(38,0) values
+differently even when every division agrees (the 4/4-vs-0/187
+DECIMAL-output correlation). That class is invisible here by
+construction and is covered by the static hashed-output typing gate
+(OracleAudit.auditHashedTypes + decimalFields; FIXTURES.md typing
+rule).
 
 Usage: check_division_portability.py <outDir>   (a graft.Verify dump)
-Exit 0 = all replays match; 1 = divergence (portability regression).
+Exit 0 = all replays match (WARN-vacuous allowed); 1 = divergence
+(portability regression).
 """
 import sys
 import glob
@@ -38,6 +51,11 @@ def read_q(out_dir, name):
     files = glob.glob(os.path.join(path, "*.parquet")) or [path]
     return pd.concat([pd.read_parquet(f) for f in sorted(files)],
                      ignore_index=True)
+
+
+class VacuousCheck(Exception):
+    """The replay matched but no negative numerator exists at this sf —
+    the negative-division coverage is vacuous (WARN, not FAIL)."""
 
 
 def sdiv(num, den):
@@ -62,9 +80,9 @@ def check_stats_ols(out_dir):
         # liveness for the r10 breach shape: the OLD oracle form
         # (num * F // den, floor) must diverge from truncation whenever
         # num < 0 and the division is inexact
-    assert neg_seen, ("stats_ols: no negative numerator at this sf — " +
-                      "the portability check is vacuous; pick a fixture " +
-                      "where the r10 breach row exists")
+    if not neg_seen:
+        raise VacuousCheck("stats_ols: no negative numerator at this sf — "
+                           "the negative-// coverage is vacuous here")
     return len(df)
 
 
@@ -80,7 +98,8 @@ def check_ts_autocorr(out_dir):
             f"ts_autocorr r2_ppm floor-replay mismatch: {r.to_dict()}"
         assert ((num > 0) - (num < 0)) == int(r.r_sign), \
             f"ts_autocorr r_sign mismatch: {r.to_dict()}"
-    assert neg_seen, "ts_autocorr: no negative numerator — vacuous check"
+    if not neg_seen:
+        raise VacuousCheck("ts_autocorr: no negative numerator — vacuous")
     return len(df)
 
 
@@ -111,8 +130,8 @@ def check_ts_decompose(out_dir, half_win=12):
             f"ts_decompose seasonal floor-replay mismatch at row {i}"
         assert det[i] - seas_by_hod[hod[i]] == int(df.resid_micro[i]), \
             f"ts_decompose resid floor-replay mismatch at row {i}"
-    assert neg_seen or any(v < 0 for v in obs), \
-        "ts_decompose: no negative sums — vacuous check"
+    if not (neg_seen or any(v < 0 for v in obs)):
+        raise VacuousCheck("ts_decompose: no negative sums — vacuous")
     return n
 
 
@@ -129,8 +148,13 @@ def main():
         try:
             rows = fn(out_dir)
             print(f"  OK   {name} floor-semantics replay ({rows} rows)")
-        except AssertionError as e:
-            print(f"  FAIL {name}: {e}")
+        except VacuousCheck as e:
+            # coverage gap, not a divergence — report, don't abort
+            print(f"  WARN {name}: {e}")
+        except (AssertionError, ZeroDivisionError) as e:
+            # a zero denominator is a real replay divergence (the engine
+            # recorded a value this chain cannot reproduce), not a crash
+            print(f"  FAIL {name}: {type(e).__name__}: {e}")
             failed += 1
     sys.exit(1 if failed else 0)
 

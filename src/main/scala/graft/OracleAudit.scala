@@ -97,6 +97,24 @@ object OracleAudit {
       "den_y = n*Syy - Sy^2 >= 0 by Cauchy-Schwarz")
   )
 
+  /** Mask the CONTENTS of single-quoted string literals with same-length
+    * 'x' runs (quotes kept, offsets preserved): a literal containing
+    * `//` (a URL, a salt prefix) or ` - ` must never be parsed as a
+    * division site or a subtraction. Escaped quotes (`''`) read as two
+    * adjacent literals — both masked, which is all the scan needs. */
+  private[graft] def neutralizeLiterals(s: String): String = {
+    val out = s.toCharArray
+    var i = 0
+    while (i < out.length) {
+      if (out(i) == '\'') {
+        var j = i + 1
+        while (j < out.length && out(j) != '\'') { out(j) = 'x'; j += 1 }
+        i = j + 1
+      } else i += 1
+    }
+    new String(out)
+  }
+
   private val absSignRe = "(?i)\\b(abs|sign)\\s*\\(".r
 
   /** Replace every `abs(...)`/`sign(...)` span (balanced parens) with a
@@ -138,7 +156,7 @@ object OracleAudit {
     * Over-approximates (a count defined NEXT TO a subtraction is
     * marked); the [[allow]] list resolves those with proofs. */
   private[graft] def signedAliases(sql: String): Set[String] = {
-    val lines = sql.split('\n').map(neutralize)
+    val lines = sql.split('\n').map(l => neutralize(neutralizeLiterals(l)))
     var signed = Set.empty[String]
     var changed = true
     while (changed) {
@@ -233,7 +251,8 @@ object OracleAudit {
     // join margin-stripped lines so multi-line operands resolve, keeping
     // a line-offset index for readable reports
     val lines = sql.split('\n').map(_.replaceFirst("^\\s*\\|", " "))
-    val joined = lines.mkString(" ")
+    // literal masking is same-length, so line offsets stay valid
+    val joined = neutralizeLiterals(lines.mkString(" "))
     val lineStart = lines.scanLeft(0)((acc, l) => acc + l.length + 1)
     def lineOf(off: Int): Int =
       lineStart.lastIndexWhere(_ <= off) max 0
@@ -268,7 +287,134 @@ object OracleAudit {
     out.result()
   }
 
-  /** Audit a full oracle map; returns all violations. */
+  // ---------------------------------------------------------------
+  // Hashed-output typing audit (FIXTURES.md typing rule, r12).
+  //
+  // Round 11 proved a second cross-engine failure channel besides
+  // division semantics: the driver's hasher canonicalizes
+  // DECIMAL(38,0) VALUES differently from the local DuckDB even when
+  // the math is identical (4 failing queries were exactly the 4 whose
+  // final SELECT emitted DECIMAL(38,0); sql_q14's single row was
+  // arithmetically identical under truncate, floor AND round). Rule:
+  // a hashed final SELECT may emit only BIGINT/INT, VARCHAR,
+  // DATE/TIMESTAMP, BOOLEAN, round(x,6) DOUBLE, or arrays thereof —
+  // never DECIMAL or HUGEINT (exact >int64 carriers ship as digit
+  // strings). Wide types remain fine INTERNALLY (a DECIMAL/HUGEINT
+  // cast nested inside an outer CAST(... AS BIGINT) is untouched).
+  //
+  // Static limit (by design): a bare alias whose CTE-side type is
+  // DECIMAL is invisible to this text scan — that side is covered by
+  // the Spark-schema gate ([[decimalFields]], asserted by
+  // SparkEntrySpec over every query and by Verify at dump time);
+  // schema_match then forces the oracle side too.
+  // ---------------------------------------------------------------
+
+  private val selectRe = "(?i)\\bSELECT\\b".r
+  private val fromRe = "(?i)\\bFROM\\b".r
+  private val castTypeRe = "(?i)\\bAS\\s+(DECIMAL|HUGEINT)".r
+  private val colonCastRe = "(?i)::\\s*(DECIMAL|HUGEINT)\\s*(\\(\\s*\\d+\\s*(,\\s*\\d+\\s*)?\\))?\\s*$".r
+
+  /** Offsets of regex matches that sit at paren depth 0 of `s`. */
+  private def depth0Matches(re: scala.util.matching.Regex, s: String): Seq[Int] = {
+    val depthAt = new Array[Int](s.length + 1)
+    var d = 0
+    var i = 0
+    while (i < s.length) {
+      depthAt(i) = d
+      if (s(i) == '(') d += 1 else if (s(i) == ')') d -= 1
+      i += 1
+    }
+    depthAt(s.length) = d
+    re.findAllMatchIn(s).map(_.start).filter(off => depthAt(off) == 0).toSeq
+  }
+
+  /** Split `s` on top-level (depth-0) commas. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '(') depth += 1
+      else if (s(i) == ')') depth -= 1
+      else if (s(i) == ',' && depth == 0) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** The declared type of a projection item whose OUTERMOST expression
+    * is a cast, or None when the outermost construct is not a cast. */
+  private[graft] def outermostCastType(itemRaw: String): Option[String] = {
+    // strip the output alias (trailing `AS ident`), if any
+    val item = itemRaw.trim.replaceAll("(?i)\\s+AS\\s+[A-Za-z_][A-Za-z0-9_]*\\s*$", "").trim
+    colonCastRe.findFirstMatchIn(item) match {
+      case Some(m) => return Some(m.group(1).toUpperCase)
+      case None =>
+    }
+    if (!item.toUpperCase.startsWith("CAST")) return None
+    val open = item.indexOf('(')
+    if (open < 0) return None
+    // the outer CAST's close paren must end the item
+    var depth = 1
+    var i = open + 1
+    var closedAt = -1
+    while (i < item.length && closedAt < 0) {
+      if (item(i) == '(') depth += 1
+      else if (item(i) == ')') { depth -= 1; if (depth == 0) closedAt = i }
+      i += 1
+    }
+    if (closedAt != item.length - 1) return None
+    val body = item.substring(open + 1, closedAt)
+    // the cast's own type keyword is the LAST depth-0 `AS <type>` in its body
+    val d0As = depth0Matches("(?i)\\bAS\\s+([A-Za-z]+)".r, body)
+    d0As.lastOption.flatMap { off =>
+      "(?i)\\bAS\\s+([A-Za-z]+)".r.findPrefixMatchOf(body.substring(off))
+        .map(_.group(1).toUpperCase)
+    }
+  }
+
+  /** Audit one oracle's FINAL projection for DECIMAL/HUGEINT output
+    * carriers. The final projection is the last depth-0 SELECT; its
+    * list ends at the next depth-0 FROM (or end of text). */
+  def auditHashedTypes(name: String, sql: String): Seq[String] = {
+    val joined = neutralizeLiterals(
+      sql.split('\n').map(_.replaceFirst("^\\s*\\|", " ")).mkString(" "))
+    val sel = depth0Matches(selectRe, joined).lastOption.getOrElse(return Nil)
+    val listStart = sel + "SELECT".length
+    val listEnd = depth0Matches(fromRe, joined).filter(_ > listStart)
+      .headOption.getOrElse(joined.length)
+    val items = splitTopLevel(joined.substring(listStart, listEnd))
+    items.flatMap { it =>
+      outermostCastType(it) match {
+        case Some(t) if t == "DECIMAL" || t == "HUGEINT" =>
+          Some(s"$name: hashed output column is $t (FIXTURES.md typing " +
+            s"rule: emit BIGINT or digit strings) in `${collapseWs(it)}`")
+        case _ => None
+      }
+    }
+  }
+
+  /** Dotted paths of every DecimalType field in a Spark schema,
+    * including array/map/struct nesting — the engine-side half of the
+    * typing rule (a hashed output schema must carry no DecimalType). */
+  def decimalFields(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(path)
+      case s: StructType => s.fields.toSeq.flatMap(f => walk(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => walk(a.elementType, s"$path[]")
+      case m: MapType => walk(m.keyType, s"$path<key>") ++ walk(m.valueType, s"$path<value>")
+      case _ => Nil
+    }
+    schema.fields.toSeq.flatMap(f => walk(f.dataType, f.name))
+  }
+
+  /** Audit a full oracle map; returns all violations (negative-division
+    * sites AND hashed-output DECIMAL/HUGEINT carriers). */
   def auditAll(oracles: Map[String, String]): Seq[String] =
-    oracles.toSeq.sortBy(_._1).flatMap { case (n, s) => audit(n, s) }
+    oracles.toSeq.sortBy(_._1).flatMap { case (n, s) =>
+      audit(n, s) ++ auditHashedTypes(n, s)
+    }
 }

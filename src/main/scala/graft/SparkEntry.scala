@@ -1617,13 +1617,20 @@ object SparkEntry {
       |      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')""".stripMargin
 
+  // Hashed-output typing rule (FIXTURES.md, r12): the wide DECIMAL/
+  // HUGEINT types stay INTERNAL to the ppm division — the emitted
+  // carriers are BIGINT (the c4 sums fit int64 through sf10: ~4.4e12 at
+  // sf0.01, linear in sf). r11 proved the driver's hasher renders
+  // DECIMAL(38,0) values differently from DuckDB VARCHAR/BIGINT even
+  // when the math is identical (the 4/4-vs-0/187 separator), so no
+  // DECIMAL may cross the final SELECT.
   private val SqlQ14SelectSpark =
-    """SELECT CAST(p AS DECIMAL(38,0)) AS promo_c4, CAST(t AS DECIMAL(38,0)) AS total_c4,
+    """SELECT CAST(p AS BIGINT) AS promo_c4, CAST(t AS BIGINT) AS total_c4,
       |       CAST(CAST(p AS DECIMAL(38,0)) * 1000000 div t AS BIGINT) AS promo_ppm
       |FROM s""".stripMargin
 
   private val SqlQ14SelectDuck =
-    """SELECT CAST(p AS DECIMAL(38,0)) AS promo_c4, CAST(t AS DECIMAL(38,0)) AS total_c4,
+    """SELECT CAST(p AS BIGINT) AS promo_c4, CAST(t AS BIGINT) AS total_c4,
       |       CAST(CAST(p AS HUGEINT) * 1000000 // t AS BIGINT) AS promo_ppm
       |FROM s""".stripMargin
 
@@ -1650,13 +1657,14 @@ object SparkEntry {
       |             sum(vol) AS t
       |      FROM b GROUP BY l_year)""".stripMargin
 
+  // BIGINT carriers for the same reason as [[SqlQ14SelectSpark]].
   private val SqlQ8SelectSpark =
-    """SELECT l_year, CAST(p AS DECIMAL(38,0)) AS even_c4, CAST(t AS DECIMAL(38,0)) AS total_c4,
+    """SELECT l_year, CAST(p AS BIGINT) AS even_c4, CAST(t AS BIGINT) AS total_c4,
       |       CAST(CAST(p AS DECIMAL(38,0)) * 1000000 div t AS BIGINT) AS share_ppm
       |FROM y ORDER BY l_year""".stripMargin
 
   private val SqlQ8SelectDuck =
-    """SELECT l_year, CAST(p AS DECIMAL(38,0)) AS even_c4, CAST(t AS DECIMAL(38,0)) AS total_c4,
+    """SELECT l_year, CAST(p AS BIGINT) AS even_c4, CAST(t AS BIGINT) AS total_c4,
       |       CAST(CAST(p AS HUGEINT) * 1000000 // t AS BIGINT) AS share_ppm
       |FROM y ORDER BY l_year""".stripMargin
 

@@ -34,9 +34,19 @@ object Verify {
     // alongside the dumps for compare_oracle.py to merge as err entries.
     val errors = Seq.newBuilder[(String, String)]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // hashed-output typing rule (FIXTURES.md, r12): the driver's
+        // hasher canonicalizes DECIMAL values differently from the
+        // local DuckDB (the r11 4-query breach) — fail the dump loudly
+        // before a DECIMAL-typed result ships to the compare
+        val dec = OracleAudit.decimalFields(df.schema)
+        if (dec.nonEmpty) throw new IllegalStateException(
+          s"$name emits DecimalType output (${dec.mkString(", ")}): " +
+            "hashed outputs must be BIGINT/STRING/DATE/DOUBLE " +
+            "(FIXTURES.md typing rule)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors += name -> s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
       }

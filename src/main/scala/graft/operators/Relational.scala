@@ -408,8 +408,12 @@ object Relational {
     * end-to-end: x = quantity (integer-valued), y = price in integer
     * cents; the slope/intercept are emitted as exact rational
     * numerator/denominator pairs (n·Σxy − Σx·Σy over n·Σx² − (Σx)²)
-    * plus truncating integer-ppm ratios — no float mean, variance or
-    * division ever crosses engines. The ppm divisions are
+    * as DIGIT STRINGS (the values exceed int64 at sf1, and the
+    * FIXTURES.md hashed-output typing rule bans DECIMAL carriers —
+    * r11 proved the driver hashes DECIMAL(38,0) values unequally even
+    * when mathematically identical) plus truncating integer-ppm
+    * ratios — no float mean, variance or division ever crosses
+    * engines. The ppm divisions are
     * SIGN-SEPARATED (sign(num) · (|num| // den)): DuckDB versions
     * disagree on whether negative HUGEINT `//` floors or truncates
     * (the r10 driver-oracle breach, FIXTURES.md negative-// rule), but
@@ -437,7 +441,16 @@ object Relational {
         (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).as("slope_den"),
         (d(col("sy")) * d(col("sxx")) - d(col("sx")) * d(col("sxy"))).as("intercept_num"))
       .select(col("l_returnflag"), col("n"),
-        col("slope_num"), col("slope_den"),
+        // hashed-output typing rule (FIXTURES.md, r12): the cross
+        // products exceed int64 at sf1, so the EXACT digits ship as
+        // strings — DECIMAL(38,0) stays internal to the division.
+        // r11 proved the driver's hasher canonicalizes DECIMAL(38,0)
+        // VALUES differently (mathematically-equal rows, matching
+        // schema, unequal hash: the 4/4-vs-0/187 separator), so no
+        // DECIMAL may cross a hashed final SELECT; digit strings hash
+        // identically everywhere.
+        col("slope_num").cast("string").as("slope_num"),
+        col("slope_den").cast("string").as("slope_den"),
         // sign-separated magnitude division (FIXTURES.md negative-//
         // rule): the numerators go negative for some groups, and floor
         // vs truncate semantics on negative integer division differ
@@ -447,7 +460,7 @@ object Relational {
         // truncated toward zero).
         expr("cast(signum(slope_num) as bigint) * " +
           "(abs(slope_num) * 1000000 div slope_den)").as("slope_ppm"),
-        col("intercept_num"),
+        col("intercept_num").cast("string").as("intercept_num"),
         expr("cast(signum(intercept_num) as bigint) * " +
           "(abs(intercept_num) * 1000000 div slope_den)").as("intercept_ppm"))
       .orderBy("l_returnflag")
@@ -468,10 +481,10 @@ object Relational {
       |             CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS inum
       |      FROM g)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-      |       CAST(num AS DECIMAL(38,0)) AS slope_num,
-      |       CAST(den AS DECIMAL(38,0)) AS slope_den,
+      |       CAST(num AS VARCHAR) AS slope_num,
+      |       CAST(den AS VARCHAR) AS slope_den,
       |       CAST(CAST(sign(num) AS HUGEINT) * (abs(num) * 1000000 // den) AS BIGINT) AS slope_ppm,
-      |       CAST(inum AS DECIMAL(38,0)) AS intercept_num,
+      |       CAST(inum AS VARCHAR) AS intercept_num,
       |       CAST(CAST(sign(inum) AS HUGEINT) * (abs(inum) * 1000000 // den) AS BIGINT) AS intercept_ppm
       |FROM h ORDER BY l_returnflag""".stripMargin
 

@@ -335,7 +335,15 @@ object TimeSeries {
         (d(col("n_pairs")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).as("num"),
         (d(col("n_pairs")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).as("den_x"),
         (d(col("n_pairs")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).as("den_y"))
-      .select(col("lag"), col("n_pairs"), col("num"), col("den_x"), col("den_y"),
+      .select(col("lag"), col("n_pairs"),
+        // hashed-output typing rule (FIXTURES.md, r12): the sufficient-
+        // statistic cross products ship as exact DIGIT STRINGS — the
+        // DECIMAL(38,0) math stays internal (r11: the driver hashes
+        // DECIMAL(38,0) values unequally even when mathematically
+        // identical; strings hash identically everywhere).
+        col("num").cast("string").as("num"),
+        col("den_x").cast("string").as("den_x"),
+        col("den_y").cast("string").as("den_y"),
         signum(col("num")).cast("long").as("r_sign"),
         // magnitudes only (FIXTURES.md negative-// rule): both den terms
         // are ≥ 0, so under truncation the signed product equals the
@@ -366,9 +374,9 @@ object TimeSeries {
        |             CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
        |      FROM g)
        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-       |       CAST(num AS DECIMAL(38,0)) AS num,
-       |       CAST(den_x AS DECIMAL(38,0)) AS den_x,
-       |       CAST(den_y AS DECIMAL(38,0)) AS den_y,
+       |       CAST(num AS VARCHAR) AS num,
+       |       CAST(den_x AS VARCHAR) AS den_x,
+       |       CAST(den_y AS VARCHAR) AS den_y,
        |       CAST(sign(num) AS BIGINT) AS r_sign,
        |       CAST((abs(num) * 1000 // den_x) * (abs(num) * 1000 // den_y) AS BIGINT) AS r2_ppm
        |FROM h ORDER BY lag""".stripMargin

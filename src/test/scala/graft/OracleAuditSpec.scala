@@ -42,6 +42,45 @@ class OracleAuditSpec extends AnyFunSuite {
     assert(OracleAudit.audit("stats_ols_fixed", fixed).isEmpty)
   }
 
+  test("typing audit flags the r11 breach form (DECIMAL in the final SELECT)") {
+    // the pre-r12 stats_ols projection: mathematically right, but the
+    // driver's hasher renders DECIMAL(38,0) values differently — the
+    // carrier type alone broke 4 queries in r11
+    val breached =
+      """WITH h AS (SELECT 1 AS n, CAST(2 AS HUGEINT) AS num, CAST(3 AS HUGEINT) AS den FROM g)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CAST(num AS DECIMAL(38,0)) AS slope_num,
+        |       CAST(den AS DECIMAL(38,0)) AS slope_den
+        |FROM h ORDER BY l_returnflag""".stripMargin
+    val v = OracleAudit.auditHashedTypes("stats_ols_pre_r12", breached)
+    assert(v.size == 2, s"expected both DECIMAL carriers flagged: $v")
+  }
+
+  test("typing audit allows DECIMAL/HUGEINT INTERNAL to an outer BIGINT cast") {
+    val fixed =
+      """WITH s AS (SELECT 1 AS p, 2 AS t FROM g)
+        |SELECT CAST(p AS BIGINT) AS promo_c4,
+        |       CAST(CAST(p AS HUGEINT) * 1000000 // t AS BIGINT) AS promo_ppm,
+        |       CAST(num AS VARCHAR) AS slope_num
+        |FROM s""".stripMargin
+    assert(OracleAudit.auditHashedTypes("sql_q14_r12", fixed).isEmpty)
+  }
+
+  test("typing audit flags a ::HUGEINT suffix cast and ignores CTE-internal DECIMAL") {
+    val sql =
+      """WITH h AS (SELECT CAST(x AS DECIMAL(38,0)) AS num FROM t)
+        |SELECT y::HUGEINT AS big FROM h""".stripMargin
+    val v = OracleAudit.auditHashedTypes("suffix_cast", sql)
+    assert(v.size == 1 && v.head.contains("HUGEINT"), s"got: $v")
+  }
+
+  test("division audit ignores `//` and ` - ` inside string literals") {
+    val sql =
+      """SELECT concat('http://x.y', name) AS url, a // b AS q
+        |FROM t WHERE tag <> 'pre - post'""".stripMargin
+    assert(OracleAudit.audit("literal_safety", sql).isEmpty)
+  }
+
   test("signed-alias propagation reaches aliases-of-aliases") {
     val sql =
       """WITH a AS (SELECT x - y AS det FROM t),

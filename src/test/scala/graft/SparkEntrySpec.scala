@@ -29,10 +29,17 @@ class SparkEntrySpec extends AnyFunSuite {
     // the driver's compare sorts columns BY NAME before hashing — a
     // duplicate or non-snake name silently breaks the hash match
     SparkEntry.queries.foreach { case (name, fn) =>
-      val cols = fn(spark, sf).schema.fieldNames.toSeq
+      val schema = fn(spark, sf).schema
+      val cols = schema.fieldNames.toSeq
       assert(cols.distinct.size == cols.size, s"$name has duplicate columns: $cols")
       cols.foreach(c => assert(c.matches("[a-z][a-z0-9_]*"),
         s"$name column '$c' is not lower_snake_case"))
+      // FIXTURES.md hashed-output typing rule (r12): no DecimalType may
+      // cross an output schema — the driver's hasher canonicalizes
+      // DECIMAL values differently from the local DuckDB (the r11
+      // 4-query breach; exact >int64 carriers ship as digit strings)
+      val dec = OracleAudit.decimalFields(schema)
+      assert(dec.isEmpty, s"$name emits DecimalType output: $dec")
     }
   }
 
