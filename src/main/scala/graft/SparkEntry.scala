@@ -261,6 +261,32 @@ object SparkEntry {
         .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(s"WITH $SqlQ8Body\n$SqlQ8SelectSpark")
     }),
+    // TPC-H Q9 shape: profit (revenue − retail cost) by nation and
+    // ship year — the SIGNED sum exercising the negative-value and
+    // r12 output-typing conventions live; no partsupp in the fixture,
+    // so p_retailprice stands in for supply cost (SqlQ2 convention)
+    "sql_q9" -> ((s, dir) => {
+      Seq("lineitem", "part", "supplier", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ9)
+    }),
+    // TPC-H Q11 shape: group-share threshold via scalar subqueries —
+    // parts whose nation-group value exceeds 2× the mean part value,
+    // as the exact cross-multiplied integer test (scale-free where
+    // TPC-H's fixed fraction empties as the part count grows)
+    "sql_q11" -> ((s, dir) => {
+      Seq("lineitem", "supplier")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ11)
+    }),
+    // TPC-H Q12 shape: two-way conditional count per ship mode (a
+    // deterministic suppkey stand-in — the fixture has no l_shipmode)
+    // over late 1997 shipments
+    "sql_q12" -> ((s, dir) => {
+      Seq("lineitem", "orders")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlQ12)
+    }),
     // TPC-H Q16 shape: supplier-count-distinct per part attribute with
     // a NOT EXISTS exclusion (anti join — NOT IN would plan the
     // null-aware nested loop)
@@ -943,6 +969,9 @@ object SparkEntry {
     // Q14/Q8: shared body, engine-split ppm division (FIXTURES.md)
     "sql_q14" -> s"WITH $SqlQ14Body\n$SqlQ14SelectDuck",
     "sql_q8" -> s"WITH $SqlQ8Body\n$SqlQ8SelectDuck",
+    "sql_q9" -> SqlQ9,
+    "sql_q11" -> SqlQ11,
+    "sql_q12" -> SqlQ12,
     "sql_q16" -> SqlQ16,
     "sql_q19" -> SqlQ19,
     "scd_latest" -> Relational.scdLatestOracle,
@@ -1678,6 +1707,67 @@ object SparkEntry {
       |GROUP BY p_brand, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 
+  /** TPC-H Q9 shape (profit by nation and year): the fixture has no
+    * partsupp, so supply cost is stood in by `p_retailprice` over the
+    * part↔supplier lineitem bridge (the [[SqlQ2]] adaptation
+    * convention). The profit term is a SIGNED sum — revenue c4 minus
+    * retail-cost c4 goes negative on ~23% of rows (sf0.01) — the live
+    * exercise of the negative-value rule (no division anywhere, so the
+    * FIXTURES.md negative-// rule is untouched) and of the r12
+    * hashed-output typing rule (signed BIGINT carrier; sums fit int64
+    * through sf1000: ~1.7e13 at sf10). Shared VERBATIM by both engines. */
+  private val SqlQ9 =
+    """SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+      |                - CAST(round(p_retailprice * 100, 0) AS BIGINT) * 100
+      |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_c4,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part     ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation   ON n_nationkey = s_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, EXTRACT(year FROM l_shipdate)
+      |ORDER BY n_name, l_year""".stripMargin
+
+  /** TPC-H Q11 shape (important-stock identification): per-part value
+    * held by the nation-group suppliers, keeping parts whose value
+    * exceeds 2× the mean part value. The threshold is the exact
+    * cross-multiplied integer test `value · n > 2 · total` (the
+    * [[SqlQ22]] convention — no float fraction crosses engines), and it
+    * is SCALE-FREE: TPC-H's fixed fraction empties at larger sf as the
+    * part count grows, a mean-relative share does not (8/87/494 rows at
+    * sf0.001/0.01/0.1). Shared VERBATIM by both engines. */
+  private val SqlQ11 =
+    """WITH v AS (SELECT l_partkey,
+      |                  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+      |           FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |           WHERE s_nationkey % 5 = 0
+      |           GROUP BY l_partkey),
+      |tot AS (SELECT count(*) AS n, sum(value_cents) AS s FROM v)
+      |SELECT l_partkey, value_cents FROM v
+      |WHERE value_cents * (SELECT n FROM tot) > 2 * (SELECT s FROM tot)
+      |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q12 shape (shipmode priority split): two-way conditional
+    * count per ship mode — high-priority vs low-priority lines among
+    * 1997 late shipments. The fixture has no l_shipmode/commit/receipt
+    * dates: mode is a deterministic `l_suppkey % 3` stand-in and "late"
+    * is shipped ≥ 60 days after the order date. Shared VERBATIM. */
+  private val SqlQ12 =
+    """SELECT CASE CAST(l_suppkey % 3 AS BIGINT) WHEN 0 THEN 'MAIL'
+      |            WHEN 1 THEN 'SHIP' ELSE 'RAIL' END AS shipmode,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val SqlQ19 =
     """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
       |              * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_c4,
@@ -2028,7 +2118,7 @@ object SparkEntry {
          |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 6) AS cos
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
          |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
-    "ann_matryoshka" -> Similarity.matryoshkaOracle,
+    "ann_matryoshka" -> Similarity.matryoshkaOracle(),
     "ann_sq_topk" ->
       s"""WITH $cosp,
          |u AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM p),

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -138,18 +139,31 @@ object Similarity {
     val legs = MrlDims.map(d => pairsFor(d).withColumn("dim", lit(d.toLong)))
       .reduce(_.unionByName(_))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    legs.join(truth, Seq("q_id", "n_id"), "left_semi")
+    // anchor on a literal MrlDims relation and LEFT join the hit counts
+    // (ADVICE r11): a prefix dim with ZERO truth hits must still emit
+    // its row with n_hits = 0 — the oracle's UNION ALL always emits one
+    // row per dim, and a groupBy over the semi-joined pairs drops empty
+    // dims (the mixtureSample empty-source pattern)
+    val dimsLit = spark.createDataFrame(
+      spark.sparkContext.parallelize(MrlDims.map(d => Row(d.toLong)), 1),
+      StructType(Seq(StructField("dim", LongType, nullable = false))))
+    val hits = legs.join(truth, Seq("q_id", "n_id"), "left_semi")
       .groupBy("dim").agg(count(lit(1)).as("n_hits"))
-      .join(legs.groupBy("dim").agg(count(lit(1)).as("n_pairs")), "dim")
+    dimsLit
+      .join(hits, Seq("dim"), "left_outer")
       .crossJoin(broadcast(nTruth))
-      .select(col("dim"), col("n_truth"), col("n_hits"),
-        expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+      .select(col("dim"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0) * 1000000 div n_truth").as("recall_ppm"))
       .orderBy("dim")
   }
 
   /** DuckDB twin of [[matryoshkaRecall]] — identical prefix slices,
-    * fold kernels and tie-breaks per dim. */
-  def matryoshkaOracle: String = {
+    * fold kernels and tie-breaks per dim. nQueries/k are THREADED (not
+    * re-hardcoded) so a non-default query call cannot silently drift
+    * from its oracle (ADVICE r11; the ivfPqOracleSql convention). */
+  def matryoshkaOracle(nQueries: Int = nQueriesDefault,
+      k: Int = kDefault): String = {
     val maxD = MrlDims.max
     def leg(d: Int): String =
       s"""t$d AS (SELECT q_id, n_id FROM (
@@ -159,7 +173,7 @@ object Similarity {
          |             / (sqrt(list_inner_product(q.qv[1:$d], q.qv[1:$d]))
          |                * sqrt(list_inner_product(p.v[1:$d], p.v[1:$d]))) DESC,
          |           p.vec_id) AS rn
-         |  FROM q JOIN p ON p.vec_id <> q.q_id) WHERE rn <= $kDefault)""".stripMargin
+         |  FROM q JOIN p ON p.vec_id <> q.q_id) WHERE rn <= $k)""".stripMargin
     val rows = MrlDims.map { d =>
       s"""SELECT CAST($d AS BIGINT) AS dim,
          |       (SELECT count(*) FROM t$maxD) AS n_truth,
@@ -167,7 +181,7 @@ object Similarity {
          |        ON a.q_id = b.q_id AND a.n_id = b.n_id) AS n_hits""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $nQueriesDefault),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id < $nQueries),
        |${MrlDims.map(leg).mkString(",\n")},
        |r AS ($rows)
        |SELECT dim, CAST(n_truth AS BIGINT) AS n_truth, CAST(n_hits AS BIGINT) AS n_hits,
@@ -861,18 +875,38 @@ object Similarity {
     * every retrieval query against that corpus. */
   private val ragMatReg =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  // JVM-exit cleanup of the scratch materializations (ADVICE r11): the
+  // dirs are corpus-sized and previously leaked for the machine's
+  // lifetime; registered once, removes whatever the registry holds
+  private lazy val ragMatCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ragMatReg.values.foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      }))
   private[graft] def ragPassages(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = ragMatReg.getOrElseUpdate(sfDir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_rag_passages").toString
-      Dedup.passageBlocksOf(
-          Tables(spark, sfDir, "documents"), Dedup.PASSAGE_WORDS)
-        .select(col("doc_id").as("p_doc"), col("blk_idx").cast("long").as("p_blk"),
-          col("blk"), size(split(col("blk"), " ")).cast("long").as("plen"),
-          hashEmbed(col("blk")).as("pv"))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    // the corpus-sized build runs under the registry lock (ADVICE r11):
+    // TrieMap.getOrElseUpdate is not atomic for SIDE EFFECTS — two
+    // concurrent first callers would both run the chunk+embed write and
+    // leak one temp dir; serializing first-call materialization is
+    // exactly the intent (later callers reuse the parquet)
+    val path = ragMatReg.synchronized {
+      ragMatCleanup
+      ragMatReg.getOrElseUpdate(sfDir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_rag_passages").toString
+        Dedup.passageBlocksOf(
+            Tables(spark, sfDir, "documents"), Dedup.PASSAGE_WORDS)
+          .select(col("doc_id").as("p_doc"), col("blk_idx").cast("long").as("p_blk"),
+            col("blk"), size(split(col("blk"), " ")).cast("long").as("plen"),
+            hashEmbed(col("blk")).as("pv"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    }
     spark.read.parquet(path)
   }
 

@@ -354,4 +354,28 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(hy.map(t => (t._1, t._3)).toSeq == want, s"got ${hy.toSeq} want $want")
     assert(hy.map(_._2).toSeq == (1L to hy.length), "ranks must be dense from 1")
   }
+
+  test("matryoshka recall emits a row for EVERY prefix dim, zero-hit dims included") {
+    import spark.implicits._
+    // adversarial corpus (ADVICE r11): every vector shares an identical
+    // 32-dim prefix, so the d=8/16/32 legs are all-ties and pick the
+    // LOWEST n_ids by tie-break — while the tail dims make the TRUTH
+    // (d=64) prefer the HIGHEST ids. The prefix legs then score zero
+    // hits, and each must still emit its row with n_hits = 0 (the
+    // oracle's UNION ALL always emits one row per dim).
+    val d = java.nio.file.Files.createTempDirectory("graft_mrl").toString
+    val vecs = (0 to 9).map { i =>
+      val tail = if (i == 0) 0.0f else (11 - i).toFloat
+      (i.toLong, Array.fill(32)(1.0f) ++ Array.fill(32)(tail), "x")
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.matryoshkaRecall(spark, d, nQueries = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows.map(_._1) == Similarity.MrlDims.map(_.toLong),
+      s"one row per prefix dim expected, got $rows")
+    assert(rows.take(3).forall(_._2 == 0L),
+      s"all-ties prefixes must score ZERO hits yet still emit rows: $rows")
+    assert(rows.last == (64L, 2L), s"the full-dim leg IS the truth: $rows")
+  }
 }
