@@ -52,7 +52,8 @@ class PlanGateSpec extends AnyFunSuite {
     "ts_changepoint" -> "1-row (n, T) series-stats aggregate broadcast-cross-joined onto the hours-sized CUSUM relation",
     "ann_matryoshka" -> "one broadcast-query-batch scan per prefix dim (brute's declared shape) + the 1-row truth-count cross-join",
     "sample_mixture" -> "1-row total-weight aggregate broadcast-cross-joined onto the sources-sized quota relation",
-    "dq_drift" -> "1-row (n_a, n_b) window-totals aggregate broadcast-cross-joined onto the grid-sized ECDF relation")
+    "dq_drift" -> "1-row (n_a, n_b) window-totals aggregate broadcast-cross-joined onto the grid-sized ECDF relation",
+    "text_heaps" -> "1-row derived-bucket-width aggregate broadcast-cross-joined onto the corpus scan (bounds the growth curve at HeapsMaxBuckets rows at any scale)")
 
   test("no undeclared query plans a cartesian product or nested-loop join") {
     val offenders = Seq.newBuilder[String]
