@@ -89,6 +89,8 @@ object OracleAudit {
       "t = sum of cents x (100 - disc_pct) with disc_pct in [0, 100] — every term >= 0"),
     ("sql_q8", "CAST(p AS HUGEINT) * 1000000",
       "p = conditional sum of the same non-negative cents x (100 - disc_pct) terms; p <= t"),
+    ("sample_weighted", "h",
+      "h is the 15-nibble md5 hash (wordHashSqlN): a sum of nonneg nibble*16^i terms — the subtraction in its lineage is the ascii-to-nibble decode (ascii(c) - 48 >= 0 on hex digits)"),
     ("stats_ols", "den",
       "den = n*Sxx - Sx^2 >= 0 by Cauchy-Schwarz (the signed numerators are sign-separated)"),
     ("ts_autocorr", "den_x",

@@ -383,10 +383,12 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) => graft.operators.Graphs.triangles(s, dir)),
     // k-core peel to the true fixpoint: per-round trajectory rows
     "graph_kcore" -> ((s, dir) => graft.operators.Graphs.kcore(s, dir)),
+    "graph_bfs" -> ((s, dir) => graft.operators.Graphs.bfs(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     // exact-integer per-group OLS: rational slope/intercept + ppm
     "stats_ols" -> ((s, dir) => Relational.statsOls(s, dir)),
+    "stats_chi2" -> ((s, dir) => Relational.statsChi2(s, dir)),
     "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)),
     // deterministic %5 key sample on BOTH sides: the oracle leg that
     // runs at every sweep sf (the full NLJ's DuckDB replay is O(N²))
@@ -419,6 +421,7 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, dir) => Pipeline.piiScrub(s, dir)),
     "sample_stratified" -> ((s, dir) => Pipeline.stratifiedSample(s, dir)),
     "sample_bottomk" -> ((s, dir) => Pipeline.bottomKSample(s, dir)),
+    "sample_weighted" -> ((s, dir) => Pipeline.weightedSample(s, dir)),
     // epoch-composition planning: weighted per-source quotas, filled by
     // the bottom-k md5-priority reservoir
     "sample_mixture" -> ((s, dir) => Pipeline.mixtureSample(s, dir)),
@@ -865,6 +868,7 @@ object SparkEntry {
     "graph_pagerank" -> graft.operators.Graphs.pageRankOracle,
     "graph_triangles" -> graft.operators.Graphs.trianglesOracle,
     "graph_kcore" -> graft.operators.Graphs.kcoreOracle(),
+    "graph_bfs" -> graft.operators.Graphs.bfsOracle(),
     "window_range" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
@@ -1324,6 +1328,7 @@ object SparkEntry {
     "text_pii_scrub" -> Pipeline.piiScrubOracle,
     "sample_stratified" -> Pipeline.stratifiedSampleOracle,
     "sample_bottomk" -> Pipeline.bottomKSampleOracle(),
+    "sample_weighted" -> Pipeline.weightedSampleOracle(),
     "sample_mixture" -> Pipeline.mixtureSampleOracle(),
     "events_cep" -> Events.cepOracle(),
     "sample_importance" -> Pipeline.importanceSampleOracle,
@@ -1332,7 +1337,8 @@ object SparkEntry {
     "profile_columns" -> Relational.profileColumnsOracle,
     "dq_expectations" -> Relational.dqExpectationsOracle,
     "dq_drift" -> Relational.dqDriftOracle,
-    "stats_ols" -> Relational.statsOlsOracle) ++
+    "stats_ols" -> Relational.statsOlsOracle,
+    "stats_chi2" -> Relational.statsChi2Oracle) ++
     // composed E2E funnel: every stage's standalone oracle fragment
     // under ONE statement; gated on the frozen temperature (n, Z)
     // literals (run-then-dump — present once pipeline_e2e or

@@ -386,6 +386,107 @@ object Graphs {
        |       CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges
        |FROM out ORDER BY round""".stripMargin
 
+  /** Hop levels evaluated by [[bfs]] — shared with the oracle builder. */
+  val BfsLevels = 6
+
+  /** Breadth-first reachability profile of the part co-order graph:
+    * from the minimum node id, expand exactly [[BfsLevels]] frontier
+    * hops and report per level the newly-reached node count and the
+    * exact reached-id sum (pins the SET, not just its size) — the
+    * "how connected is this catalog" diagnostic, and the graph-
+    * traversal class ([[pageRank]] = value iteration, [[kcore]] =
+    * peeling, [[dedup_components]] = closure; BFS is the missing
+    * frontier-expansion shape). Levels past exhaustion emit (0, 0)
+    * rows, so the output is always levels+1 rows — fixed-shape like
+    * [[pageRank]]'s fixed rounds, with no data-dependent recursion for
+    * the oracle to chase.
+    *
+    * Scale shape: per level ONE equi-join of the cached undirected edge
+    * list against the frontier (size-guarded broadcast — the
+    * [[maybeBroadcast]] device; above the guard it co-partitions on the
+    * node key) + one anti join against the visited set, both
+    * `localCheckpoint`ed with eager release (the [[pageRank]] lineage
+    * device). The driver sees 2 longs per level. */
+  def bfs(spark: SparkSession, sfDir: String, levels: Int = BfsLevels,
+      bcastMaxNodes: Long = GraphBroadcastMaxNodes): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val e = coOrderEdges(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+    val u = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val srcRow = e.agg(min(col("a"))).collect().head
+    val rows = Seq.newBuilder[(Long, Long, Long)]
+    if (srcRow.isNullAt(0)) {
+      // empty graph: a fixed all-zero profile keeps the shape stable
+      (0 to levels).foreach(l => rows += ((l.toLong, 0L, 0L)))
+      e.unpersist(blocking = false)
+      return rows.result().toDF("level", "n_new", "id_sum").orderBy("level")
+    }
+    val src = srcRow.getLong(0)
+    rows += ((0L, 1L, src))
+    var visited = Seq(src).toDF("nd").localCheckpoint()
+    var frontier = visited
+    var visitedN = 1L
+    for (l <- 1 to levels) {
+      val cand = u
+        .join(maybeBroadcast(frontier, visitedN, bcastMaxNodes),
+          col("a") === col("nd"))
+        .select(col("b").as("nd")).distinct()
+      val next = cand
+        .join(maybeBroadcast(visited, visitedN, bcastMaxNodes),
+          Seq("nd"), "left_anti")
+        .localCheckpoint()
+      val agg = next
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("nd")), lit(0L)).as("s"))
+        .collect().head
+      val (n, s) = (agg.getLong(0), agg.getLong(1))
+      rows += ((l.toLong, n, s))
+      val grown = visited.unionByName(next).localCheckpoint()
+      // frontier and the old visited are dead once grown is material
+      // (at l = 1 they share one RDD — released exactly once here)
+      if (frontier ne visited) releaseLocalCheckpoint(frontier)
+      releaseLocalCheckpoint(visited)
+      frontier = next
+      visited = grown
+      visitedN += n
+    }
+    releaseLocalCheckpoint(frontier)
+    releaseLocalCheckpoint(visited)
+    e.unpersist(blocking = false)
+    rows.result().toDF("level", "n_new", "id_sum").orderBy("level")
+  }
+
+  /** DuckDB twin of [[bfs]] — the same fixed-hop chain as MATERIALIZED
+    * CTEs (each level references the previous one several times; DuckDB
+    * v1.0 inlines a copy per consumer otherwise — the FIXTURES.md
+    * chain-CTE rule). */
+  def bfsOracle(levels: Int = BfsLevels): String = {
+    val chain = (1 to levels).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT u.b AS nd FROM f${i - 1} JOIN u ON u.a = f${i - 1}.nd
+         |  WHERE u.b NOT IN (SELECT nd FROM v${i - 1})),
+         |v$i AS MATERIALIZED (SELECT nd FROM v${i - 1} UNION ALL SELECT nd FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    val lvls = (1 to levels).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_new,
+         |       CAST(coalesce(sum(nd), 0) AS BIGINT) AS id_sum FROM f$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+       |            FROM lineitem
+       |            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+       |                    FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |u AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       |v0 AS MATERIALIZED (SELECT min(a) AS nd FROM e0),
+       |f0 AS MATERIALIZED (SELECT nd FROM v0),
+       |$chain
+       |SELECT CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS n_new,
+       |       CAST((SELECT nd FROM v0) AS BIGINT) AS id_sum
+       |UNION ALL
+       |$lvls
+       |ORDER BY level""".stripMargin
+  }
+
   /** DuckDB twin of [[pageRank]] (iters = 2, topN = 20). */
   def pageRankOracle: String =
     """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b

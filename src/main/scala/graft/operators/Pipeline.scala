@@ -212,6 +212,53 @@ object Pipeline {
        |        FROM (SELECT lang, doc_id, md5('res_' || doc_id) AS m FROM documents)))
        |WHERE rn <= $k ORDER BY lang, rank""".stripMargin
 
+  /** [[weightedSample]] sample size — shared with the oracle builder. */
+  val WEIGHTED_K = 30
+
+  /** Weighted sampling WITHOUT replacement via rational priorities —
+    * the deterministic face of Efraimidis–Spirakis (A-ES) reservoir
+    * sampling: each document draws a 60-bit md5 "uniform" h and
+    * competes with priority h div w (w = its token count), so a
+    * document's chance of landing in the bottom-k grows with its
+    * weight — the doc-length-proportional sampling a token-budgeted
+    * eval batch wants. A-ES uses u^(1/w); the rational surrogate h/w
+    * keeps the whole chain in exact integer division (identical
+    * cross-engine, no pow/log), at the cost of the exact inclusion
+    * law — the determinism contract every sampler here follows. h is
+    * 60-bit (~1.15e18) and w ≥ 1, so h div w keeps ≥ 2^40 granularity
+    * at any realistic doc length; ties break by doc_id.
+    *
+    * Scale shape: one narrow scan computes (w, h, priority);
+    * `orderBy(...).limit(k)` plans TakeOrderedAndProject — per-partition
+    * bounded top-k heaps merged on the driver, no full sort, no
+    * corpus-sized shuffle (the [[bottomKSample]] posture, global). */
+  def weightedSample(spark: SparkSession, sfDir: String,
+      k: Int = WEIGHTED_K): DataFrame = {
+    val h = HashOps.wordHashN(
+      concat(lit("wres_"), col("doc_id").cast("string")), 15)
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")).cast("long"), lit(1L)).as("w"),
+        h.as("h"))
+      .select(col("doc_id"), col("w"), expr("h div w").as("priority"))
+    val win = Window.orderBy(asc("priority"), asc("doc_id"))
+    d.orderBy(asc("priority"), asc("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .select(col("rank"), col("doc_id"), col("w"), col("priority"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB twin of [[weightedSample]] — identical hash, weight and
+    * rational priority; the oracle may sort the whole corpus. */
+  def weightedSampleOracle(k: Int = WEIGHTED_K): String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rank,
+       |       doc_id, w, priority
+       |FROM (SELECT doc_id, w, h // w AS priority FROM (
+       |        SELECT doc_id, greatest(len(string_split(text, ' ')), 1) AS w,
+       |               ${HashOps.wordHashSqlN(15)} AS h
+       |        FROM (SELECT doc_id, text, md5('wres_' || doc_id) AS m FROM documents)))
+       |ORDER BY priority, doc_id LIMIT $k""".stripMargin
+
   // ------------------------------------------- source-mixture planning
 
   /** Per-source mixing weights for [[mixtureSample]] (undeclared sources

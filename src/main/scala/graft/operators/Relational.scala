@@ -488,6 +488,69 @@ object Relational {
       |       CAST(CAST(sign(inum) AS HUGEINT) * (abs(inum) * 1000000 // den) AS BIGINT) AS intercept_ppm
       |FROM h ORDER BY l_returnflag""".stripMargin
 
+  /** Chi-square test of independence over the l_returnflag ×
+    * l_linestatus contingency table, kept EXACT end-to-end: per cell
+    * the observed count o, the expected count in ppm (r·c·10⁶ div N),
+    * the deviation dev = o·N − r·c as exact DIGIT STRINGS (>int64 at
+    * sf100; the FIXTURES.md typing rule bans DECIMAL carriers), and the
+    * cell's χ² contribution dev²/(N·r·c) in ppm via the bounded
+    * two-stage floor chain ((|dev|·10³ div N) · |dev| · 10³) div (r·c)
+    * — the [[TextAnalysis]] collocations device, ordered
+    * divide-by-N-first so the mid-chain truncation loses ≤ 1 part in
+    * |dev|·10³/N instead of flooring small deviations to zero; only
+    * |dev| magnitudes cross `div`, so the FIXTURES.md negative-// rule
+    * holds without an allowlist entry. The statistic total rides every row
+    * (cells-sized global window — 6 rows here; the table is
+    * category-cardinality-sized at any corpus scale).
+    *
+    * Scale shape: ONE partial-aggregated scan builds the contingency
+    * table; margins, N and the χ² arithmetic run on cells-sized data
+    * (k_r·k_c rows). The float-space siblings are [[statsAgg]]'s
+    * corr/stddev; this is the categorical-association face. */
+  def statsChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val o = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(count(lit(1)).as("o"))
+    val r = o.groupBy("rf").agg(sum("o").as("rn"))
+    val c = o.groupBy("ls").agg(sum("o").as("cn"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.join(r, "rf").join(c, "ls")
+      .withColumn("n", sum(col("o")).over(all))
+      .select(col("rf"), col("ls"), col("o"), col("rn"), col("cn"), col("n"),
+        (d(col("o")) * d(col("n")) - d(col("rn")) * d(col("cn"))).as("dev"))
+      .select(col("rf"), col("ls"), col("o"),
+        expr("cast(cast(rn as decimal(38,0)) * cn * 1000000 div n as bigint)")
+          .as("exp_ppm"),
+        col("dev").cast("string").as("dev"),
+        expr("cast(((abs(dev) * 1000 div n) * abs(dev) * 1000) " +
+          "div (cast(rn as decimal(38,0)) * cn) as bigint)").as("chi_ppm"))
+      .withColumn("chi2_total_ppm", sum(col("chi_ppm")).over(all))
+      .orderBy("rf", "ls")
+  }
+
+  /** DuckDB twin of [[statsChi2]] — HUGEINT cross products, the
+    * identical two-stage |dev| floor chain and cells-sized windows. */
+  def statsChi2Oracle: String =
+    """WITH o AS (SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS o
+      |           FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT rf, sum(o) AS rn FROM o GROUP BY rf),
+      |c AS (SELECT ls, sum(o) AS cn FROM o GROUP BY ls),
+      |cell AS (SELECT o.rf, o.ls, o.o, r.rn, c.cn, sum(o.o) OVER () AS n
+      |         FROM o JOIN r USING (rf) JOIN c USING (ls)),
+      |h AS (SELECT rf, ls, o, rn, cn, n,
+      |             CAST(o AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn AS dev
+      |      FROM cell)
+      |SELECT rf, ls, CAST(o AS BIGINT) AS o,
+      |       CAST(CAST(rn AS HUGEINT) * cn * 1000000 // n AS BIGINT) AS exp_ppm,
+      |       CAST(dev AS VARCHAR) AS dev,
+      |       CAST(((abs(dev) * 1000 // n) * abs(dev) * 1000)
+      |            // (CAST(rn AS HUGEINT) * cn) AS BIGINT) AS chi_ppm,
+      |       CAST(sum(((abs(dev) * 1000 // n) * abs(dev) * 1000)
+      |                // (CAST(rn AS HUGEINT) * cn)) OVER () AS BIGINT) AS chi2_total_ppm
+      |FROM h ORDER BY rf, ls""".stripMargin
+
   /** Interval (range) join: every event matched to the orders of the same
     * hash key whose 7-day window [o_orderdate, o_orderdate+7d) contains
     * the event.

@@ -108,6 +108,37 @@ class GraphsSpec extends AnyFunSuite {
         "join co-partitions (or AQE decides from runtime stats)")
   }
 
+  test("bfs levels match a hand-built path graph, zeros after exhaustion") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_bfs").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // path 1-2-3-4 plus the isolated pair 8-9: BFS from node 1 reaches
+    // one new node per hop for 3 hops, never the 8-9 component
+    Seq(
+      (10L, 1L, in), (10L, 2L, in),
+      (20L, 2L, in), (20L, 3L, in),
+      (30L, 3L, in), (30L, 4L, in),
+      (40L, 8L, in), (40L, 9L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = Graphs.bfs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      (0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 3L), (3L, 1L, 4L),
+      (4L, 0L, 0L), (5L, 0L, 0L), (6L, 0L, 0L)), s"got $rows")
+  }
+
+  test("bfs is deterministic and its unhinted path is identical") {
+    def run(limit: Long) = Graphs.bfs(spark, sf, bcastMaxNodes = limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val hinted = run(Graphs.GraphBroadcastMaxNodes)
+    assert(hinted == run(Graphs.GraphBroadcastMaxNodes), "deterministic")
+    assert(hinted == run(0L), "co-partitioned path must agree")
+    // the reached-set sum pins level content: cumulative n_new never
+    // exceeds the graph's node count and levels are dense from 0
+    assert(hinted.map(_._1) == (0L to Graphs.BfsLevels.toLong))
+  }
+
   test("over-threshold (unhinted) path computes identical pagerank and kcore results") {
     // threshold 0 forces the co-partitioned join path everywhere; the
     // trajectories and ranks must be bit-identical to the hinted plan

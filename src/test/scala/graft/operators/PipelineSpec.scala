@@ -241,6 +241,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(cached.nonEmpty, "the persisted base must appear in the plan")
   }
 
+  test("weightedSample: the k smallest hand-computed rational priorities, weight-favored") {
+    import graft.functions.HashOps.wordHashNScala
+    val k = 5
+    val rows = Pipeline.weightedSample(spark, dir, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.map(_._1) == (1L to k), "ranks dense from 1")
+    // doc i has i+1 tokens (= its weight): replay h div w exactly
+    val want = (0 until 40)
+      .map(i => (wordHashNScala(s"wres_$i", 15) / (i + 1L), i.toLong))
+      .sorted.take(k)
+    assert(rows.map(t => (t._4, t._2)) == want,
+      s"selection must be the $k smallest (priority, doc_id): $rows vs $want")
+    assert(rows.map(t => t._4 * t._3 <= wordHashNScala(s"wres_${t._2}", 15))
+      .forall(identity), "priority = h div w (truncated)")
+    // weight preference: the sampled docs' mean weight exceeds the
+    // corpus mean (weights 1..40, mean 20.5) — h/w shrinks with w
+    val meanW = rows.map(_._3).sum.toDouble / k
+    assert(meanW > 20.5, s"weighted sampling should favor heavy docs, mean $meanW")
+  }
+
   test("bottomKSample: exactly k per stratum, the k smallest priorities") {
     import graft.functions.HashOps.wordHashNScala
     val rows = Pipeline.bottomKSample(spark, dir, k = 3).collect()

@@ -94,11 +94,47 @@ class RelationalSpec extends AnyFunSuite {
       .write.parquet(s"$d/lineitem.parquet")
     val r = Relational.statsOls(spark, d).collect().head
     assert(r.getString(0) == "A" && r.getLong(1) == 3L)
-    assert(r.getDecimal(2).longValueExact == 1500L)
-    assert(r.getDecimal(3).longValueExact == 6L)
+    // num/den carriers are exact DIGIT STRINGS (FIXTURES.md typing
+    // rule, r12): the r11 breach proved DECIMAL output hashes
+    // differently across the driver's engines even at equal values
+    assert(r.getString(2) == "1500")
+    assert(r.getString(3) == "6")
     assert(r.getLong(4) == 250000000L)
-    assert(r.getDecimal(5).longValueExact == -1198L)
+    assert(r.getString(5) == "-1198")
     assert(r.getLong(6) == -199666666L)
+  }
+
+  test("stats_chi2: hand-computed 2x2 table, exact two-stage ppm chain") {
+    import spark.implicits._
+    // observed: (A,F)=10 (A,O)=20 (N,F)=30 (N,O)=40 -> N=100,
+    // rows A=30 N=70, cols F=40 O=60.
+    // dev(A,F) = 10*100 - 30*40 = -200 (antisymmetric across the 2x2)
+    // exp_ppm(A,F) = 30*40*1e6 // 100 = 12_000_000
+    // chi(A,F) = ((200*1000)//100) * 200*1000 // (30*40)
+    //          = 2000 * 200000 // 1200 = 333_333
+    // chi(A,O) = 2000*200000 // 1800 = 222_222
+    // chi(N,F) = 2000*200000 // 2800 = 142_857
+    // chi(N,O) = 2000*200000 // 4200 = 95_238  -> total 793_650
+    // (true chi2 = 100*200^2/(30*70*40*60) = 0.7936...)
+    val d = java.nio.file.Files.createTempDirectory("graft_chi2").toString
+    val li = Tables(spark, sf, "lineitem")
+    val cells = Seq(("A", "F", 10), ("A", "O", 20), ("N", "F", 30), ("N", "O", 40))
+    val rows = cells.flatMap { case (rf, ls, n) => (1 to n).map(i =>
+      (i.toLong, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, rf, ls, "1996-01-01")) }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .select(li.columns.map(col): _*)
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = Relational.statsChi2(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("A", "F", 10L, 12000000L, "-200", 333333L, 793650L),
+      ("A", "O", 20L, 18000000L, "200", 222222L, 793650L),
+      ("N", "F", 30L, 28000000L, "200", 142857L, 793650L),
+      ("N", "O", 40L, 42000000L, "-200", 95238L, 793650L)), s"got $got")
   }
 
   test("basket_rules: hand-computed support/confidence/lift in exact ppm") {
