@@ -596,7 +596,8 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     // deterministic JL ±1-sign projection: the no-training
     // dimensionality-reduction front end (one narrow map, no shuffle)
-    "embed_rp" -> ((s, dir) => Similarity.randomProjection(s, dir)))
+    "embed_rp" -> ((s, dir) => Similarity.randomProjection(s, dir)),
+    "embed_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)))
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -2076,6 +2077,7 @@ object SparkEntry {
     annSqls(COSP, PTS, CENTS, qLim = 10, seedLim = KMeansSteps.K) +
       ("ann_hard_negatives" -> Similarity.hardNegativesOracle) +
       ("embed_rp" -> Similarity.randomProjectionOracle) +
+      ("embed_pca" -> Similarity.pcaOracle()) +
       ("rag_retrieve" -> Similarity.ragRetrieveOracle) +
       ("rag_bm25" -> Similarity.ragBm25Oracle) +
       ("rag_hybrid" -> Similarity.ragHybridOracle)

@@ -760,6 +760,117 @@ object Similarity {
        |       round(list_inner_product(p.v, sv.signs) / sqrt(${RP_D}.0), 6) AS val
        |FROM p CROSS JOIN sv ORDER BY vec_id, comp""".stripMargin
 
+  /** Power-iteration rounds for [[pcaTopComponent]] — fixed, shared
+    * with the oracle builder (the pageRank fixed-rounds convention). */
+  val PcaIters = 8
+
+  /** Top principal component of the embedding corpus by power
+    * iteration, EXACT end-to-end — the spectral class (trained
+    * dimensionality reduction; [[randomProjection]] is its no-training
+    * sibling). Embeddings quantize to integer milli-units, the 64×64
+    * centered scatter matrix S = N·Σxxᵀ − (Σx)(Σx)ᵀ accumulates as
+    * exact integers in ONE partial-aggregated pass, and [[PcaIters]]
+    * power-iteration rounds run on the collected d²-sized matrix in
+    * BigInt (the DuckDB-HUGEINT twin arithmetic): t = S·v, then the
+    * sign-separated ppm renormalization vᵢ ← sign(tᵢ)·(|tᵢ|·10⁶ div
+    * max|t|) — the FIXTURES.md rounded-fixpoint device in pure integer
+    * space, so no float boundary exists anywhere in the loop and the
+    * oracle replays every round as chained CTEs. Output: one row per
+    * dimension with the loading in ppm of the max-component, plus the
+    * final pre-normalization scale as exact digits (pins the dominant
+    * eigenvalue's magnitude).
+    *
+    * Scale shape: the corpus is touched ONCE — a narrow quantized scan
+    * exploded to (i, j, xᵢ·xⱼ) with map-side combine into exactly d²
+    * groups (the shuffle carries d²·partitions rows, never the
+    * corpus); the iteration runs on d² numbers driver-side (a bounded
+    * materialization, the PQ-codebook class — d=64 here, 4096 values).
+    * At 100 TB this is the standard one-pass sufficient-statistics
+    * PCA; a full eigenbasis would swap the driver loop for a
+    * deflation sequence over the same S. */
+  def pcaTopComponent(spark: SparkSession, sfDir: String,
+      iters: Int = PcaIters): DataFrame = {
+    import spark.implicits._
+    val q = Tables(spark, sfDir, "embeddings")
+      .select(expr(
+        "transform(cast(embedding as array<double>), x -> cast(round(x * 1000, 0) as bigint))")
+        .as("xq"))
+    val flat = q.select(posexplode(col("xq")).as(Seq("i", "xi")), col("xq"))
+      .select(col("i"), col("xi"), posexplode(col("xq")).as(Seq("j", "xj")))
+    val sums = flat.groupBy("i", "j")
+      .agg(sum(col("xi") * col("xj")).as("sxy"), count(lit(1)).as("nc"))
+      .collect()
+    val d = 64
+    val n = BigInt(sums.head.getLong(3)) // every (i,j) group counts N rows
+    val sx = Array.fill(d)(BigInt(0))
+    val sxy = Array.ofDim[BigInt](d, d)
+    sums.foreach { r =>
+      sxy(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2))
+    }
+    // Σx falls out of the diagonal pass over the same rows: recompute
+    // from a second tiny aggregate (64 groups) to keep the scan narrow
+    val mg = q.select(posexplode(col("xq")).as(Seq("i", "xi")))
+      .groupBy("i").agg(sum("xi").as("sx")).collect()
+    mg.foreach(r => sx(r.getInt(0)) = BigInt(r.getLong(1)))
+    val s = Array.tabulate(d, d)((i, j) => n * sxy(i)(j) - sx(i) * sx(j))
+    val ppm = BigInt(1000000)
+    var v = Array.fill(d)(ppm)
+    var scale = BigInt(0)
+    (1 to iters).foreach { _ =>
+      val t = Array.tabulate(d)(i =>
+        (0 until d).map(j => s(i)(j) * v(j)).foldLeft(BigInt(0))(_ + _))
+      scale = t.map(_.abs).max
+      // sign-separated truncating renormalization (BigInt / truncates
+      // toward zero on positives; only |t| crosses the division)
+      v = t.map(x => BigInt(x.signum) * (x.abs * ppm / scale))
+    }
+    (0 until d).map(i => (i.toLong, v(i).toLong, scale.toString))
+      .toDF("dim", "loading_ppm", "scale")
+      .orderBy("dim")
+  }
+
+  /** DuckDB twin of [[pcaTopComponent]] — identical quantization,
+    * scatter matrix and per-round integer renormalization, replayed as
+    * chained MATERIALIZED CTEs (S is read once per round — the
+    * FIXTURES.md chain-CTE rule). */
+  def pcaOracle(iters: Int = PcaIters): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""t$r AS MATERIALIZED (
+         |  SELECT s.i, sum(s.s * v${r - 1}.v) AS t
+         |  FROM s JOIN v${r - 1} ON s.j = v${r - 1}.i GROUP BY s.i),
+         |n$r AS MATERIALIZED (SELECT max(abs(t)) AS m FROM t$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i, CAST(sign(t) AS HUGEINT)
+         |              * (abs(t) * 1000000 // (SELECT m FROM n$r)) AS v
+         |  FROM t$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> CAST(round(x * 1000) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |flat AS MATERIALIZED (
+       |  SELECT g.i, q.xq[g.i + 1] AS xi, h.j, q.xq[h.j + 1] AS xj
+       |  FROM q
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) h),
+       |g AS MATERIALIZED (
+       |  SELECT i, j, sum(xi * xj) AS sxy, count(*) AS n FROM flat GROUP BY i, j),
+       |m AS MATERIALIZED (
+       |  SELECT g2.i, sum(q.xq[g2.i + 1]) AS sx
+       |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g2
+       |  GROUP BY g2.i),
+       |s AS MATERIALIZED (
+       |  SELECT g.i, g.j,
+       |         CAST(g.n AS HUGEINT) * g.sxy - CAST(mi.sx AS HUGEINT) * mj.sx AS s
+       |  FROM g JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i),
+       |v0 AS MATERIALIZED (
+       |  SELECT unnest(generate_series(0, 63)) AS i, CAST(1000000 AS HUGEINT) AS v),
+       |$rounds
+       |SELECT CAST(v$iters.i AS BIGINT) AS dim, CAST(v$iters.v AS BIGINT) AS loading_ppm,
+       |       CAST((SELECT m FROM n$iters) AS VARCHAR) AS scale
+       |FROM v$iters ORDER BY dim""".stripMargin
+  }
+
   /** Shared exact finisher for the ANN variants: per-query cosine top-k.
     * The scored relation is q×N-shaped (brute) or q×candidates (IVF/
     * LSH) — [[Relational.topkPerGroup]] prunes it per input partition

@@ -355,6 +355,31 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(hy.map(_._2).toSeq == (1L to hy.length), "ranks must be dense from 1")
   }
 
+  test("pca top component concentrates on the planted high-variance axis") {
+    import spark.implicits._
+    // corpus varying ONLY along dim 5 (alternating ±2) with every other
+    // dim constant: centering kills the constants, so the scatter
+    // matrix is rank-1 on axis 5 and the power iteration must converge
+    // to |loading| = 1e6 at dim 5 and EXACTLY 0 elsewhere
+    val d = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    (0 until 16).map { i =>
+      val v = Array.fill(64)(0.25f)
+      v(5) = if (i % 2 == 0) 2.0f else -2.0f
+      (i.toLong, v, "x")
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.pcaTopComponent(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size == 64)
+    assert(math.abs(rows(5L)) == 1000000L, s"axis 5 must carry the component: $rows")
+    assert((rows - 5L).values.forall(_ == 0L),
+      "constant axes are centered away exactly")
+    // deterministic across evaluations (the fixed-seed contract)
+    val again = Similarity.pcaTopComponent(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows == again)
+  }
+
   test("matryoshka recall emits a row for EVERY prefix dim, zero-hit dims included") {
     import spark.implicits._
     // adversarial corpus (ADVICE r11): every vector shares an identical
