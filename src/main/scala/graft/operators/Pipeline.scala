@@ -233,14 +233,29 @@ object Pipeline {
     * bounded top-k heaps merged on the driver, no full sort, no
     * corpus-sized shuffle (the [[bottomKSample]] posture, global). */
   def weightedSample(spark: SparkSession, sfDir: String,
-      k: Int = WEIGHTED_K): DataFrame = {
+      k: Int = WEIGHTED_K): DataFrame =
+    rankReservoir(
+      weightedPriorities(Tables(spark, sfDir, "documents")), k)
+
+  /** `(doc_id, w, priority)` for a `(doc_id, text)` relation — the
+    * rational-priority builder shared VERBATIM by [[weightedSample]]
+    * and the streaming reservoir (`ReservoirStream`), so batch and
+    * stream cannot drift (the dqStreamableRows convention). */
+  private[graft] def weightedPriorities(docs: DataFrame): DataFrame = {
     val h = HashOps.wordHashN(
       concat(lit("wres_"), col("doc_id").cast("string")), 15)
-    val d = Tables(spark, sfDir, "documents")
+    docs
       .select(col("doc_id"),
         greatest(size(split(col("text"), " ")).cast("long"), lit(1L)).as("w"),
         h.as("h"))
       .select(col("doc_id"), col("w"), expr("h div w").as("priority"))
+  }
+
+  /** Bottom-k of a priority relation, ranked — the reservoir finisher
+    * shared by batch and stream. `orderBy(...).limit(k)` plans
+    * TakeOrderedAndProject (per-partition bounded heaps, no full
+    * sort). */
+  private[graft] def rankReservoir(d: DataFrame, k: Int): DataFrame = {
     val win = Window.orderBy(asc("priority"), asc("doc_id"))
     d.orderBy(asc("priority"), asc("doc_id")).limit(k)
       .withColumn("rank", row_number().over(win).cast("long"))

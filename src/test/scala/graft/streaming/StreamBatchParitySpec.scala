@@ -544,6 +544,44 @@ class StreamBatchParitySpec extends AnyFunSuite {
       "one-big-batch slicing must produce the identical packing ledger")
   }
 
+  test("parity: incremental weighted reservoir == oracle-green sample_weighted, slicing-independent") {
+    // Bottom-k under a total order is associative/commutative, so the
+    // reservoir tolerates ANY slicing — slice the corpus by doc_id MOD
+    // (interleaved arrival, deliberately not range-contiguous) into
+    // three files with increasing mtimes and drive 1-file and all-files
+    // triggers; both must equal the single-shot batch sample.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val src = Files.createTempDirectory("graft_res_src").toString
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_res_stage").toString
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    def runReservoir(maxFiles: Int): Set[Seq[Any]] = {
+      val snap = Files.createTempDirectory("graft_res_snap").toString
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .parquet(src)
+      val q = ReservoirStream.reservoirStream(spark, stream, snap)
+      q.processAllAvailable(); q.stop()
+      rows(ReservoirStream.currentSample(spark, snap))
+    }
+    val want = rows(batchQuery("sample_weighted"))
+    assert(want.nonEmpty)
+    val got = runReservoir(1)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(runReservoir(10) == want,
+      "one-big-batch slicing must produce the identical reservoir")
+  }
+
   test("parity: incremental KS drift monitor == oracle-green dq_drift, slicing-independent") {
     // Bin counts merge by ADDITION — any slicing of the event stream
     // (here: the real file + sentinel batches, 1-file and all-files
