@@ -186,12 +186,13 @@ class EventsSpec extends AnyFunSuite {
     // lag 1: n=3 sx=6 sy=9 sxy=20 -> num=6 den_x=6 den_y=6
     val l1 = rows(0)
     assert(l1.getLong(0) == 1L && l1.getLong(1) == 3L)
-    assert(l1.getDecimal(2).longValueExact == 6L &&
-      l1.getDecimal(3).longValueExact == 6L && l1.getDecimal(4).longValueExact == 6L)
+    // num/den carriers are exact DIGIT STRINGS (FIXTURES.md typing rule, r12)
+    assert(l1.getString(2) == "6" &&
+      l1.getString(3) == "6" && l1.getString(4) == "6")
     assert(l1.getLong(5) == 1L && l1.getLong(6) == 1000000L)
     // lag 2: n=2 -> num=den=1
     val l2 = rows(1)
-    assert(l2.getDecimal(2).longValueExact == 1L && l2.getLong(6) == 1000000L)
+    assert(l2.getString(2) == "1" && l2.getLong(6) == 1000000L)
   }
 
   test("autocorr: alternating series has r_sign = -1 and r2_ppm = 1e6 at lag 1") {
@@ -207,8 +208,8 @@ class EventsSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$d/events.parquet")
     val l1 = graft.operators.TimeSeries.autocorr(spark, d, maxLag = 1).collect().head
-    assert(l1.getDecimal(2).longValueExact == -8L)
-    assert(l1.getDecimal(3).longValueExact == 8L && l1.getDecimal(4).longValueExact == 8L)
+    assert(l1.getString(2) == "-8")
+    assert(l1.getString(3) == "8" && l1.getString(4) == "8")
     assert(l1.getLong(5) == -1L && l1.getLong(6) == 1000000L)
   }
 }
