@@ -377,23 +377,35 @@ object OracleAudit {
     }
   }
 
-  /** Audit one oracle's FINAL projection for DECIMAL/HUGEINT output
-    * carriers. The final projection is the last depth-0 SELECT; its
-    * list ends at the next depth-0 FROM (or end of text). */
+  /** Audit one oracle's FINAL projections for DECIMAL/HUGEINT output
+    * carriers. Every depth-0 SELECT belongs to the final statement (CTE
+    * bodies and subqueries are parenthesized), so ALL of them are
+    * scanned — a top-level UNION ALL's earlier branches type the output
+    * just as much as its last (found by the r12 self-review: scanning
+    * only the last branch left the r11 breach class a hole). Each
+    * projection list ends at the next depth-0 FROM (or end of text). */
   def auditHashedTypes(name: String, sql: String): Seq[String] = {
     val joined = neutralizeLiterals(
       sql.split('\n').map(_.replaceFirst("^\\s*\\|", " ")).mkString(" "))
-    val sel = depth0Matches(selectRe, joined).lastOption.getOrElse(return Nil)
-    val listStart = sel + "SELECT".length
-    val listEnd = depth0Matches(fromRe, joined).filter(_ > listStart)
-      .headOption.getOrElse(joined.length)
-    val items = splitTopLevel(joined.substring(listStart, listEnd))
-    items.flatMap { it =>
-      outermostCastType(it) match {
-        case Some(t) if t == "DECIMAL" || t == "HUGEINT" =>
-          Some(s"$name: hashed output column is $t (FIXTURES.md typing " +
-            s"rule: emit BIGINT or digit strings) in `${collapseWs(it)}`")
-        case _ => None
+    val sels = depth0Matches(selectRe, joined)
+    val froms = depth0Matches(fromRe, joined)
+    // a FROM-less branch (`SELECT 1 AS x UNION ALL ...`) ends at the
+    // UNION/ORDER keyword, not at the next SELECT — cut there so the
+    // last item stays parseable
+    val breaks = depth0Matches("(?i)\\b(UNION|ORDER|EXCEPT|INTERSECT)\\b".r, joined)
+    sels.flatMap { sel =>
+      val listStart = sel + "SELECT".length
+      val listEnd = (froms.filter(_ > listStart) ++
+        sels.filter(_ > listStart) ++ breaks.filter(_ > listStart)).sorted
+        .headOption.getOrElse(joined.length)
+      val items = splitTopLevel(joined.substring(listStart, listEnd))
+      items.flatMap { it =>
+        outermostCastType(it) match {
+          case Some(t) if t == "DECIMAL" || t == "HUGEINT" =>
+            Some(s"$name: hashed output column is $t (FIXTURES.md typing " +
+              s"rule: emit BIGINT or digit strings) in `${collapseWs(it)}`")
+          case _ => None
+        }
       }
     }
   }

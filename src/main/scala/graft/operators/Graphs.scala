@@ -426,9 +426,13 @@ object Graphs {
     var visited = Seq(src).toDF("nd").localCheckpoint()
     var frontier = visited
     var visitedN = 1L
+    var frontierN = 1L
     for (l <- 1 to levels) {
+      // each side is guarded by ITS OWN measured size: a late small
+      // frontier keeps its broadcast even after the visited set has
+      // outgrown the limit (r12 self-review)
       val cand = u
-        .join(maybeBroadcast(frontier, visitedN, bcastMaxNodes),
+        .join(maybeBroadcast(frontier, frontierN, bcastMaxNodes),
           col("a") === col("nd"))
         .select(col("b").as("nd")).distinct()
       val next = cand
@@ -448,6 +452,7 @@ object Graphs {
       frontier = next
       visited = grown
       visitedN += n
+      frontierN = n
     }
     releaseLocalCheckpoint(frontier)
     releaseLocalCheckpoint(visited)
@@ -480,8 +485,9 @@ object Graphs {
        |v0 AS MATERIALIZED (SELECT min(a) AS nd FROM e0),
        |f0 AS MATERIALIZED (SELECT nd FROM v0),
        |$chain
-       |SELECT CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS n_new,
-       |       CAST((SELECT nd FROM v0) AS BIGINT) AS id_sum
+       |SELECT CAST(0 AS BIGINT) AS level,
+       |       CAST(CASE WHEN (SELECT nd FROM v0) IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_new,
+       |       CAST(coalesce((SELECT nd FROM v0), 0) AS BIGINT) AS id_sum
        |UNION ALL
        |$lvls
        |ORDER BY level""".stripMargin

@@ -797,36 +797,50 @@ object Similarity {
         .as("xq"))
     val flat = q.select(posexplode(col("xq")).as(Seq("i", "xi")), col("xq"))
       .select(col("i"), col("xi"), posexplode(col("xq")).as(Seq("j", "xj")))
+    // Σx rides the same d²-group aggregate: within group (i, j) the xi
+    // sum IS Σx_i (every corpus row lands once per group), so the
+    // corpus is genuinely scanned ONCE — no second explode pass
     val sums = flat.groupBy("i", "j")
-      .agg(sum(col("xi") * col("xj")).as("sxy"), count(lit(1)).as("nc"))
+      .agg(sum(col("xi") * col("xj")).as("sxy"), count(lit(1)).as("nc"),
+        sum(col("xi")).as("sxi"))
       .collect()
     val d = 64
+    val ppm = BigInt(1000000)
+    def resultDf(v: Array[BigInt], scale: BigInt) =
+      (0 until d).map(i => (i.toLong, v(i).toLong, scale.toString))
+        .toDF("dim", "loading_ppm", "scale")
+        .orderBy("dim")
+    // empty corpus: a fixed all-zero profile keeps the shape stable
+    if (sums.isEmpty) return resultDf(Array.fill(d)(BigInt(0)), BigInt(0))
     val n = BigInt(sums.head.getLong(3)) // every (i,j) group counts N rows
     val sx = Array.fill(d)(BigInt(0))
     val sxy = Array.ofDim[BigInt](d, d)
     sums.foreach { r =>
       sxy(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2))
+      if (r.getInt(1) == 0) sx(r.getInt(0)) = BigInt(r.getLong(4))
     }
-    // Σx falls out of the diagonal pass over the same rows: recompute
-    // from a second tiny aggregate (64 groups) to keep the scan narrow
-    val mg = q.select(posexplode(col("xq")).as(Seq("i", "xi")))
-      .groupBy("i").agg(sum("xi").as("sx")).collect()
-    mg.foreach(r => sx(r.getInt(0)) = BigInt(r.getLong(1)))
     val s = Array.tabulate(d, d)((i, j) => n * sxy(i)(j) - sx(i) * sx(j))
-    val ppm = BigInt(1000000)
     var v = Array.fill(d)(ppm)
     var scale = BigInt(0)
+    var live = true
     (1 to iters).foreach { _ =>
-      val t = Array.tabulate(d)(i =>
-        (0 until d).map(j => s(i)(j) * v(j)).foldLeft(BigInt(0))(_ + _))
-      scale = t.map(_.abs).max
-      // sign-separated truncating renormalization (BigInt / truncates
-      // toward zero on positives; only |t| crosses the division)
-      v = t.map(x => BigInt(x.signum) * (x.abs * ppm / scale))
+      if (live) {
+        val t = Array.tabulate(d)(i =>
+          (0 until d).map(j => s(i)(j) * v(j)).foldLeft(BigInt(0))(_ + _))
+        scale = t.map(_.abs).max
+        if (scale == 0) {
+          // zero scatter (constant corpus): no component — emit zeros
+          // instead of dividing by zero
+          v = Array.fill(d)(BigInt(0))
+          live = false
+        } else {
+          // sign-separated truncating renormalization (BigInt / truncates
+          // toward zero on positives; only |t| crosses the division)
+          v = t.map(x => BigInt(x.signum) * (x.abs * ppm / scale))
+        }
+      }
     }
-    (0 until d).map(i => (i.toLong, v(i).toLong, scale.toString))
-      .toDF("dim", "loading_ppm", "scale")
-      .orderBy("dim")
+    resultDf(v, scale)
   }
 
   /** DuckDB twin of [[pcaTopComponent]] — identical quantization,

@@ -74,6 +74,28 @@ class OracleAuditSpec extends AnyFunSuite {
     assert(v.size == 1 && v.head.contains("HUGEINT"), s"got: $v")
   }
 
+  test("typing audit scans EVERY top-level UNION branch, not just the last") {
+    // the r12 self-review hole: a DECIMAL carrier in an earlier branch
+    // of a top-level UNION ALL typed the output just as much as the
+    // last branch, but only the last depth-0 SELECT was scanned
+    val sql =
+      """WITH h AS (SELECT 1 AS x FROM t)
+        |SELECT CAST(x AS DECIMAL(38,0)) AS a, CAST(1 AS BIGINT) AS b FROM h
+        |UNION ALL
+        |SELECT CAST(x AS BIGINT) AS a, CAST(2 AS BIGINT) AS b FROM h
+        |ORDER BY a""".stripMargin
+    val v = OracleAudit.auditHashedTypes("union_branches", sql)
+    assert(v.size == 1 && v.head.contains("DECIMAL"), s"got: $v")
+    // FROM-less branches stay parseable (the graph_bfs head-row shape)
+    val fromless =
+      """SELECT CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS n
+        |UNION ALL
+        |SELECT CAST(l AS BIGINT) AS level, CAST(c AS HUGEINT) AS n FROM f
+        |ORDER BY level""".stripMargin
+    val v2 = OracleAudit.auditHashedTypes("fromless_branch", fromless)
+    assert(v2.size == 1 && v2.head.contains("HUGEINT"), s"got: $v2")
+  }
+
   test("division audit ignores `//` and ` - ` inside string literals") {
     val sql =
       """SELECT concat('http://x.y', name) AS url, a // b AS q

@@ -380,6 +380,27 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(rows == again)
   }
 
+  test("pca degenerate corpora yield the stable all-zero profile, no crash") {
+    import spark.implicits._
+    // constant corpus: centering zeroes the scatter matrix — the old
+    // code divided BigInt by zero (r12 self-review)
+    val d = java.nio.file.Files.createTempDirectory("graft_pca_deg").toString
+    (0 until 8).map(i => (i.toLong, Array.fill(64)(1.5f), "x"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.pcaTopComponent(spark, d).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(rows.length == 64 && rows.forall(_ == (0L, "0")))
+    // empty corpus: same fixed shape (the old code threw on sums.head)
+    val e = java.nio.file.Files.createTempDirectory("graft_pca_empty").toString
+    Seq.empty[(Long, Array[Float], String)]
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$e/embeddings.parquet")
+    val rows2 = Similarity.pcaTopComponent(spark, e).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(rows2.length == 64 && rows2.forall(_ == (0L, "0")))
+  }
+
   test("matryoshka recall emits a row for EVERY prefix dim, zero-hit dims included") {
     import spark.implicits._
     // adversarial corpus (ADVICE r11): every vector shares an identical
