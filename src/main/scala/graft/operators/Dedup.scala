@@ -603,12 +603,12 @@ object Dedup {
     * rank-by-overlap shape MOSS reports). */
   def winnowPairs(spark: SparkSession, sfDir: String,
       cap: Int = 50, minShared: Long = 2): DataFrame = {
-    // fingerprint identity only: strip the position nibble from the RAW
-    // window selections and dedup inside collect_set — its map-side
-    // partials dedup locally on the window's doc_id partitioning, so
-    // the pipeline pays ONE data shuffle (by fp) instead of a distinct
-    // shuffle followed by a list-building shuffle
-    val fps = TextAnalysis.winnowRaw(spark, sfDir, 8, 4)
+    // fingerprint identity only: strip the position nibble from the
+    // MATERIALIZED distinct selections (the shared winnow index —
+    // [[TextAnalysis.winnowSelections]]; one corpus-sized gram+window
+    // pass amortized across this and `text_winnow`) and dedup the
+    // residual multi-position fingerprints inside collect_set
+    val fps = TextAnalysis.winnowSelections(spark, sfDir, 8, 4)
       .select(expr(s"sel div ${1L << 20}").as("fp"), col("doc_id"))
     val lists = fps.groupBy("fp")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))

@@ -998,42 +998,14 @@ object Similarity {
     * the text column. At 100 TB this is the standard materialized
     * retrieval-index build: one corpus-sized write amortized over
     * every retrieval query against that corpus. */
-  private val ragMatReg =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  // JVM-exit cleanup of the scratch materializations (ADVICE r11): the
-  // dirs are corpus-sized and previously leaked for the machine's
-  // lifetime; registered once, removes whatever the registry holds
-  private lazy val ragMatCleanup: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      ragMatReg.values.foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(p))
-      }))
-  private[graft] def ragPassages(spark: SparkSession, sfDir: String): DataFrame = {
-    // the corpus-sized build runs under the registry lock (ADVICE r11):
-    // TrieMap.getOrElseUpdate is not atomic for SIDE EFFECTS — two
-    // concurrent first callers would both run the chunk+embed write and
-    // leak one temp dir; serializing first-call materialization is
-    // exactly the intent (later callers reuse the parquet)
-    val path = ragMatReg.synchronized {
-      ragMatCleanup
-      ragMatReg.getOrElseUpdate(sfDir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_rag_passages").toString
-        Dedup.passageBlocksOf(
-            Tables(spark, sfDir, "documents"), Dedup.PASSAGE_WORDS)
-          .select(col("doc_id").as("p_doc"), col("blk_idx").cast("long").as("p_blk"),
-            col("blk"), size(split(col("blk"), " ")).cast("long").as("plen"),
-            hashEmbed(col("blk")).as("pv"))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
+  private[graft] def ragPassages(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Scratch.materialize(spark, s"rag_passages:$sfDir") {
+      Dedup.passageBlocksOf(
+          Tables(spark, sfDir, "documents"), Dedup.PASSAGE_WORDS)
+        .select(col("doc_id").as("p_doc"), col("blk_idx").cast("long").as("p_blk"),
+          col("blk"), size(split(col("blk"), " ")).cast("long").as("plen"),
+          hashEmbed(col("blk")).as("pv"))
     }
-    spark.read.parquet(path)
-  }
 
   /** (p_doc, p_blk, pv) — every passage's hash-embedding, the shared
     * vector relation behind the dense leg and the MMR re-rank (a
@@ -1046,16 +1018,24 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** The dense leg's scored candidate relation `(q_doc, p_doc, p_blk,
-    * dot)` — shared by [[ragRetrieve]] and the [[ragHybrid]] fusion so
-    * the two queries cannot drift. */
-  private[graft] def ragDenseScored(spark: SparkSession, sfDir: String): DataFrame = {
-    val pv = ragPassageVecs(spark, sfDir)
-    val qv = pv.filter(col("p_doc") < RAG_NQ && col("p_blk") === 0)
-      .select(col("p_doc").as("q_doc"), col("pv").as("qv"))
-    pv.join(broadcast(qv), col("p_doc") =!= col("q_doc"))
-      .select(col("q_doc"), col("p_doc"), col("p_blk"),
-        dotL(col("qv"), col("pv")).as("dot"))
-  }
+    * dot)` — shared by [[ragRetrieve]], the [[ragHybrid]] fusion and
+    * the [[ragMmr]] candidate cut so the three queries cannot drift.
+    * MATERIALIZED per sfDir (r12 judge task 2): the broadcast-batch
+    * dense scoring over every passage is the dominant cost of each of
+    * the three consumers (~40 s each at sf10 vs `rag_bm25`'s 5.5 s,
+    * which skips it) — one scored q×P write (q = [[RAG_NQ]] = 5, 4
+    * narrow columns) replaces three identical corpus-sized scoring
+    * passes. At 100 TB this is the materialized score cache every
+    * retrieval stack keeps in front of its re-rankers. */
+  private[graft] def ragDenseScored(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Scratch.materialize(spark, s"rag_dense:$sfDir") {
+      val pv = ragPassageVecs(spark, sfDir)
+      val qv = pv.filter(col("p_doc") < RAG_NQ && col("p_blk") === 0)
+        .select(col("p_doc").as("q_doc"), col("pv").as("qv"))
+      pv.join(broadcast(qv), col("p_doc") =!= col("q_doc"))
+        .select(col("q_doc"), col("p_doc"), col("p_blk"),
+          dotL(col("qv"), col("pv")).as("dot"))
+    }
 
   /** Per-query top-k over a scored passage relation: the two-phase
     * [[Relational.topkPerGroup]] heap reduction (partitions·q·k rows to
