@@ -597,7 +597,10 @@ object SparkEntry {
     // deterministic JL ±1-sign projection: the no-training
     // dimensionality-reduction front end (one narrow map, no shuffle)
     "embed_rp" -> ((s, dir) => Similarity.randomProjection(s, dir)),
-    "embed_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)))
+    "embed_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)),
+    // top-m eigenbasis by exact Hotelling deflation over the same
+    // one-scan scatter statistics (r13; the spectral-family breadth)
+    "embed_pca_basis" -> ((s, dir) => Similarity.pcaBasis(s, dir)))
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -2078,6 +2081,7 @@ object SparkEntry {
       ("ann_hard_negatives" -> Similarity.hardNegativesOracle) +
       ("embed_rp" -> Similarity.randomProjectionOracle) +
       ("embed_pca" -> Similarity.pcaOracle()) +
+      ("embed_pca_basis" -> Similarity.pcaBasisOracle()) +
       ("rag_retrieve" -> Similarity.ragRetrieveOracle) +
       ("rag_bm25" -> Similarity.ragBm25Oracle) +
       ("rag_hybrid" -> Similarity.ragHybridOracle)

@@ -855,40 +855,96 @@ object Similarity {
     * corpus); the iteration runs on d² numbers driver-side (a bounded
     * materialization, the PQ-codebook class — d=64 here, 4096 values).
     * At 100 TB this is the standard one-pass sufficient-statistics
-    * PCA; a full eigenbasis would swap the driver loop for a
-    * deflation sequence over the same S. */
+    * PCA; [[pcaBasis]] extends the same S to a top-m eigenbasis by
+    * Hotelling deflation. */
   def pcaTopComponent(spark: SparkSession, sfDir: String,
       iters: Int = PcaIters): DataFrame = {
     import spark.implicits._
-    val q = Tables(spark, sfDir, "embeddings")
-      .select(expr(
-        "transform(cast(embedding as array<double>), x -> cast(round(x * 1000, 0) as bigint))")
-        .as("xq"))
-    val flat = q.select(posexplode(col("xq")).as(Seq("i", "xi")), col("xq"))
-      .select(col("i"), col("xi"), posexplode(col("xq")).as(Seq("j", "xj")))
-    // Σx rides the same d²-group aggregate: within group (i, j) the xi
-    // sum IS Σx_i (every corpus row lands once per group), so the
-    // corpus is genuinely scanned ONCE — no second explode pass
-    val sums = flat.groupBy("i", "j")
-      .agg(sum(col("xi") * col("xj")).as("sxy"), count(lit(1)).as("nc"),
-        sum(col("xi")).as("sxi"))
-      .collect()
-    val d = 64
-    val ppm = BigInt(1000000)
-    def resultDf(v: Array[BigInt], scale: BigInt) =
-      (0 until d).map(i => (i.toLong, v(i).toLong, scale.toString))
-        .toDF("dim", "loading_ppm", "scale")
-        .orderBy("dim")
-    // empty corpus: a fixed all-zero profile keeps the shape stable
-    if (sums.isEmpty) return resultDf(Array.fill(d)(BigInt(0)), BigInt(0))
-    val n = BigInt(sums.head.getLong(3)) // every (i,j) group counts N rows
-    val sx = Array.fill(d)(BigInt(0))
-    val sxy = Array.ofDim[BigInt](d, d)
-    sums.foreach { r =>
-      sxy(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2))
-      if (r.getInt(1) == 0) sx(r.getInt(0)) = BigInt(r.getLong(4))
+    val (v, scale) = pcaScatter(spark, sfDir)
+      .map(pcaPower(_, iters))
+      .getOrElse((Array.fill(PcaD)(BigInt(0)), BigInt(0)))
+    (0 until PcaD).map(i => (i.toLong, v(i).toLong, scale.toString))
+      .toDF("dim", "loading_ppm", "scale")
+      .orderBy("dim")
+  }
+
+  /** Embedding dimensionality of the spectral family. */
+  val PcaD = 64
+
+  /** The exact integer scatter matrix S = N·Σxxᵀ − (Σx)(Σx)ᵀ of the
+    * quantized corpus, or None when the corpus is empty. The d²-group
+    * sufficient statistics MATERIALIZE once per sfDir: `embed_pca` and
+    * `embed_pca_basis` share ONE corpus scan per bench pass (the
+    * scratch-registry device) — the scratch relation is exactly d²=4096
+    * rows, so the write is free and the reread trivial. */
+  private def pcaScatter(spark: SparkSession,
+      sfDir: String): Option[Array[Array[BigInt]]] = {
+    val sums = graft.sources.Scratch.materialize(spark, s"pca_sums:$sfDir") {
+      val q = Tables(spark, sfDir, "embeddings")
+        .select(expr(
+          "transform(cast(embedding as array<double>), x -> cast(round(x * 1000, 0) as bigint))")
+          .as("xq"))
+      val flat = q.select(posexplode(col("xq")).as(Seq("i", "xi")), col("xq"))
+        .select(col("i"), col("xi"), posexplode(col("xq")).as(Seq("j", "xj")))
+      // Σx rides the same d²-group aggregate: within group (i, j) the xi
+      // sum IS Σx_i (every corpus row lands once per group), so the
+      // corpus is genuinely scanned ONCE — no second explode pass
+      flat.groupBy("i", "j")
+        .agg(sum(col("xi") * col("xj")).as("sxy"), count(lit(1)).as("nc"),
+          sum(col("xi")).as("sxi"))
+    }.collect()
+    if (sums.isEmpty) None
+    else {
+      val d = PcaD
+      val n = BigInt(sums.head.getLong(3)) // every (i,j) group counts N rows
+      val sx = Array.fill(d)(BigInt(0))
+      val sxy = Array.ofDim[BigInt](d, d)
+      sums.foreach { r =>
+        sxy(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2))
+        if (r.getInt(1) == 0) sx(r.getInt(0)) = BigInt(r.getLong(4))
+      }
+      Some(Array.tabulate(d, d)((i, j) => n * sxy(i)(j) - sx(i) * sx(j)))
     }
-    val s = Array.tabulate(d, d)((i, j) => n * sxy(i)(j) - sx(i) * sx(j))
+  }
+
+  /** Exact power-iteration rounds on a collected scatter matrix:
+    * t = S·v, then the sign-separated ppm renormalization
+    * vᵢ ← sign(tᵢ)·(|tᵢ|·10⁶ div max|t|); a zero max|t| (constant
+    * corpus) exits with the all-zero vector instead of dividing by
+    * zero. Returns the final ppm vector and the final
+    * pre-normalization scale (the dominant eigenvalue's magnitude
+    * pin). Mirrors the oracle's chained-CTE replay round for round in
+    * BigInt = HUGEINT arithmetic. The projection-free special case of
+    * [[pcaPowerProjected]]. */
+  private def pcaPower(s: Array[Array[BigInt]],
+      iters: Int): (Array[BigInt], BigInt) =
+    pcaPowerProjected(s, Nil, iters)
+
+  /** Power iteration on S with per-round Gram–Schmidt projection
+    * against the previously found components — the projected-deflation
+    * scheme. Matrix (Hotelling) deflation inherits v₁'s CONVERGENCE
+    * error (a (λ₂/λ₁)^iters residual leaks into the deflated matrix —
+    * ~4-6% cross-component overlap measured on the near-isotropic
+    * fixture embeddings); projecting the iterate each round makes
+    * orthogonality STRUCTURAL: v_c ⊥ u_k up to the final ppm
+    * renormalization's ≤ 1-unit/entry truncation (≤ d·10⁶ against
+    * 10¹²-scale norms ≈ 64 ppm), independent of eigengaps.
+    *
+    * All simultaneous projections read the same raw t (matching the
+    * oracle's CTE shape): pᵢ = tᵢ − Σₖ ⌊cfₖ·uₖᵢ/uuₖ⌋ with cfₖ = t·uₖ
+    * (signed) and uuₖ = uₖ·uₖ. The truncating product-quotient is
+    * evaluated sign-separated and remainder-split —
+    * q·|uₖᵢ| + (r·|uₖᵢ|) div uuₖ with q = |cfₖ| div uuₖ, r = |cfₖ| mod
+    * uuₖ — which is EXACTLY ⌊|cfₖ|·|uₖᵢ|/uuₖ⌋ while keeping every
+    * intermediate under int128: |cfₖ| ≤ d²·max|S|·10¹² / 10¹² ≈ 4·10³⁵
+    * at sf10 and both q·10⁶ and r·10⁶ ≤ 10¹⁸·10⁶ stay far below
+    * 1.7·10³⁸. A zero uuₖ (degenerate earlier component) skips that
+    * projection on both engines. */
+  private def pcaPowerProjected(s: Array[Array[BigInt]],
+      prev: Seq[Array[BigInt]], iters: Int): (Array[BigInt], BigInt) = {
+    val d = s.length
+    val ppm = BigInt(1000000)
+    val uus = prev.map(u => u.map(x => x * x).foldLeft(BigInt(0))(_ + _))
     var v = Array.fill(d)(ppm)
     var scale = BigInt(0)
     var live = true
@@ -896,38 +952,86 @@ object Similarity {
       if (live) {
         val t = Array.tabulate(d)(i =>
           (0 until d).map(j => s(i)(j) * v(j)).foldLeft(BigInt(0))(_ + _))
-        scale = t.map(_.abs).max
+        val cfs = prev.map(u =>
+          (0 until d).map(i => t(i) * u(i)).foldLeft(BigInt(0))(_ + _))
+        val p = Array.tabulate(d) { i =>
+          prev.indices.foldLeft(t(i)) { (acc, k) =>
+            val uu = uus(k)
+            if (uu == 0) acc
+            else {
+              val cf = cfs(k)
+              val u = prev(k)(i)
+              val q = cf.abs / uu
+              val r = cf.abs % uu
+              acc - BigInt(cf.signum * u.signum) * (q * u.abs + (r * u.abs) / uu)
+            }
+          }
+        }
+        scale = p.map(_.abs).max
         if (scale == 0) {
-          // zero scatter (constant corpus): no component — emit zeros
-          // instead of dividing by zero
           v = Array.fill(d)(BigInt(0))
           live = false
         } else {
-          // sign-separated truncating renormalization (BigInt / truncates
-          // toward zero on positives; only |t| crosses the division)
-          v = t.map(x => BigInt(x.signum) * (x.abs * ppm / scale))
+          v = p.map(x => BigInt(x.signum) * (x.abs * ppm / scale))
         }
       }
     }
-    resultDf(v, scale)
+    (v, scale)
   }
 
-  /** DuckDB twin of [[pcaTopComponent]] — identical quantization,
-    * scatter matrix and per-round integer renormalization, replayed as
-    * chained MATERIALIZED CTEs (S is read once per round — the
-    * FIXTURES.md chain-CTE rule). */
-  def pcaOracle(iters: Int = PcaIters): String = {
-    val rounds = (1 to iters).map { r =>
-      s"""t$r AS MATERIALIZED (
-         |  SELECT s.i, sum(s.s * v${r - 1}.v) AS t
-         |  FROM s JOIN v${r - 1} ON s.j = v${r - 1}.i GROUP BY s.i),
-         |n$r AS MATERIALIZED (SELECT max(abs(t)) AS m FROM t$r),
-         |v$r AS MATERIALIZED (
-         |  SELECT i, CAST(sign(t) AS HUGEINT)
-         |              * (abs(t) * 1000000 // (SELECT m FROM n$r)) AS v
-         |  FROM t$r)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH q AS MATERIALIZED (
+  /** Components emitted by [[pcaBasis]]. */
+  val PcaComponents = 3
+
+  /** Power-iteration rounds per [[pcaBasis]] component — deeper than
+    * [[PcaIters]] because deflation quality is bounded by v₁'s
+    * convergence: a residual e₂ fraction of (λ₂/λ₁)^iters survives in
+    * v₁ and leaks straight into the deflated matrix. At 8 rounds the
+    * fixture corpus left ~6% cross-component overlap; 24 rounds bring
+    * it to ppm scale. Each extra round costs 3 CTEs over ≤ 4096-row
+    * relations in the oracle and one d² BigInt multiply driver-side —
+    * both trivial next to the corpus scan. */
+  val PcaBasisIters = 24
+
+  /** Top-[[PcaComponents]] eigenbasis of the embedding corpus — the
+    * deflation sequence [[pcaTopComponent]]'s contract names, realized
+    * as projected power iteration ([[pcaPowerProjected]]): component c
+    * iterates on the ORIGINAL S with every round's iterate projected
+    * orthogonal to u₁..u_{c−1}, so the basis is orthogonal by
+    * construction (ppm-level) regardless of eigengaps. One row per
+    * (component, dim): the loading in ppm and the component's final
+    * pre-normalization scale as exact digits (the per-component
+    * eigenvalue-magnitude pin). The corpus is still touched exactly
+    * ONCE — the shared d²-group scatter statistics ([[pcaScatter]])
+    * feed every component; iteration is driver-side d²-bounded BigInt
+    * arithmetic the DuckDB oracle replays as chained HUGEINT CTEs.
+    * This is the embedding-whitening / visualization basis a real
+    * corpus pipeline wants (m small, d² tiny next to N·d). */
+  def pcaBasis(spark: SparkSession, sfDir: String,
+      m: Int = PcaComponents, iters: Int = PcaBasisIters): DataFrame = {
+    import spark.implicits._
+    val d = PcaD
+    val rows = pcaScatter(spark, sfDir) match {
+      case None =>
+        // empty corpus: the fixed all-zero profile, shape-stable
+        for { c <- 1 to m; i <- 0 until d }
+          yield (c.toLong, i.toLong, 0L, "0")
+      case Some(s) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Array[BigInt]]
+        (1 to m).flatMap { c =>
+          val (v, scale) = pcaPowerProjected(s, acc.toSeq, iters)
+          acc += v
+          (0 until d).map(i => (c.toLong, i.toLong, v(i).toLong, scale.toString))
+        }
+    }
+    rows.toDF("component", "dim", "loading_ppm", "scale")
+      .orderBy("component", "dim")
+  }
+
+  /** The shared corpus→scatter CTE chain (no leading WITH), ending in
+    * `s1(i, j, s)` plus the `dims(i)` backfill relation — identical
+    * quantization and centering on both oracles. */
+  private def pcaBaseCtes: String =
+    s"""q AS MATERIALIZED (
        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
        |                        x -> CAST(round(x * 1000) AS BIGINT)) AS xq
        |  FROM embeddings),
@@ -942,16 +1046,100 @@ object Similarity {
        |  SELECT g2.i, sum(q.xq[g2.i + 1]) AS sx
        |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g2
        |  GROUP BY g2.i),
-       |s AS MATERIALIZED (
+       |s1 AS MATERIALIZED (
        |  SELECT g.i, g.j,
        |         CAST(g.n AS HUGEINT) * g.sxy - CAST(mi.sx AS HUGEINT) * mj.sx AS s
        |  FROM g JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i),
-       |v0 AS MATERIALIZED (
+       |dims AS (SELECT unnest(generate_series(0, 63)) AS i)""".stripMargin
+
+  /** Chained power-iteration round CTEs for component `c` over the
+    * shared scatter relation `s1` — names prefixed per component
+    * (`t${c}_$r`), base vector `v${c}_0` = the all-10⁶ start. Each
+    * round projects the iterate orthogonal to every PREVIOUS
+    * component's final vector `v${k}_$iters` (k < c) — the
+    * [[pcaPowerProjected]] remainder-split truncating chain — before
+    * the ppm renormalization. The renormalization guards max = 0
+    * (constant corpus) by emitting the zero vector, exactly as the
+    * Spark loop's zero-scale exit does (ADVICE r12: the unguarded
+    * division errored in DuckDB on degenerate input); a zero uuₖ
+    * skips that projection on both engines. */
+  private def pcaRoundCtes(c: Int, iters: Int): String = {
+    val prev = 1 until c
+    val rounds = (1 to iters).map { r =>
+      val t = s"t${c}_$r"
+      val cfs = prev.map { k =>
+        s"""cf${c}_${r}_$k AS (
+           |  SELECT sum(t.t * u.v) AS cf
+           |  FROM $t t JOIN v${k}_$iters u ON t.i = u.i)""".stripMargin
+      }
+      val (src, vcol) =
+        if (prev.isEmpty) (t, "t")
+        else (s"p${c}_$r", "p")
+      val proj = if (prev.isEmpty) Seq.empty[String] else {
+        val joins = prev
+          .map(k => s"JOIN v${k}_$iters u$k ON u$k.i = t.i").mkString(" ")
+        val terms = prev.map { k =>
+          val cf = s"(SELECT cf FROM cf${c}_${r}_$k)"
+          val uu = s"(SELECT uu FROM uu$k)"
+          s"""CASE WHEN $uu = 0 THEN CAST(0 AS HUGEINT)
+             |     ELSE CAST(sign($cf) AS HUGEINT) * sign(u$k.v)
+             |            * ((abs($cf) // $uu) * abs(u$k.v)
+             |               + ((abs($cf) % $uu) * abs(u$k.v)) // $uu) END""".stripMargin
+        }.mkString("\n - ")
+        Seq(s"""p${c}_$r AS MATERIALIZED (
+               |  SELECT t.i, t.t - $terms AS p
+               |  FROM $t t $joins)""".stripMargin)
+      }
+      (Seq(
+        s"""$t AS MATERIALIZED (
+           |  SELECT s.i, sum(s.s * v.v) AS t
+           |  FROM s1 s JOIN v${c}_${r - 1} v ON s.j = v.i GROUP BY s.i)""".stripMargin
+      ) ++ cfs ++ proj ++ Seq(
+        s"""n${c}_$r AS MATERIALIZED (SELECT max(abs($vcol)) AS m FROM $src)""",
+        s"""v${c}_$r AS MATERIALIZED (
+           |  SELECT i, CASE WHEN (SELECT m FROM n${c}_$r) = 0 THEN CAST(0 AS HUGEINT)
+           |                 ELSE CAST(sign($vcol) AS HUGEINT)
+           |                        * (abs($vcol) * 1000000 // (SELECT m FROM n${c}_$r)) END AS v
+           |  FROM $src)""".stripMargin
+      )).mkString(",\n")
+    }.mkString(",\n")
+    val uuSelf =
+      s""",\nuu$c AS (SELECT sum(v * v) AS uu FROM v${c}_$iters)"""
+    s"""v${c}_0 AS MATERIALIZED (
        |  SELECT unnest(generate_series(0, 63)) AS i, CAST(1000000 AS HUGEINT) AS v),
-       |$rounds
-       |SELECT CAST(v$iters.i AS BIGINT) AS dim, CAST(v$iters.v AS BIGINT) AS loading_ppm,
-       |       CAST((SELECT m FROM n$iters) AS VARCHAR) AS scale
-       |FROM v$iters ORDER BY dim""".stripMargin
+       |$rounds$uuSelf""".stripMargin
+  }
+
+  /** The per-component final projection: LEFT JOIN from `dims` so an
+    * empty corpus still emits the fixed 64-row zero profile (ADVICE
+    * r12 — mirrors the Spark side's shape-stable empty-corpus exit). */
+  private def pcaSelect(c: Int, iters: Int, compCol: String): String =
+    s"""SELECT ${compCol}CAST(dims.i AS BIGINT) AS dim,
+       |       CAST(coalesce(v.v, 0) AS BIGINT) AS loading_ppm,
+       |       CAST(coalesce((SELECT m FROM n${c}_$iters), 0) AS VARCHAR) AS scale
+       |FROM dims LEFT JOIN v${c}_$iters v ON v.i = dims.i""".stripMargin
+
+  /** DuckDB twin of [[pcaTopComponent]] — identical quantization,
+    * scatter matrix and per-round integer renormalization, replayed as
+    * chained MATERIALIZED CTEs (S is read once per round — the
+    * FIXTURES.md chain-CTE rule). */
+  def pcaOracle(iters: Int = PcaIters): String =
+    s"""WITH $pcaBaseCtes,
+       |${pcaRoundCtes(1, iters)}
+       |${pcaSelect(1, iters, "")} ORDER BY dim""".stripMargin
+
+  /** DuckDB twin of [[pcaBasis]] — replays every component's projected
+    * rounds as one chained-CTE pipeline over the same corpus scatter. */
+  def pcaBasisOracle(m: Int = PcaComponents,
+      iters: Int = PcaBasisIters): String = {
+    val chain = (1 to m).map(pcaRoundCtes(_, iters)).mkString(",\n")
+    val branches = (1 to m)
+      .map(c => pcaSelect(c, iters, s"CAST($c AS BIGINT) AS component, "))
+      .mkString("\nUNION ALL\n")
+    s"""WITH $pcaBaseCtes,
+       |$chain
+       |$branches
+       |ORDER BY component, dim""".stripMargin
   }
 
   /** Shared exact finisher for the ANN variants: per-query cosine top-k.

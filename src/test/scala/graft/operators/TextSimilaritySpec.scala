@@ -401,6 +401,59 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(rows2.length == 64 && rows2.forall(_ == (0L, "0")))
   }
 
+  test("pca basis: deflation finds planted axes in variance order, exactly orthogonal") {
+    import spark.implicits._
+    // rank-2 planted corpus: dim 5 varies ±4 on i%2, dim 11 varies ±2
+    // on (i/2)%2 — balanced over 16 rows, so the two axes are exactly
+    // uncorrelated and the scatter matrix is diag on {5, 11}. The
+    // deflation sequence must peel them in variance order.
+    val d = java.nio.file.Files.createTempDirectory("graft_pca_basis").toString
+    (0 until 16).map { i =>
+      val v = Array.fill(64)(0.5f)
+      v(5) = if (i % 2 == 0) 4.0f else -4.0f
+      v(11) = if ((i / 2) % 2 == 0) 2.0f else -2.0f
+      (i.toLong, v, "x")
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.pcaBasis(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rows.size == 3 * 64)
+    assert(math.abs(rows((1L, 5L))._1) == 1000000L, "component 1 = axis 5")
+    assert((0 until 64).filter(_ != 5)
+      .forall(i => rows((1L, i.toLong))._1 == 0L))
+    assert(math.abs(rows((2L, 11L))._1) == 1000000L, "component 2 = axis 11")
+    assert((0 until 64).filter(_ != 11)
+      .forall(i => rows((2L, i.toLong))._1 == 0L))
+    // scale pins the eigenvalue magnitudes: strictly decreasing here
+    val scales = (1 to 3).map(c => BigInt(rows((c.toLong, 0L))._2))
+    assert(scales(0) > scales(1) && scales(1) >= scales(2),
+      s"eigenvalue scales must be non-increasing: $scales")
+  }
+
+  test("pca basis components are near-orthogonal in ppm on the real fixture") {
+    val basis = Similarity.pcaBasis(spark, "/root/testdata/sf0.001").collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getLong(1)).map(r => BigInt(r.getLong(2)))
+      }
+    def cosPpm(a: Array[BigInt], b: Array[BigInt]): Long = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => (x * x).toDouble).sum)
+      val nb = math.sqrt(b.map(x => (x * x).toDouble).sum)
+      if (na == 0 || nb == 0) 0L
+      else math.abs(dp.toDouble / (na * nb) * 1e6).round
+    }
+    // per-round projection makes orthogonality STRUCTURAL: the only
+    // residue is the final renormalization's <= 1-unit/entry truncation
+    // (~sub-ppm measured; 100 ppm leaves an order of margin)
+    for (Seq(c1, c2) <- Seq(1L, 2L, 3L).combinations(2)) {
+      val ppm = cosPpm(basis(c1), basis(c2))
+      assert(ppm <= 100L,
+        s"components $c1,$c2 must be orthogonal at ppm scale: $ppm ppm")
+    }
+  }
+
   test("matryoshka recall emits a row for EVERY prefix dim, zero-hit dims included") {
     import spark.implicits._
     // adversarial corpus (ADVICE r11): every vector shares an identical
