@@ -872,38 +872,36 @@ object Similarity {
   val PcaD = 64
 
   /** The exact integer scatter matrix S = N·Σxxᵀ − (Σx)(Σx)ᵀ of the
-    * quantized corpus, or None when the corpus is empty. The d²-group
-    * sufficient statistics MATERIALIZE once per sfDir: `embed_pca` and
-    * `embed_pca_basis` share ONE corpus scan per bench pass (the
-    * scratch-registry device) — the scratch relation is exactly d²=4096
-    * rows, so the write is free and the reread trivial. */
+    * quantized corpus, or None when the corpus is empty. The corpus is
+    * folded in ONE pass by the [[graft.functions.PcaScatterAgg]]
+    * outer-product Aggregator — d² multiply-adds per row into a flat
+    * per-partition long buffer, partials merged associatively — which
+    * measured ~5× faster than the double-posexplode HashAggregate plan
+    * it replaced (PERF.md r13; same exact sums, long addition being
+    * associative/commutative). The one-row sufficient statistics
+    * MATERIALIZE once per sfDir: `embed_pca` and `embed_pca_basis`
+    * share ONE corpus scan per bench pass (the scratch-registry
+    * device). */
   private def pcaScatter(spark: SparkSession,
       sfDir: String): Option[Array[Array[BigInt]]] = {
-    val sums = graft.sources.Scratch.materialize(spark, s"pca_sums:$sfDir") {
-      val q = Tables(spark, sfDir, "embeddings")
+    import spark.implicits._
+    val r = graft.sources.Scratch.materialize(spark, s"pca_sums:$sfDir") {
+      Tables(spark, sfDir, "embeddings")
         .select(expr(
           "transform(cast(embedding as array<double>), x -> cast(round(x * 1000, 0) as bigint))")
           .as("xq"))
-      val flat = q.select(posexplode(col("xq")).as(Seq("i", "xi")), col("xq"))
-        .select(col("i"), col("xi"), posexplode(col("xq")).as(Seq("j", "xj")))
-      // Σx rides the same d²-group aggregate: within group (i, j) the xi
-      // sum IS Σx_i (every corpus row lands once per group), so the
-      // corpus is genuinely scanned ONCE — no second explode pass
-      flat.groupBy("i", "j")
-        .agg(sum(col("xi") * col("xj")).as("sxy"), count(lit(1)).as("nc"),
-          sum(col("xi")).as("sxi"))
-    }.collect()
-    if (sums.isEmpty) None
+        .as[Seq[Long]]
+        .select(graft.functions.PcaScatterAgg.toColumn)
+        .toDF() // one row, columns (n, sx, sxy)
+    }.head()
+    if (r.getLong(0) == 0) None
     else {
       val d = PcaD
-      val n = BigInt(sums.head.getLong(3)) // every (i,j) group counts N rows
-      val sx = Array.fill(d)(BigInt(0))
-      val sxy = Array.ofDim[BigInt](d, d)
-      sums.foreach { r =>
-        sxy(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2))
-        if (r.getInt(1) == 0) sx(r.getInt(0)) = BigInt(r.getLong(4))
-      }
-      Some(Array.tabulate(d, d)((i, j) => n * sxy(i)(j) - sx(i) * sx(j)))
+      val n = BigInt(r.getLong(0))
+      val sx = r.getSeq[Long](1).map(BigInt(_)).toArray
+      val sxy = r.getSeq[Long](2)
+      Some(Array.tabulate(d, d)((i, j) =>
+        n * BigInt(sxy(i * d + j)) - sx(i) * sx(j)))
     }
   }
 
