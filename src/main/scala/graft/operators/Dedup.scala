@@ -613,6 +613,16 @@ object Dedup {
     val lists = fps.groupBy("fp")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= cap)
+    postingPairCounts(lists, minShared)
+  }
+
+  /** Expand per-fingerprint SORTED posting lists `ds` into doc pairs
+    * and count shared fingerprints — the MOSS match-rank reduction,
+    * shared verbatim by [[winnowPairs]] and the incremental ledger view
+    * ([[graft.streaming.WinnowLedgerStream.currentPairs]]) so the batch
+    * operator and its streaming twin cannot drift. */
+  private[graft] def postingPairCounts(lists: DataFrame,
+      minShared: Long): DataFrame = {
     val pairExpr = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
         struct(x.as("doc_a"), y.as("doc_b")))))

@@ -202,12 +202,20 @@ object TextAnalysis {
     * [[winnowSelections]]'s materialized distinct index instead of
     * re-running this corpus-sized pass. */
   private[operators] def winnowRaw(spark: SparkSession,
-      sfDir: String, k: Int, w: Int): DataFrame = {
+      sfDir: String, k: Int, w: Int): DataFrame =
+    winnowRawOf(Tables(spark, sfDir, "documents"), k, w)
+
+  /** [[winnowRaw]] over an explicit `(doc_id, text)` relation — the
+    * per-row fingerprint derivation depends only on the row, so a
+    * document fingerprints identically whether it arrives in a batch
+    * load or a micro-batch (the streaming-twin contract; consumed by
+    * [[graft.streaming.WinnowLedgerStream]]). */
+  private[graft] def winnowRawOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     import org.apache.spark.sql.expressions.Window
     val posCap = (1L << 20) - 1
     val grams = column(graft.plans.CharGrams(expression(col("text")), k))
-    val g = Tables(spark, sfDir, "documents")
+    val g = docs
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
       .filter(col("pos") < posCap)
       .select(col("doc_id"), col("pos"),

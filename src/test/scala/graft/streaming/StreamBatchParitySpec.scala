@@ -447,6 +447,77 @@ class StreamBatchParitySpec extends AnyFunSuite {
       "one-big-batch slicing must produce the identical ledger")
   }
 
+  test("parity: incremental winnow posting ledger == oracle-green dedup_winnow, slicing-independent") {
+    // Stream the sf0.001 documents in 3 doc_id%3 files (file b1 holds
+    // ids 1,4,7,… — NOT in global doc_id order), then expand the
+    // ledger's posting lists into match pairs: must row-equal the batch
+    // winnowPairs (itself oracle-green at the gate). The ledger caps
+    // boilerplate INSIDE the state (hot fingerprints drop their lists)
+    // — hotness is slicing-independent because doc sets only grow, so
+    // any slicing yields the identical ledger and pairs.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val src = Files.createTempDirectory("graft_winledger_src").toString
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_winledger_stage").toString
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    def runLedger(maxFiles: Int): Set[Seq[Any]] = {
+      val snap = Files.createTempDirectory("graft_winledger_snap").toString
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .parquet(src)
+      val q = WinnowLedgerStream.ledgerStream(spark, stream, snap)
+      q.processAllAvailable(); q.stop()
+      rows(WinnowLedgerStream.currentPairs(spark, snap))
+    }
+    val want = rows(batchQuery("dedup_winnow"))
+    assert(want.nonEmpty)
+    val got = runLedger(1)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(runLedger(10) == want,
+      "one-big-batch slicing must produce the identical ledger")
+  }
+
+  test("winnow ledger caps boilerplate fingerprints inside the state, not just the view") {
+    import spark.implicits._
+    // 7 documents sharing one identical long string (every fingerprint
+    // of that string is shared 7 > cap=5 ways → hot, lists dropped),
+    // plus two documents sharing a distinct overlap that must survive.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val src = Files.createTempDirectory("graft_winledger_hot_src").toString
+    val docs = ((0 until 7).map(i => (i.toLong, boiler)) ++
+      Seq((100L, "completely unique shared-overlap payload xyz"),
+        (101L, "completely unique shared-overlap payload abc")))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    val snap = Files.createTempDirectory("graft_winledger_hot_snap").toString
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(src)
+    val q = WinnowLedgerStream.ledgerStream(spark, stream, snap, cap = 5)
+    q.processAllAvailable(); q.stop()
+    val ledger = EventStream.latestSnapshot(spark, snap).get.collect()
+    val hot = ledger.filter(_.getAs[Boolean]("hot"))
+    assert(hot.nonEmpty, "boilerplate fingerprints must be marked hot")
+    assert(hot.forall(_.getAs[Seq[Long]]("ds").isEmpty),
+      "hot rows must carry NO posting list (bounded state)")
+    assert(ledger.filterNot(_.getAs[Boolean]("hot"))
+      .forall(_.getAs[Seq[Long]]("ds").size <= 5))
+    // the boilerplate pair flood is suppressed; the genuine overlap stays
+    val pairs = WinnowLedgerStream.currentPairs(spark, snap, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((0L, 1L)), "boilerplate-only pairs must be capped away")
+    assert(pairs.contains((100L, 101L)), "the genuine near-dup pair must survive")
+  }
+
   test("parity: online SemDeDup pins ARRIVAL-order semantics under a non-id-ordered slicing") {
     // The Scaladoc contract (SemanticDedupStream): survivors equal the
     // greedy replay of the ARRIVAL sequence — batches in trigger order,
