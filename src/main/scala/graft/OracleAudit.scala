@@ -158,7 +158,13 @@ object OracleAudit {
     * Over-approximates (a count defined NEXT TO a subtraction is
     * marked); the [[allow]] list resolves those with proofs. */
   private[graft] def signedAliases(sql: String): Set[String] = {
-    val lines = sql.split('\n').map(l => neutralize(neutralizeLiterals(l)))
+    // literals are masked ONCE on the JOINED text (ADVICE r12, the
+    // audit/auditHashedTypes convention): a single-quoted literal
+    // spanning a newline masked per line would leave the closing
+    // line's masking inverted and could hide or fabricate subtraction
+    // sites. A newline inside a literal masks to 'x' and merges the
+    // two lines — harmless, the literal is one token.
+    val lines = neutralizeLiterals(sql).split('\n').map(neutralize)
     var signed = Set.empty[String]
     var changed = true
     while (changed) {
@@ -349,8 +355,16 @@ object OracleAudit {
   /** The declared type of a projection item whose OUTERMOST expression
     * is a cast, or None when the outermost construct is not a cast. */
   private[graft] def outermostCastType(itemRaw: String): Option[String] = {
-    // strip the output alias (trailing `AS ident`), if any
-    val item = itemRaw.trim.replaceAll("(?i)\\s+AS\\s+[A-Za-z_][A-Za-z0-9_]*\\s*$", "").trim
+    // strip the output alias: explicit `AS ident`/`AS "ident"`, then an
+    // IMPLICIT trailing (possibly quoted) identifier after a closing
+    // paren — `CAST(x AS DECIMAL(38,0)) slope_num` is valid DuckDB and
+    // previously escaped the closedAt == length-1 check (ADVICE r12).
+    // The `)` anchor keeps plain multi-word items untouched; the ::
+    // cast form needs no strip (colonCastRe matches anywhere).
+    val item = itemRaw.trim
+      .replaceAll("(?i)\\s+AS\\s+(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\\s*$", "")
+      .replaceAll("(?i)(\\))\\s+(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\\s*$", "$1")
+      .trim
     colonCastRe.findFirstMatchIn(item) match {
       case Some(m) => return Some(m.group(1).toUpperCase)
       case None =>

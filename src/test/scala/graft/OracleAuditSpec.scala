@@ -96,6 +96,36 @@ class OracleAuditSpec extends AnyFunSuite {
     assert(v2.size == 1 && v2.head.contains("HUGEINT"), s"got: $v2")
   }
 
+  test("typing audit catches an IMPLICIT output alias on a DECIMAL cast (ADVICE r12)") {
+    // `CAST(x AS DECIMAL(38,0)) slope_num` is valid DuckDB — without
+    // the implicit-alias strip, closedAt != length-1 and the carrier
+    // escaped the static gate
+    val sql =
+      """WITH h AS (SELECT 1 AS x FROM t)
+        |SELECT CAST(x AS DECIMAL(38,0)) slope_num,
+        |       CAST(x AS HUGEINT) "quoted alias",
+        |       CAST(x AS BIGINT) ok_col
+        |FROM h""".stripMargin
+    val v = OracleAudit.auditHashedTypes("implicit_alias", sql)
+    assert(v.size == 2, s"both implicitly-aliased wide carriers must flag: $v")
+    assert(v.exists(_.contains("DECIMAL")) && v.exists(_.contains("HUGEINT")))
+  }
+
+  test("signed-alias scan masks literals across newlines (ADVICE r12)") {
+    // a literal spanning a newline, masked per line, would invert the
+    // closing line's masking: the ` - ` below is INSIDE the literal and
+    // must not mark `tag`; the real subtraction after it must mark `d`
+    val sql =
+      "WITH a AS (SELECT 'multi\nline - literal' AS tag, x - y AS d FROM t)\n" +
+        "SELECT tag, d FROM a"
+    // per-line masking saw line 1's quote unclosed, masked the REAL
+    // `x - y` away and missed d entirely (the "hide" failure mode);
+    // tag may still be marked — line-granular over-approximation is the
+    // documented contract, only MISSES are breaches
+    val signed = OracleAudit.signedAliases(sql)
+    assert(signed.contains("d"), s"real subtraction must mark d: $signed")
+  }
+
   test("division audit ignores `//` and ` - ` inside string literals") {
     val sql =
       """SELECT concat('http://x.y', name) AS url, a // b AS q
