@@ -600,7 +600,10 @@ object SparkEntry {
     "embed_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)),
     // top-m eigenbasis by exact Hotelling deflation over the same
     // one-scan scatter statistics (r13; the spectral-family breadth)
-    "embed_pca_basis" -> ((s, dir) => Similarity.pcaBasis(s, dir)))
+    "embed_pca_basis" -> ((s, dir) => Similarity.pcaBasis(s, dir)),
+    // the APPLY step: whitening/visualization coordinates as one
+    // narrow literal-coefficient map (train-as-aggregate, apply-as-map)
+    "embed_pca_project" -> ((s, dir) => Similarity.pcaProject(s, dir)))
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -2082,6 +2085,7 @@ object SparkEntry {
       ("embed_rp" -> Similarity.randomProjectionOracle) +
       ("embed_pca" -> Similarity.pcaOracle()) +
       ("embed_pca_basis" -> Similarity.pcaBasisOracle()) +
+      ("embed_pca_project" -> Similarity.pcaProjectOracle()) +
       ("rag_retrieve" -> Similarity.ragRetrieveOracle) +
       ("rag_bm25" -> Similarity.ragBm25Oracle) +
       ("rag_hybrid" -> Similarity.ragHybridOracle)

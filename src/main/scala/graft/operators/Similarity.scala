@@ -1008,21 +1008,80 @@ object Similarity {
       m: Int = PcaComponents, iters: Int = PcaBasisIters): DataFrame = {
     import spark.implicits._
     val d = PcaD
-    val rows = pcaScatter(spark, sfDir) match {
+    val rows = pcaBasisVectors(spark, sfDir, m, iters) match {
       case None =>
         // empty corpus: the fixed all-zero profile, shape-stable
         for { c <- 1 to m; i <- 0 until d }
           yield (c.toLong, i.toLong, 0L, "0")
-      case Some(s) =>
-        val acc = scala.collection.mutable.ArrayBuffer.empty[Array[BigInt]]
-        (1 to m).flatMap { c =>
-          val (v, scale) = pcaPowerProjected(s, acc.toSeq, iters)
-          acc += v
-          (0 until d).map(i => (c.toLong, i.toLong, v(i).toLong, scale.toString))
+      case Some(vs) =>
+        vs.zipWithIndex.flatMap { case ((v, scale), ci) =>
+          (0 until d).map(i =>
+            ((ci + 1).toLong, i.toLong, v(i).toLong, scale.toString))
         }
     }
     rows.toDF("component", "dim", "loading_ppm", "scale")
       .orderBy("component", "dim")
+  }
+
+  /** The top-m (ppm vector, scale) pairs behind [[pcaBasis]], or None
+    * on an empty corpus — shared with [[pcaProject]] so the trained
+    * basis and its application cannot drift. */
+  private def pcaBasisVectors(spark: SparkSession, sfDir: String,
+      m: Int, iters: Int): Option[Seq[(Array[BigInt], BigInt)]] =
+    pcaScatter(spark, sfDir).map { s =>
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Array[BigInt]]
+      (1 to m).map { _ =>
+        val (v, scale) = pcaPowerProjected(s, acc.toSeq, iters)
+        acc += v
+        (v, scale)
+      }
+    }
+
+  /** Project every embedding onto the trained [[pcaBasis]] — the APPLY
+    * step of the spectral pipeline (whitening / 2-3-D visualization
+    * coordinates): one row per (vec_id, component) with the exact
+    * integer score Σᵢ vᶜᵢ·xqᵢ (quantized milli-units × ppm loadings;
+    * |proj| ≤ d·10³·10⁶ ≈ 6.4·10¹³ fits int64 at ANY corpus size — the
+    * bound is per-row). The basis collapses to 3·64 literal
+    * coefficients baked into ONE narrow codegen'd map over the corpus:
+    * no join, no shuffle — train-as-aggregate, apply-as-map, exactly
+    * how a 100 TB whitening pass runs. The DuckDB twin replays the
+    * basis chain and the same integer dot. */
+  def pcaProject(spark: SparkSession, sfDir: String,
+      m: Int = PcaComponents, iters: Int = PcaBasisIters): DataFrame = {
+    val basis = pcaBasisVectors(spark, sfDir, m, iters)
+      .getOrElse(Seq.fill(m)((Array.fill(PcaD)(BigInt(0)), BigInt(0))))
+    val scores = array(basis.map { case (v, _) =>
+      val coefs = array(v.map(x => lit(x.toLong)).toIndexedSeq: _*)
+      aggregate(zip_with(col("xq"), coefs, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>), x -> cast(round(x * 1000, 0) as bigint))")
+        .as("xq"))
+      .select(col("vec_id"), posexplode(scores).as(Seq("ci", "proj")))
+      .select(col("vec_id"), (col("ci") + 1).cast("long").as("component"),
+        col("proj"))
+      .orderBy("vec_id", "component")
+  }
+
+  /** DuckDB twin of [[pcaProject]] — replays the basis chain, then the
+    * identical integer dot per (vec, component). */
+  def pcaProjectOracle(m: Int = PcaComponents,
+      iters: Int = PcaBasisIters): String = {
+    val chain = (1 to m).map(pcaRoundCtes(_, iters)).mkString(",\n")
+    val vb = (1 to m)
+      .map(c => s"SELECT $c AS c, i, v FROM v${c}_$iters")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $pcaBaseCtes,
+       |$chain,
+       |vb AS ($vb)
+       |SELECT q.vec_id, CAST(vb.c AS BIGINT) AS component,
+       |       CAST(coalesce(sum(q.xq[vb.i + 1] * vb.v), 0) AS BIGINT) AS proj
+       |FROM q CROSS JOIN vb
+       |GROUP BY q.vec_id, vb.c
+       |ORDER BY vec_id, component""".stripMargin
   }
 
   /** The shared corpus→scatter CTE chain (no leading WITH), ending in
@@ -1030,8 +1089,8 @@ object Similarity {
     * quantization and centering on both oracles. */
   private def pcaBaseCtes: String =
     s"""q AS MATERIALIZED (
-       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
-       |                        x -> CAST(round(x * 1000) AS BIGINT)) AS xq
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |                                x -> CAST(round(x * 1000) AS BIGINT)) AS xq
        |  FROM embeddings),
        |flat AS MATERIALIZED (
        |  SELECT g.i, q.xq[g.i + 1] AS xi, h.j, q.xq[h.j + 1] AS xj

@@ -431,6 +431,40 @@ class TextSimilaritySpec extends AnyFunSuite {
       s"eigenvalue scales must be non-increasing: $scales")
   }
 
+  test("pca projection applies the trained basis as an exact integer map") {
+    import spark.implicits._
+    // same rank-2 planted corpus as the basis test: component 1 = axis
+    // 5 (loading ±1e6), so each doc's c1 projection must be EXACTLY
+    // xq(5)·loading(5) + Σ_other xq(i)·0 = ±4000·(±1e6) — sign-split by
+    // the ±4 alternation — and component 3 (no variance left) is 0
+    val d = java.nio.file.Files.createTempDirectory("graft_pca_proj").toString
+    (0 until 16).map { i =>
+      val v = Array.fill(64)(0.5f)
+      v(5) = if (i % 2 == 0) 4.0f else -4.0f
+      v(11) = if ((i / 2) % 2 == 0) 2.0f else -2.0f
+      (i.toLong, v, "x")
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val basis = Similarity.pcaBasis(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val proj = Similarity.pcaProject(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(proj.size == 16 * 3)
+    def xq(i: Int, j: Int): Long =
+      if (j == 5) { if (i % 2 == 0) 4000L else -4000L }
+      else if (j == 11) { if ((i / 2) % 2 == 0) 2000L else -2000L }
+      else 500L
+    for { i <- 0 until 16; c <- 1L to 3L } {
+      val ref = (0 until 64).map(j => xq(i, j) * basis((c, j.toLong))).sum
+      assert(proj((i.toLong, c)) == ref,
+        s"doc $i component $c: got ${proj((i.toLong, c))}, want the exact dot $ref")
+    }
+    // component 1 = axis 5 with |loading| = 1e6: the projection
+    // separates the ±4 groups by sign with the exact magnitude
+    assert(math.abs(proj((0L, 1L))) == 4000L * 1000000L)
+    assert(proj((0L, 1L)) == -proj((1L, 1L)))
+  }
+
   test("pca basis components are near-orthogonal in ppm on the real fixture") {
     val basis = Similarity.pcaBasis(spark, "/root/testdata/sf0.001").collect()
       .groupBy(_.getLong(0))
