@@ -69,7 +69,7 @@ object Similarity {
       bruteTopKBuild(spark, sfDir, nQueries, k, keepMod)
     }
 
-  private def bruteTopKBuild(spark: SparkSession, sfDir: String,
+  private[graft] def bruteTopKBuild(spark: SparkSession, sfDir: String,
       nQueries: Int, k: Int, keepMod: Option[Long]): DataFrame = {
     val p = points(spark, sfDir, keepMod)
     val q = p.filter(col("vec_id") < nQueries)
@@ -241,9 +241,13 @@ object Similarity {
     // JVM the oracle builder later reads (run-then-dump convention)
     graft.sources.Scratch.materialize(spark,
         s"ann_ivf_trained:$nQueries:$k:$nprobe:$keepMod:$sfDir") {
-      ivfTopKWith(spark, sfDir, trainedCentroidsFor(spark, sfDir, keepMod),
-        nQueries, k, nprobe, keepMod)
+      ivfTrainedTopKBuild(spark, sfDir, nQueries, k, nprobe, keepMod)
     }
+
+  private[graft] def ivfTrainedTopKBuild(spark: SparkSession, sfDir: String,
+      nQueries: Int, k: Int, nprobe: Int, keepMod: Option[Long]): DataFrame =
+    ivfTopKWith(spark, sfDir, trainedCentroidsFor(spark, sfDir, keepMod),
+      nQueries, k, nprobe, keepMod)
 
   /** Trained coarse quantizer for the full or keepMod-sampled corpus —
     * shared by [[ivfTrainedTopK]] and [[ivfPqTopK]]. The sampled twin
@@ -319,7 +323,7 @@ object Similarity {
       lshTopKBuild(spark, sfDir, nQueries, k, keepMod)
     }
 
-  private def lshTopKBuild(spark: SparkSession, sfDir: String,
+  private[graft] def lshTopKBuild(spark: SparkSession, sfDir: String,
       nQueries: Int, k: Int, keepMod: Option[Long]): DataFrame = {
     val p = points(spark, sfDir, keepMod)
     val d = 64
@@ -389,7 +393,7 @@ object Similarity {
       sqTopKBuild(spark, sfDir, nQueries, k, rerank, keepMod)
     }
 
-  private def sqTopKBuild(spark: SparkSession, sfDir: String,
+  private[graft] def sqTopKBuild(spark: SparkSession, sfDir: String,
       nQueries: Int, k: Int, rerank: Int, keepMod: Option[Long]): DataFrame = {
     val p = points(spark, sfDir, keepMod)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -467,7 +471,7 @@ object Similarity {
       pqTopKBuild(spark, sfDir, nQueries, k, rerank, keepMod)
     }
 
-  private def pqTopKBuild(spark: SparkSession, sfDir: String,
+  private[graft] def pqTopKBuild(spark: SparkSession, sfDir: String,
       nQueries: Int, k: Int, rerank: Int, keepMod: Option[Long]): DataFrame = {
     val p = points(spark, sfDir, keepMod)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -529,7 +533,7 @@ object Similarity {
       ivfPqTopKBuild(spark, sfDir, nQueries, k, nprobe, rerank, keepMod)
     }
 
-  private def ivfPqTopKBuild(spark: SparkSession, sfDir: String,
+  private[graft] def ivfPqTopKBuild(spark: SparkSession, sfDir: String,
       nQueries: Int, k: Int, nprobe: Int, rerank: Int,
       keepMod: Option[Long]): DataFrame = {
     val p = points(spark, sfDir, keepMod)

@@ -20,16 +20,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Scratch {
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  // every dir ever created, including ones dropped by reset(): the
+  // JVM-exit hook removes them all
+  private val allDirs =
+    scala.collection.mutable.ArrayBuffer.empty[String]
+  // builds executed since the last drain, with the BUILD DataFrame —
+  // the plan gates audit these (the returned relation is a parquet
+  // read of the result; the build plan is what executes at scale)
+  private val buildLog =
+    scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
 
   private lazy val cleanup: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      reg.values.foreach { p =>
+      reg.synchronized(allDirs.toList).foreach { p =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm))
           f.delete(): Unit
         }
         rm(new java.io.File(p))
       }))
+
+  /** Builds executed since the last call — (key, build DataFrame)
+    * pairs for plan audits. */
+  private[graft] def drainBuilds(): Seq[(String, DataFrame)] =
+    reg.synchronized {
+      val out = buildLog.toList
+      buildLog.clear()
+      out
+    }
+
+  /** Drop every materialization so subsequent calls rebuild — for plan
+    * gates that must observe the build plans regardless of which suite
+    * ran first in the JVM (dirs stay on disk until the exit hook). */
+  private[graft] def reset(): Unit = reg.synchronized {
+    reg.clear()
+    buildLog.clear()
+  }
 
   /** Read the materialization for `key`, building it (one parquet
     * write of `build`'s result) on first call. Keys embed the sfDir so
@@ -41,7 +67,10 @@ object Scratch {
       reg.getOrElseUpdate(key, {
         val p = java.nio.file.Files
           .createTempDirectory("graft_scratch").toString
-        build.write.mode("overwrite").parquet(p)
+        val df = build
+        df.write.mode("overwrite").parquet(p)
+        allDirs += p
+        buildLog += ((key, df))
         p
       })
     }

@@ -26,19 +26,14 @@ class PlanGateSpec extends AnyFunSuite {
   val declared: Map[String, String] = Map(
     "cross_join" -> "the operator under test IS a cartesian (5x25 dims)",
     "join_theta" -> "the operator under test IS a non-equi theta join",
-    "ann_brute_topk" -> "exact baseline: query batch (10 rows) broadcast against the corpus by design",
-    "ann_hard_negatives" -> "band-filtered brute scan: same broadcast-query-batch shape (the band prunes before the top-k heaps)",
-    "ann_sq_topk" -> "quantized exact scan: same broadcast-query-batch shape as brute",
-    "rag_retrieve" -> "passage retrieval: broadcast-query-batch scan (5 passage vectors) against the passage corpus, brute's declared shape",
+    "ann_hard_negatives" -> "band-filtered brute scan: broadcast-query-batch shape (the band prunes before the top-k heaps)",
     "rag_bm25" -> "1-row corpus-stats aggregate (N, L) broadcast-cross-joined onto the posting-intersection scores",
-    "rag_hybrid" -> "contains the dense leg's declared broadcast-query-batch scan + the BM25 leg's 1-row stats cross-join",
-    "rag_mmr" -> "contains the dense leg's declared broadcast-query-batch scan; the MMR stages themselves are equi-joins on the qxR candidate relation",
+    "rag_hybrid" -> "the BM25 leg's 1-row stats cross-join (the dense leg reads the materialized scored relation)",
     "dq_expectations" -> "the 1-row single-pass and referential rule summaries cross-join 1x1 into the rule rows",
     "lake_skipping" -> "1-row box-bounds aggregate broadcast-cross-joined onto both layout simulations (the bloomSemiStats shape)",
     "basket_rules" -> "1-row basket-count aggregate broadcast-cross-joined onto the brand-squared rule relation",
-    "ann_pq_topk" -> "PQ code scan: same broadcast-query-batch shape as brute (8 bytes/vector at scale)",
-    "ann_recall" -> "evaluation harness over brute/sq (their NLJs) + 1-row count cross-joins",
-    "ann_recall_sampled" -> "same harness over the %5-sampled corpus (its own quantizers) so recall stays oracle-checked at sf1+",
+    "ann_recall" -> "1-row hit/truth count aggregates cross-joined into the single metric row (the legs read materialized sweeps)",
+    "ann_recall_sampled" -> "same 1-row cross-joins over the %5-sampled harness",
     "dedup_recall" -> "1-row count aggregates cross-joined into the single metric row",
     "join_bloom" -> "1-row stats aggregates cross-joined into the single metric row (the bloom test itself is a narrow scan)",
     "graph_triangles" -> "1-row census aggregates cross-joined into the single metric row (the wedge/closing joins are equi-joins)",
@@ -55,30 +50,52 @@ class PlanGateSpec extends AnyFunSuite {
     "dq_drift" -> "1-row (n_a, n_b) window-totals aggregate broadcast-cross-joined onto the grid-sized ECDF relation",
     "text_heaps" -> "1-row derived-bucket-width aggregate broadcast-cross-joined onto the corpus scan (bounds the growth curve at HeapsMaxBuckets rows at any scale)")
 
-  test("no undeclared query plans a cartesian product or nested-loop join") {
+  /** Scratch BUILDS whose NLJ is intentional AND bounded, keyed by the
+    * scratch key's prefix (before the first ':'). A materialized
+    * operator's returned relation is a parquet read — its scale-posture
+    * scan lives in the BUILD, so the gate audits those too (drained per
+    * query; the first query to touch a relation triggers its build). */
+  val declaredBuilds: Map[String, String] = Map(
+    "ann_brute" -> "exact truth sweep: query batch (10/50 rows) broadcast against the corpus by design",
+    "ann_sq" -> "quantized exact scan: same broadcast-query-batch shape as brute",
+    "ann_pq" -> "PQ ADC scan: same broadcast-query-batch shape (8 bytes/vector at scale)",
+    "rag_dense" -> "passage retrieval scoring: broadcast-query-batch scan (5 passage vectors) against the passage corpus")
+
+  private def nljCount(p: String): Int =
+    PlanAudit.opCount(p, "BroadcastNestedLoopJoin") +
+      PlanAudit.opCount(p, "CartesianProduct")
+
+  test("no undeclared query or scratch build plans a cartesian/NLJ; every declaration is live") {
+    // rebuild every scratch relation inside THIS sweep so the build
+    // plans are observable regardless of which suite ran first
+    graft.sources.Scratch.reset()
     val offenders = Seq.newBuilder[String]
+    val liveQueries = Set.newBuilder[String]
+    val liveBuilds = Set.newBuilder[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val p = PlanAudit.finalPlanString(fn(spark, sf))
-      val nlj = PlanAudit.opCount(p, "BroadcastNestedLoopJoin")
-      val cart = PlanAudit.opCount(p, "CartesianProduct")
-      if (nlj + cart > 0 && !declared.contains(name))
-        offenders += s"$name (nlj=$nlj cart=$cart)"
+      val n = nljCount(PlanAudit.finalPlanString(fn(spark, sf)))
+      if (n > 0) {
+        if (declared.contains(name)) liveQueries += name
+        else offenders += s"$name (nlj+cart=$n)"
+      }
+      graft.sources.Scratch.drainBuilds().foreach { case (key, df) =>
+        val bn = nljCount(PlanAudit.finalPlanString(df))
+        val prefix = key.takeWhile(_ != ':')
+        if (bn > 0) {
+          if (declaredBuilds.contains(prefix)) liveBuilds += prefix
+          else offenders += s"build $key (nlj+cart=$bn)"
+        }
+      }
       spark.catalog.clearCache()
     }
     assert(offenders.result().isEmpty,
       s"undeclared NLJ/cartesian plans: ${offenders.result().mkString(", ")} — " +
-        "fix the join or declare it in PlanGateSpec.declared with a justification")
-  }
-
-  test("declared entries are live: every allowlisted query still plans its NLJ") {
+        "fix the join or declare it (PlanGateSpec.declared / declaredBuilds) with a justification")
     // a stale allowlist entry is a hole in the gate — if a declared
-    // query stops planning an NLJ (e.g. got rewritten), drop it
-    val stale = declared.keys.toSeq.sorted.filter { name =>
-      val p = PlanAudit.finalPlanString(SparkEntry.queries(name)(spark, sf))
-      spark.catalog.clearCache()
-      PlanAudit.opCount(p, "BroadcastNestedLoopJoin") +
-        PlanAudit.opCount(p, "CartesianProduct") == 0
-    }
-    assert(stale.isEmpty, s"declared but NLJ-free (remove from allowlist): $stale")
+    // query or build stops planning an NLJ (e.g. got rewritten), drop it
+    val staleQ = declared.keySet -- liveQueries.result()
+    assert(staleQ.isEmpty, s"declared but NLJ-free (remove from allowlist): $staleQ")
+    val staleB = declaredBuilds.keySet -- liveBuilds.result()
+    assert(staleB.isEmpty, s"declared builds now NLJ-free (remove): $staleB")
   }
 }

@@ -21,6 +21,12 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution
       .explainString(FormattedMode)
 
+  /** Plan of a scratch-materialized operator's BUILD (the scan that
+    * executes at scale) — the query itself returns a parquet read of
+    * the materialized result. */
+  private def buildPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
   test("scans are column-pruned (ingest reads only vec_id + embedding)") {
     val p = plan("ingest_embeddings")
     assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
@@ -68,7 +74,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("LSH probe broadcasts the query buckets against the corpus") {
-    val p = plan("ann_lsh_topk")
+    val p = buildPlan(graft.operators.Similarity
+      .lshTopKBuild(spark, sf, 10, 5, None))
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
@@ -207,7 +214,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ann_sq_topk prunes candidates with the partial top-k operator") {
-    val p = plan("ann_sq_topk")
+    val p = buildPlan(graft.operators.Similarity
+      .sqTopKBuild(spark, sf, 10, 5, 20, None))
     assert(p.contains("PartialTopK"),
       "the quantized candidate scan must prune per-partition before any exchange:\n" + p)
   }
@@ -220,7 +228,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("trained-IVF probe broadcasts the probe set; centroids ride as literals") {
-    val p = plan("ann_ivf_trained")
+    val p = buildPlan(graft.operators.Similarity
+      .ivfTrainedTopKBuild(spark, sf, 10, 5, 2, None))
     assert(p.contains("BroadcastHashJoin"),
       "probes must broadcast against the bucketed corpus:\n" + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
