@@ -96,7 +96,21 @@ object OracleAudit {
     ("ts_autocorr", "den_x",
       "den_x = n*Sxx - Sx^2 >= 0 by Cauchy-Schwarz"),
     ("ts_autocorr", "den_y",
-      "den_y = n*Syy - Sy^2 >= 0 by Cauchy-Schwarz")
+      "den_y = n*Syy - Sy^2 >= 0 by Cauchy-Schwarz"),
+    ("stats_welch", "aa * 1000",
+      "aa = na*Qa - Sa^2 >= 0 by Cauchy-Schwarz (n*sum(x^2) >= sum(x)^2)"),
+    ("stats_welch", "ab * 1000",
+      "ab = nb*Qb - Sb^2 >= 0 by Cauchy-Schwarz"),
+    ("stats_welch", "(na * na - na)",
+      "n^2 - n = n(n-1) >= 0 for any count n, and the CASE guard bounds it >= 2 at the division"),
+    ("stats_welch", "(nb * nb - nb)",
+      "n^2 - n = n(n-1) >= 0 for any count n, and the CASE guard bounds it >= 2 at the division"),
+    ("stats_welch", "t2num",
+      "t2num = dnum^2 * (na-1)(nb-1) with the CASE guard forcing 0 when either n < 2 — a square times non-negative factors"),
+    ("stats_welch", "t2den",
+      "t2den = aa*nb^2(nb-1) + ab*na^2(na-1), every factor >= 0 (aa/ab by Cauchy-Schwarz, the guard zeroes the n < 2 branch)"),
+    ("ts_forecast", "den",
+      "den = n*Stt - St^2 >= 0 by Cauchy-Schwarz (the signed numerators are sign-separated)")
   )
 
   /** Mask the CONTENTS of single-quoted string literals with same-length

@@ -389,6 +389,10 @@ object SparkEntry {
     // exact-integer per-group OLS: rational slope/intercept + ppm
     "stats_ols" -> ((s, dir) => Relational.statsOls(s, dir)),
     "stats_chi2" -> ((s, dir) => Relational.statsChi2(s, dir)),
+    // exact-integer two-sample distribution tests over event values:
+    // cross-multiplied KS distance and driver-BigInt Welch t²
+    "stats_ks" -> ((s, dir) => Relational.statsKs(s, dir)),
+    "stats_welch" -> ((s, dir) => Relational.statsWelch(s, dir)),
     "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)),
     // deterministic %5 key sample on BOTH sides: the oracle leg that
     // runs at every sweep sf (the full NLJ's DuckDB replay is O(N²))
@@ -422,6 +426,9 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) => Pipeline.stratifiedSample(s, dir)),
     "sample_bottomk" -> ((s, dir) => Pipeline.bottomKSample(s, dir)),
     "sample_weighted" -> ((s, dir) => Pipeline.weightedSample(s, dir)),
+    // stable salted-hash train/val/test assignment, pinned by split
+    // × source counts + exact char sums
+    "sample_splits" -> ((s, dir) => Pipeline.hashSplits(s, dir)),
     // epoch-composition planning: weighted per-source quotas, filled by
     // the bottom-k md5-priority reservoir
     "sample_mixture" -> ((s, dir) => Pipeline.mixtureSample(s, dir)),
@@ -465,11 +472,16 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => Events.funnel(s, dir)),
     "events_cep" -> ((s, dir) => Events.cep(s, dir)),
     "events_sliding" -> ((s, dir) => Events.slidingAgg(s, dir)),
+    // first/last-touch credit from one frame-bounded window pass — no
+    // purchase×touch join
+    "events_attribution" -> ((s, dir) => Events.attribution(s, dir)),
     "ts_motif" -> ((s, dir) => TimeSeries.motifTopK(s, dir)),
     "ts_fill" -> ((s, dir) => TimeSeries.resampleFill(s, dir)),
     // exact-integer ACF of the hourly count series, lags 1..5
     "ts_autocorr" -> ((s, dir) => TimeSeries.autocorr(s, dir)),
     "ts_decompose" -> ((s, dir) => TimeSeries.decompose(s, dir)),
+    // per-type daily-count OLS trend + 7-day exact-rational projection
+    "ts_forecast" -> ((s, dir) => TimeSeries.forecast(s, dir)),
     // the exact feature pipeline feeding ts_cluster, oracle-pinned even
     // though the fit itself stays rows-only (iterative)
     "ts_windows" -> ((s, dir) => TimeSeries.windowFeatures(s, dir)),
@@ -1345,7 +1357,12 @@ object SparkEntry {
     "dq_expectations" -> Relational.dqExpectationsOracle,
     "dq_drift" -> Relational.dqDriftOracle,
     "stats_ols" -> Relational.statsOlsOracle,
-    "stats_chi2" -> Relational.statsChi2Oracle) ++
+    "stats_chi2" -> Relational.statsChi2Oracle,
+    "stats_ks" -> Relational.statsKsOracle(),
+    "stats_welch" -> Relational.statsWelchOracle(),
+    "sample_splits" -> Pipeline.hashSplitsOracle,
+    "events_attribution" -> Events.attributionOracle,
+    "ts_forecast" -> TimeSeries.forecastOracle()) ++
     // composed E2E funnel: every stage's standalone oracle fragment
     // under ONE statement; gated on the frozen temperature (n, Z)
     // literals (run-then-dump — present once pipeline_e2e or

@@ -211,4 +211,65 @@ object Events {
       .select(col("event_type"), col("day"), col("n"))
       .orderBy("event_type", "day")
   }
+
+  /** First-touch / last-touch conversion attribution: for every
+    * `purchase`, the earliest and the latest NON-purchase event the
+    * same user emitted strictly before it (the classic marketing
+    * attribution positions), credited to that event's type (the
+    * "channel"); purchases with no prior touch credit `none`. Both
+    * positions come from ONE pair of frame-bounded window functions
+    * (first/last over [unbounded preceding, 1 preceding] IGNORE
+    * NULLS — purchases in the frame are nulled out, never credited)
+    * on the (ts, event_id)-ordered per-user timeline, so the whole
+    * operator is a single user-keyed shuffle + sort — no
+    * purchase×touch join, which would go quadratic per heavy user at
+    * corpus scale. The final credit counts are channel-cardinality-
+    * sized; their full-outer alignment is a cells-sized join.
+    *
+    * Determinism: event_id breaks same-microsecond ties in the
+    * timeline order, so the credited channel is engine-identical. */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val conv = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+    val byFirst = conv
+      .groupBy(coalesce(col("first_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("first_touch_conv"))
+    val byLast = conv
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("last_touch_conv"))
+    byFirst.join(byLast, Seq("channel"), "full_outer")
+      .na.fill(0L, Seq("first_touch_conv", "last_touch_conv"))
+      .orderBy("channel")
+  }
+
+  /** DuckDB twin of [[attribution]] — identical frame-bounded IGNORE
+    * NULLS windows over the identical (ts, event_id) timeline order. */
+  def attributionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |                     IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+      |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |                    IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      |  FROM events),
+      |conv AS (SELECT coalesce(first_touch, 'none') AS fc,
+      |                coalesce(last_touch, 'none') AS lc
+      |         FROM e WHERE event_type = 'purchase'),
+      |f AS (SELECT fc AS channel, count(*) AS first_touch_conv FROM conv GROUP BY 1),
+      |l AS (SELECT lc AS channel, count(*) AS last_touch_conv FROM conv GROUP BY 1)
+      |SELECT coalesce(f.channel, l.channel) AS channel,
+      |       coalesce(first_touch_conv, 0) AS first_touch_conv,
+      |       coalesce(last_touch_conv, 0) AS last_touch_conv
+      |FROM f FULL OUTER JOIN l ON f.channel = l.channel
+      |ORDER BY 1""".stripMargin
 }

@@ -741,4 +741,51 @@ object Pipeline {
       |SELECT w.doc_id, round(mx * 1.0 / tot, 6) AS top_tok_frac,
       |       round(coalesce(dup, 0) * 1.0 / coalesce(btot, 1), 6) AS dup_bigram_frac
       |FROM ws w LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- train/val/test split
+
+  /** Permille boundaries of the deterministic corpus split: ids hashing
+    * below 800 train, below 900 validation, the rest test. */
+  val SplitTrainPermille = 800
+  val SplitValPermille = 900
+
+  /** Deterministic train/validation/test corpus split: every document
+    * lands in exactly one split by a salted content-independent id hash
+    * (`md5("split:" || doc_id)` permille — the [[decontaminate]] eval-
+    * split device), so the assignment is STABLE under corpus growth: a
+    * document never migrates between splits when new data arrives, the
+    * property that keeps eval sets uncontaminated across corpus
+    * versions (id-range or row-number splits reshuffle on every
+    * ingest). Output pins every assignment via per-(split, source)
+    * document counts and exact character sums — any flipped document
+    * moves two sums.
+    *
+    * Scale shape: one narrow projection (hash, compare) + one
+    * map-side-combinable aggregate to a splits×sources-sized result;
+    * no shuffle wider than the 15-row output at any corpus size. */
+  def hashSplits(spark: SparkSession, sfDir: String): DataFrame = {
+    val hv = pmod(HashOps.wordHashN(
+      concat(lit("split:"), col("doc_id").cast("string")), 15), lit(1000L))
+    val split = when(hv < SplitTrainPermille, lit("train"))
+      .when(hv < SplitValPermille, lit("val")).otherwise(lit("test"))
+    Tables(spark, sfDir, "documents")
+      .select(split.as("split"), col("source"), col("n_chars"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+      .orderBy("split", "source")
+  }
+
+  /** DuckDB twin of [[hashSplits]] — identical salted md5 permille. */
+  def hashSplitsOracle: String =
+    s"""WITH d AS (SELECT source, n_chars,
+       |                  (${HashOps.wordHashSqlN(15)}) % 1000 AS hv
+       |           FROM (SELECT *, md5('split:' || doc_id) AS m FROM documents)),
+       |s AS (SELECT CASE WHEN hv < $SplitTrainPermille THEN 'train'
+       |                  WHEN hv < $SplitValPermille THEN 'val'
+       |                  ELSE 'test' END AS split,
+       |             source, n_chars
+       |      FROM d)
+       |SELECT split, source, count(*) AS docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS chars
+       |FROM s GROUP BY 1, 2 ORDER BY split, source""".stripMargin
 }

@@ -1579,6 +1579,191 @@ object Relational {
        |       CAST(max(price_cents) AS BIGINT) AS hi
        |FROM t GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of two event types, kept EXACT end-to-end: values
+    * quantize to integer cents (the [[cents]] device — the shared
+    * cross-engine quantizer), the two empirical CDFs are compared at
+    * every distinct quantized value, and the KS distance is the
+    * cross-multiplied deviation max|F_a − F_b| · n_a·n_b — an integer,
+    * so no float CDF ever crosses engines. Output is ONE row: the two
+    * sample sizes, the max deviation as exact digits (ks_num — exceeds
+    * int64 once cum·n passes ~9·10¹⁸, so the FIXTURES.md typing rule
+    * ships it as a digit string), the ppm-floored statistic
+    * D_ppm = ks_num·10⁶ div (n_a·n_b) (non-negative magnitudes only
+    * cross `div`, per the negative-// rule), and the smallest value at
+    * which the max is attained (the deterministic argmax tie-break).
+    *
+    * Scale shape: ONE partial-aggregated scan bins both samples by
+    * quantized value; every step after runs on the distinct-value
+    * relation, which is DOMAIN-bounded (`value` ∈ [0.01, 490.02] →
+    * ≤ 49,002 cent bins at ANY corpus size), so the single-partition
+    * cumulative window is cells-sized by construction — the same
+    * contract as [[statsChi2]]'s contingency windows. The argmax is a
+    * TakeOrderedAndProject (per-partition bounded heap), never a full
+    * sort. This is the distribution-drift test a data-quality gate
+    * runs between two cohorts; [[driftFromBins]] is its coarse-bin PSI
+    * sibling. */
+  def statsKs(spark: SparkSession, sfDir: String,
+      groupA: String = "click", groupB: String = "view"): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val binned = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(groupA, groupB))
+      .select(cents(col("value")).as("x"), col("event_type").as("g"))
+      .groupBy("x")
+      .agg(sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+    val cum = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .select(col("x"),
+        sum("ca").over(cum).as("cum_a"), sum("cb").over(cum).as("cum_b"),
+        sum("ca").over(all).as("n_a"), sum("cb").over(all).as("n_b"))
+      .select(col("x"), col("n_a"), col("n_b"),
+        abs(d(col("cum_a")) * d(col("n_b")) - d(col("cum_b")) * d(col("n_a")))
+          .as("dev"))
+      .orderBy(col("dev").desc, col("x").asc)
+      .limit(1)
+      .select(col("n_a"), col("n_b"),
+        // hashed-output typing rule (FIXTURES.md, r12): exact digits as
+        // a string; DECIMAL stays internal to the division
+        col("dev").cast("string").as("ks_num"),
+        expr("cast(case when n_a = 0 or n_b = 0 then 0 else " +
+          "dev * 1000000 div (cast(n_a as decimal(38,0)) * n_b) end as bigint)")
+          .as("ks_ppm"),
+        col("x").as("x_at_max"))
+  }
+
+  /** DuckDB twin of [[statsKs]] — HUGEINT cross-multiplied deviations,
+    * identical argmax tie-break, identical zero-sample guard. */
+  def statsKsOracle(groupA: String = "click", groupB: String = "view"): String =
+    s"""WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS x, event_type AS g
+       |           FROM events WHERE event_type IN ('$groupA', '$groupB')),
+       |c AS (SELECT x, sum(CASE WHEN g = '$groupA' THEN 1 ELSE 0 END) AS ca,
+       |             sum(CASE WHEN g = '$groupB' THEN 1 ELSE 0 END) AS cb
+       |      FROM e GROUP BY x),
+       |w AS (SELECT x,
+       |             sum(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+       |                           AND CURRENT ROW) AS cum_a,
+       |             sum(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+       |                           AND CURRENT ROW) AS cum_b,
+       |             sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+       |      FROM c),
+       |d AS (SELECT x, n_a, n_b,
+       |             abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a) AS dev
+       |      FROM w)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |       CAST(dev AS VARCHAR) AS ks_num,
+       |       CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+       |                 ELSE dev * 1000000 // (CAST(n_a AS HUGEINT) * n_b) END AS BIGINT)
+       |         AS ks_ppm,
+       |       x AS x_at_max
+       |FROM d ORDER BY dev DESC, x LIMIT 1""".stripMargin
+
+  /** Welch's two-sample t statistic (unequal variances) between the
+    * `value` distributions of two event types, EXACT in integer
+    * arithmetic: values quantize to whole units (round(value) — the
+    * coarser grid keeps every oracle intermediate inside int128 through
+    * sf1, documented below), the per-group sufficient statistics
+    * (n, Σx, Σx²) collect as TWO bounded rows, and
+    *
+    *   t² = (S₁n₂ − S₂n₁)²·(n₁−1)(n₂−1)
+    *        / (A₁n₂²(n₂−1) + A₂n₁²(n₁−1)),   Aᵢ = nᵢQᵢ − Sᵢ²
+    *
+    * is evaluated driver-side in BigInt (the [[Similarity]] PCA
+    * bounded-materialization class: 2 rows, 3 longs each, at any
+    * corpus size) and emitted floored to milli units. The oracle
+    * replays the identical value with HUGEINT plus the exact
+    * remainder-split identity ⌊a·k/b⌋ = (a div b)·k + ((a mod b)·k
+    * div b), which keeps every intermediate ≤ ~4·10³⁶ at sf1 (the
+    * envelope: (S₁n₂)² ≈ 10³⁰ times (n−1)² ≈ 4·10¹⁰ — HUGEINT holds
+    * 1.7·10³⁸; the Spark side has no envelope at all). Only
+    * non-negative magnitudes cross any division — the numerator is a
+    * SQUARE and Aᵢ ≥ 0 by Cauchy–Schwarz — so the negative-// rule
+    * holds with no allowlist entry. Degenerate groups (n < 2, zero
+    * pooled variance) emit 0 on both engines.
+    *
+    * Scale shape: ONE partial-aggregated scan (map-side combine to 2
+    * groups), a 2-row collect, O(1) driver arithmetic. Welch's df is
+    * deliberately NOT emitted: its exact rational needs aᵢ² ≈ 10⁶³ at
+    * sf1 — outside int128, so no DuckDB replay could pin it; the
+    * variance components it derives from ARE emitted. */
+  def statsWelch(spark: SparkSession, sfDir: String,
+      groupA: String = "purchase", groupB: String = "click"): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(groupA, groupB))
+      .select(col("event_type").as("g"),
+        round(col("value"), 0).cast("long").as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+      .collect()
+    def stat(g: String): (BigInt, BigInt, BigInt) =
+      rows.find(_.getString(0) == g)
+        .map(r => (BigInt(r.getLong(1)), BigInt(r.getLong(2)), BigInt(r.getLong(3))))
+        .getOrElse((BigInt(0), BigInt(0), BigInt(0)))
+    val (na, sa, qa) = stat(groupA)
+    val (nb, sb, qb) = stat(groupB)
+    val aa = na * qa - sa * sa
+    val ab = nb * qb - sb * sb
+    val meanPpm = (s: BigInt, n: BigInt) => if (n == 0) BigInt(0) else s * 1000000 / n
+    val varMilli = (a: BigInt, n: BigInt) =>
+      if (n < 2) BigInt(0) else a * 1000 / (n * n - n)
+    val dnum = sa * nb - sb * na
+    val t2num = dnum * dnum * (na - 1) * (nb - 1)
+    val t2den = aa * nb * nb * (nb - 1) + ab * na * na * (na - 1)
+    val t2Milli =
+      if (na < 2 || nb < 2 || t2den == 0) BigInt(0) else t2num * 1000 / t2den
+    Seq((na.toLong, nb.toLong, meanPpm(sa, na).toLong, meanPpm(sb, nb).toLong,
+      varMilli(aa, na).toLong, varMilli(ab, nb).toLong, t2Milli.toLong))
+      .toDF("n_a", "n_b", "mean_a_ppm", "mean_b_ppm",
+        "var_a_milli", "var_b_milli", "t2_milli")
+  }
+
+  /** DuckDB twin of [[statsWelch]] — HUGEINT sufficient statistics, the
+    * exact remainder-split division identity, identical guards. */
+  def statsWelchOracle(groupA: String = "purchase",
+      groupB: String = "click"): String =
+    s"""WITH e AS (SELECT event_type AS g, CAST(round(value, 0) AS BIGINT) AS x
+       |           FROM events WHERE event_type IN ('$groupA', '$groupB')),
+       |a AS (SELECT
+       |        CAST(count(*) FILTER (WHERE g = '$groupA') AS HUGEINT) AS na,
+       |        CAST(coalesce(sum(x) FILTER (WHERE g = '$groupA'), 0) AS HUGEINT) AS sa,
+       |        CAST(coalesce(sum(x * x) FILTER (WHERE g = '$groupA'), 0) AS HUGEINT) AS qa,
+       |        CAST(count(*) FILTER (WHERE g = '$groupB') AS HUGEINT) AS nb,
+       |        CAST(coalesce(sum(x) FILTER (WHERE g = '$groupB'), 0) AS HUGEINT) AS sb,
+       |        CAST(coalesce(sum(x * x) FILTER (WHERE g = '$groupB'), 0) AS HUGEINT) AS qb
+       |      FROM e),
+       |d AS (SELECT na, nb, sa, sb,
+       |             na * qa - sa * sa AS aa, nb * qb - sb * sb AS ab,
+       |             sa * nb - sb * na AS dnum
+       |      FROM a),
+       |t AS (SELECT na, nb, sa, sb, aa, ab,
+       |             -- guards keep both operands non-negative even for
+       |             -- degenerate groups (n < 2 would make (n-1) terms
+       |             -- negative), so `//` only ever sees magnitudes
+       |             CASE WHEN na < 2 OR nb < 2 THEN 0
+       |                  ELSE dnum * dnum * (na - 1) * (nb - 1) END AS t2num,
+       |             CASE WHEN na < 2 OR nb < 2 THEN 0
+       |                  ELSE aa * nb * nb * (nb - 1) + ab * na * na * (na - 1) END AS t2den
+       |      FROM d)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |       CAST(CASE WHEN na = 0 THEN 0 ELSE sa * 1000000 // na END AS BIGINT)
+       |         AS mean_a_ppm,
+       |       CAST(CASE WHEN nb = 0 THEN 0 ELSE sb * 1000000 // nb END AS BIGINT)
+       |         AS mean_b_ppm,
+       |       CAST(CASE WHEN na < 2 THEN 0 ELSE aa * 1000 // (na * na - na) END AS BIGINT)
+       |         AS var_a_milli,
+       |       CAST(CASE WHEN nb < 2 THEN 0 ELSE ab * 1000 // (nb * nb - nb) END AS BIGINT)
+       |         AS var_b_milli,
+       |       CAST(CASE WHEN na < 2 OR nb < 2 OR t2den = 0 THEN 0
+       |                 ELSE (t2num // t2den) * 1000
+       |                      + ((t2num % t2den) * 1000 // t2den) END AS BIGINT)
+       |         AS t2_milli
+       |FROM t""".stripMargin
+
   /** DuckDB twin of [[compactionPlan]] — identical sort, identical
     * cumulative binning. */
   def compactionPlanOracle(targetBytes: Long = COMPACT_TARGET): String =

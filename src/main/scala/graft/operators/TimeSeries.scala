@@ -458,4 +458,102 @@ object TimeSeries {
        |       CAST(seasonal_micro AS BIGINT) AS seasonal_micro,
        |       CAST(det - seasonal_micro AS BIGINT) AS resid_micro
        |FROM z ORDER BY hour_us""".stripMargin
+
+  /** Forecast horizon (days) emitted per series by [[forecast]]. */
+  val ForecastHorizon = 7
+
+  /** Per-series linear-trend forecast: each event type's DAILY count
+    * series is fit by closed-form OLS over the series-relative day
+    * index t = day − min(day) (the relative index keeps every
+    * sufficient statistic span-sized — t ≤ series length in days, not
+    * epoch-sized — and makes the fit translation-invariant), and the
+    * next [[ForecastHorizon]] days are projected as exact rationals:
+    * ŷ(t) = (inum + snum·t)/den with snum = nΣty − ΣtΣy,
+    * den = nΣt² − (Σt)², inum = ΣyΣt² − ΣtΣty. Numerators ship as
+    * exact DIGIT STRINGS (Σy·Σt² exceeds int64 once daily counts pass
+    * ~10⁹ — the FIXTURES.md typing rule) plus sign-separated ppm
+    * floors for the slope and each projected level; ŷ can go negative
+    * on a falling trend, so the negative-// rule applies and signs
+    * ride separately. A single-day series (den = 0) emits 0 ppm on
+    * both engines.
+    *
+    * Scale shape: ONE map-side-combinable (type, day) aggregate over
+    * the raw events, then everything runs on the days-sized series
+    * (≤ ~4k rows/series/decade at ANY corpus size — the
+    * [[autocorr]] contract); the horizon expansion is a k×h literal
+    * explode. This is the capacity-planning face of the series
+    * family: [[decompose]] explains, [[changepoint]] alarms,
+    * `forecast` projects. */
+  def forecast(spark: SparkSession, sfDir: String,
+      horizon: Int = ForecastHorizon): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("event_type")
+    val g = daily
+      .withColumn("t", col("day") - min("day").over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), max("t").as("t_max"),
+        sum("t").as("st"), sum("y").as("sy"),
+        sum(col("t") * col("t")).as("stt"), sum(col("t") * col("y")).as("sty"))
+      .select(col("event_type"), col("n_days"), col("t_max"),
+        (d(col("n_days")) * d(col("sty")) - d(col("st")) * d(col("sy"))).as("snum"),
+        (d(col("n_days")) * d(col("stt")) - d(col("st")) * d(col("st"))).as("den"),
+        (d(col("sy")) * d(col("stt")) - d(col("st")) * d(col("sty"))).as("inum"))
+    g.withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("t_pred", col("t_max") + col("h"))
+      .withColumn("yhat_num", col("inum") + col("snum") * d(col("t_pred")))
+      .select(col("event_type"), col("h").cast("long").as("h"),
+        col("t_pred").cast("long").as("t_pred"), col("n_days"),
+        // hashed-output typing rule (FIXTURES.md, r12): exact digits as
+        // strings; the DECIMAL(38,0) carriers stay internal
+        col("den").cast("string").as("den"),
+        col("yhat_num").cast("string").as("yhat_num"),
+        expr("cast(case when den = 0 then 0 else " +
+          "cast(signum(snum) as bigint) * (abs(snum) * 1000000 div den) end as bigint)")
+          .as("slope_ppm"),
+        expr("cast(case when den = 0 then 0 else " +
+          "cast(signum(yhat_num) as bigint) * (abs(yhat_num) * 1000000 div den) end as bigint)")
+          .as("yhat_ppm"))
+      .orderBy("event_type", "h")
+  }
+
+  /** DuckDB twin of [[forecast]] — HUGEINT sufficient statistics and
+    * the identical sign-separated ppm floors. */
+  def forecastOracle(horizon: Int = ForecastHorizon): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |         count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |rel AS (SELECT event_type,
+       |               day - min(day) OVER (PARTITION BY event_type) AS t, y
+       |        FROM daily),
+       |g AS (SELECT event_type, count(*) AS n_days, max(t) AS t_max,
+       |             sum(t) AS st, sum(y) AS sy,
+       |             sum(t * t) AS stt, sum(t * y) AS sty
+       |      FROM rel GROUP BY 1),
+       |s AS (SELECT event_type, n_days, t_max,
+       |             CAST(n_days AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy AS snum,
+       |             CAST(n_days AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS den,
+       |             CAST(sy AS HUGEINT) * stt - CAST(st AS HUGEINT) * sty AS inum
+       |      FROM g),
+       |f AS (SELECT s.*, hh.h, t_max + hh.h AS t_pred
+       |      FROM s CROSS JOIN
+       |        (SELECT unnest(generate_series(1, $horizon)) AS h) hh),
+       |y AS (SELECT event_type, h, t_pred, n_days, den, snum,
+       |             inum + snum * t_pred AS yhat_num
+       |      FROM f)
+       |SELECT event_type, CAST(h AS BIGINT) AS h, CAST(t_pred AS BIGINT) AS t_pred,
+       |       n_days, CAST(den AS VARCHAR) AS den,
+       |       CAST(yhat_num AS VARCHAR) AS yhat_num,
+       |       CAST(CASE WHEN den = 0 THEN 0
+       |                 ELSE CAST(sign(snum) AS HUGEINT) * (abs(snum) * 1000000 // den)
+       |            END AS BIGINT) AS slope_ppm,
+       |       CAST(CASE WHEN den = 0 THEN 0
+       |                 ELSE CAST(sign(yhat_num) AS HUGEINT) * (abs(yhat_num) * 1000000 // den)
+       |            END AS BIGINT) AS yhat_ppm
+       |FROM y ORDER BY event_type, h""".stripMargin
 }

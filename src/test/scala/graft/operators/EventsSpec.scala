@@ -212,4 +212,61 @@ class EventsSpec extends AnyFunSuite {
     assert(l1.getString(3) == "8" && l1.getString(4) == "8")
     assert(l1.getLong(5) == -1L && l1.getLong(6) == 1000000L)
   }
+
+  test("attribution: first/last prior non-purchase touch per conversion") {
+    import spark.implicits._
+    def t(h: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val d = Files.createTempDirectory("graft_attr").toString
+    // u1: view, click, purchase -> first=view last=click
+    // u2: purchase with no prior touch -> none/none
+    // u3: click, purchase, view, purchase -> p1 click/click, p2 click/view
+    Seq(
+      (1L, t(1), 1L, "view", 1.0, "{}"),
+      (2L, t(2), 1L, "click", 1.0, "{}"),
+      (3L, t(3), 1L, "purchase", 9.0, "{}"),
+      (4L, t(1), 2L, "purchase", 9.0, "{}"),
+      (5L, t(1), 3L, "click", 1.0, "{}"),
+      (6L, t(2), 3L, "purchase", 9.0, "{}"),
+      (7L, t(3), 3L, "view", 1.0, "{}"),
+      (8L, t(4), 3L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = Events.attribution(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("click", 2L, 2L), ("none", 1L, 1L), ("view", 1L, 1L)),
+      s"got $got")
+  }
+
+  test("forecast: perfect linear daily trend projects exactly; single-day series guards") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_fc").toString
+    def t(day: Int, i: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${i % 24}%02d:00:00")
+    // view: daily counts 1, 2, 3 (y = t + 1) -> slope 1, every projected
+    // level exact; error: one day only -> den = 0, ppm outputs guard to 0
+    val views = (1 to 3).flatMap(day =>
+      (0 until day).map(i => (day * 100L + i, t(day, i), 1L, "view", 1.0, "{}")))
+    val errors = Seq((900L, t(1, 5), 2L, "error", 1.0, "{}"),
+      (901L, t(1, 6), 2L, "error", 1.0, "{}"))
+    (views ++ errors)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val rows = graft.operators.TimeSeries.forecast(spark, d).collect()
+    assert(rows.length == 14)
+    val (err, view) = rows.partition(_.getString(0) == "error")
+    // single-day series: den = 0, guarded ppms
+    assert(err.length == 7 && err.forall(r => r.getString(4) == "0" &&
+      r.getLong(6) == 0L && r.getLong(7) == 0L))
+    assert(err.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      (1 to 7).map(h => (h.toLong, h.toLong)))
+    // view: n=3 st=3 sy=6 stt=5 sty=8 -> snum=6 den=6 inum=6;
+    // yhat(t) = (6 + 6t)/6 = t + 1 exactly
+    for (r <- view) {
+      val h = r.getLong(1)
+      assert(r.getLong(2) == 2 + h && r.getLong(3) == 3L)
+      assert(r.getString(4) == "6" && r.getString(5) == (6 * (3 + h)).toString)
+      assert(r.getLong(6) == 1000000L, "slope_ppm")
+      assert(r.getLong(7) == (3 + h) * 1000000L, s"yhat_ppm at h=$h")
+    }
+  }
 }

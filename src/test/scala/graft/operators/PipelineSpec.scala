@@ -280,4 +280,28 @@ class PipelineSpec extends AnyFunSuite {
       assert(got.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
     }
   }
+
+  test("hashSplits: every (split, source) cell matches an independent per-doc replay") {
+    import graft.functions.HashOps.wordHashNScala
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+    def splitOf(id: Long): String = {
+      val hv = wordHashNScala(s"split:$id", 15) % 1000
+      if (hv < Pipeline.SplitTrainPermille) "train"
+      else if (hv < Pipeline.SplitValPermille) "val" else "test"
+    }
+    val want = docs.groupBy(r => (splitOf(r.getLong(0)), r.getString(1)))
+      .map { case (k, v) => k -> ((v.length.toLong, v.map(_.getLong(2)).sum)) }
+    val got = Pipeline.hashSplits(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want, "aggregate cells must equal the driver-side replay")
+    // the split partitions the corpus and lands near 80/10/10
+    val bySplit = got.groupBy(_._1._1).view
+      .mapValues(_.values.map(_._1).sum).toMap
+    assert(bySplit.values.sum == docs.length)
+    val trainFrac = bySplit.getOrElse("train", 0L).toDouble / docs.length
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+  }
 }

@@ -261,4 +261,57 @@ class RelationalSpec extends AnyFunSuite {
     val zs = rows.map(_.getLong(4))
     assert(zs.sameElements(zs.sorted), "rows must come back in z-curve order")
   }
+
+  test("stats_ks: hand-computed two-sample CDF max deviation") {
+    import spark.implicits._
+    // click values {1, 2, 3}, view values {2, 4} (cents 100..400):
+    // cum cross-deviations |Fa - Fb|*na*nb at each distinct x:
+    //   x=100: |1*2 - 0*3| = 2; x=200: |2*2 - 1*3| = 1;
+    //   x=300: |3*2 - 1*3| = 3; x=400: |3*2 - 2*3| = 0
+    // -> max 3 at x=300, D_ppm = 3*1e6 // (3*2) = 500000 (true D = 1/2)
+    val d = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, t, 1L, "click", 1.0, "{}"), (2L, t, 1L, "click", 2.0, "{}"),
+      (3L, t, 1L, "click", 3.0, "{}"), (4L, t, 2L, "view", 2.0, "{}"),
+      (5L, t, 2L, "view", 4.0, "{}"), (6L, t, 3L, "error", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r = Relational.statsKs(spark, d).collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(0), r.head.getLong(1), r.head.getString(2),
+      r.head.getLong(3), r.head.getLong(4)) == ((3L, 2L, "3", 500000L, 300L)))
+  }
+
+  test("stats_welch: hand-computed t² in exact milli units") {
+    import spark.implicits._
+    // purchase {1, 2, 3}, click {2, 4}: means 2 vs 3, sample variances
+    // 1 and 2 -> t² = (2-3)² / (1/3 + 2/2) = 0.75 -> 750 milli, exactly:
+    // aa = 3*14-36 = 6, ab = 2*20-36 = 4, dnum = 6*2-6*3 = -6,
+    // t2num = 36*2*1 = 72, t2den = 6*4*1 + 4*9*2 = 96, 72000//96 = 750
+    val d = java.nio.file.Files.createTempDirectory("graft_welch").toString
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, t, 1L, "purchase", 1.0, "{}"), (2L, t, 1L, "purchase", 2.0, "{}"),
+      (3L, t, 1L, "purchase", 3.0, "{}"), (4L, t, 2L, "click", 2.0, "{}"),
+      (5L, t, 2L, "click", 4.0, "{}"), (6L, t, 3L, "error", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r = Relational.statsWelch(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((3L, 2L, 2000000L, 3000000L, 1000L, 2000L, 750L)))
+  }
+
+  test("stats_welch: degenerate groups (n < 2, missing) emit zeros, never divide") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_welch_deg").toString
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // one purchase, zero clicks
+    Seq((1L, t, 1L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r = Relational.statsWelch(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((1L, 0L, 5000000L, 0L, 0L, 0L, 0L)))
+  }
 }
