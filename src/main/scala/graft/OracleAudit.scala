@@ -110,7 +110,9 @@ object OracleAudit {
     ("stats_welch", "t2den",
       "t2den = aa*nb^2(nb-1) + ab*na^2(na-1), every factor >= 0 (aa/ab by Cauchy-Schwarz, the guard zeroes the n < 2 branch)"),
     ("ts_forecast", "den",
-      "den = n*Stt - St^2 >= 0 by Cauchy-Schwarz (the signed numerators are sign-separated)")
+      "den = n*Stt - St^2 >= 0 by Cauchy-Schwarz (the signed numerators are sign-separated)"),
+    ("stats_mannwhitney", "u2 * 1000000",
+      "u2 = sum of ca*(2*cum_b_lt + cb) with cum_b_lt = (inclusive prefix) - cb >= 0 (prefix-sum idiom): every term is a product of counts")
   )
 
   /** Mask the CONTENTS of single-quoted string literals with same-length

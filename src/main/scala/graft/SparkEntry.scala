@@ -384,6 +384,9 @@ object SparkEntry {
     // k-core peel to the true fixpoint: per-round trajectory rows
     "graph_kcore" -> ((s, dir) => graft.operators.Graphs.kcore(s, dir)),
     "graph_bfs" -> ((s, dir) => graft.operators.Graphs.bfs(s, dir)),
+    // deterministic synchronous LPA: most-frequent neighbor label,
+    // smallest-label ties, fixed rounds
+    "graph_label_prop" -> ((s, dir) => graft.operators.Graphs.labelProp(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     // exact-integer per-group OLS: rational slope/intercept + ppm
@@ -393,6 +396,7 @@ object SparkEntry {
     // cross-multiplied KS distance and driver-BigInt Welch t²
     "stats_ks" -> ((s, dir) => Relational.statsKs(s, dir)),
     "stats_welch" -> ((s, dir) => Relational.statsWelch(s, dir)),
+    "stats_mannwhitney" -> ((s, dir) => Relational.statsMwu(s, dir)),
     "join_theta" -> ((s, dir) => Relational.joinTheta(s, dir)),
     // deterministic %5 key sample on BOTH sides: the oracle leg that
     // runs at every sweep sf (the full NLJ's DuckDB replay is O(N²))
@@ -888,6 +892,7 @@ object SparkEntry {
     "graph_triangles" -> graft.operators.Graphs.trianglesOracle,
     "graph_kcore" -> graft.operators.Graphs.kcoreOracle(),
     "graph_bfs" -> graft.operators.Graphs.bfsOracle(),
+    "graph_label_prop" -> graft.operators.Graphs.labelPropOracle(),
     "window_range" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
@@ -1360,6 +1365,7 @@ object SparkEntry {
     "stats_chi2" -> Relational.statsChi2Oracle,
     "stats_ks" -> Relational.statsKsOracle(),
     "stats_welch" -> Relational.statsWelchOracle(),
+    "stats_mannwhitney" -> Relational.statsMwuOracle(),
     "sample_splits" -> Pipeline.hashSplitsOracle,
     "events_attribution" -> Events.attributionOracle,
     "ts_forecast" -> TimeSeries.forecastOracle()) ++

@@ -493,6 +493,97 @@ object Graphs {
        |ORDER BY level""".stripMargin
   }
 
+  /** Synchronous label-propagation rounds for [[labelProp]]. */
+  val LpaRounds = 4
+
+  /** Communities emitted by [[labelProp]]. */
+  val LpaTopK = 50
+
+  /** Label-propagation community detection (Raghavan et al., Phys. Rev.
+    * E 2007) on the part co-order graph, made fully deterministic: every
+    * node starts labeled with its own id, and each SYNCHRONOUS round
+    * relabels every node with the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label — integer counts
+    * and a lexicographic (count desc, label asc) tie order, so the
+    * round-R state is engine-exact (the async/random-order variants of
+    * LPA are irreproducible by construction). Exactly [[LpaRounds]]
+    * rounds — the fixed-round contract every iterative oracle here
+    * rides ([[pageRank]], [[bfs]]). Output: the [[LpaTopK]] largest
+    * round-R communities as (label, n_nodes, min_node, id_sum) — the
+    * histogram pins every node's final label through the sums.
+    *
+    * Scale shape: one round = one equi-join of the node-sized label
+    * relation to the edge list (both shuffle on the node key,
+    * co-partitioned across rounds) + one (node, label)-keyed count +
+    * one node-partitioned top-1 window — all edge-bounded, nothing
+    * driver-side; `localCheckpoint` truncates lineage per round (the
+    * [[kcore]] device) so the plan doesn't nest across rounds. The
+    * final top-K is a TakeOrderedAndProject over the label histogram
+    * (community-count-sized), never a full sort. */
+  def labelProp(spark: SparkSession, sfDir: String, rounds: Int = LpaRounds,
+      topK: Int = LpaTopK): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = coOrderEdges(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+    val u = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    // u carries both directions, so every node appears on the a side
+    var labels = u.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    val top1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to rounds) {
+      val next = u.join(labels, col("a") === col("v"))
+        .groupBy(col("b").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(top1))
+        .filter(col("rn") === 1)
+        .select(col("node").as("v"), col("lbl"))
+        .localCheckpoint()
+      releaseLocalCheckpoint(labels)
+      labels = next
+    }
+    val out = labels.groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_nodes"), min("v").as("min_node"),
+        sum("v").as("id_sum"))
+      .orderBy(col("n_nodes").desc, col("label").asc)
+      .limit(topK)
+    // the result is k rows; materialize before releasing the loop state
+    val rows = out.collect()
+    releaseLocalCheckpoint(labels)
+    e.unpersist(blocking = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy(col("n_nodes").desc, col("label").asc)
+  }
+
+  /** DuckDB twin of [[labelProp]] — the identical synchronous rounds as
+    * chained materialized CTEs with the identical (count desc, label)
+    * tie order. */
+  def labelPropOracle(rounds: Int = LpaRounds, topK: Int = LpaTopK): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node AS v, lbl FROM (
+         |    SELECT u.b AS node, l.lbl, count(*) AS c,
+         |           row_number() OVER (PARTITION BY u.b
+         |                              ORDER BY count(*) DESC, l.lbl) AS rn
+         |    FROM u JOIN l${i - 1} l ON u.a = l.v GROUP BY u.b, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+       |            FROM lineitem
+       |            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+       |                    FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |u AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lbl FROM u),
+       |$chain
+       |SELECT lbl AS label, count(*) AS n_nodes,
+       |       CAST(min(v) AS BIGINT) AS min_node,
+       |       CAST(sum(v) AS BIGINT) AS id_sum
+       |FROM l$rounds GROUP BY lbl
+       |ORDER BY n_nodes DESC, label LIMIT $topK""".stripMargin
+  }
+
   /** DuckDB twin of [[pageRank]] (iters = 2, topN = 20). */
   def pageRankOracle: String =
     """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b

@@ -1603,15 +1603,23 @@ object Relational {
     * sort. This is the distribution-drift test a data-quality gate
     * runs between two cohorts; [[driftFromBins]] is its coarse-bin PSI
     * sibling. */
-  def statsKs(spark: SparkSession, sfDir: String,
-      groupA: String = "click", groupB: String = "view"): DataFrame = {
-    val d = (c: Column) => c.cast("decimal(38,0)")
-    val binned = Tables.events(spark, sfDir)
+  /** Shared two-sample binning: ONE partial-aggregated scan bins both
+    * samples by quantized value; the result is domain-bounded (≤ 49,002
+    * cent bins for `value` ∈ [0.01, 490.02]) at any corpus size —
+    * the relation [[statsKs]] and [[statsMwu]] both run on. */
+  private def twoSampleBins(spark: SparkSession, sfDir: String,
+      groupA: String, groupB: String): DataFrame =
+    Tables.events(spark, sfDir)
       .filter(col("event_type").isin(groupA, groupB))
       .select(cents(col("value")).as("x"), col("event_type").as("g"))
       .groupBy("x")
       .agg(sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+
+  def statsKs(spark: SparkSession, sfDir: String,
+      groupA: String = "click", groupB: String = "view"): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val binned = twoSampleBins(spark, sfDir, groupA, groupB)
     val cum = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(lit(1))
@@ -1660,6 +1668,71 @@ object Relational {
        |         AS ks_ppm,
        |       x AS x_at_max
        |FROM d ORDER BY dev DESC, x LIMIT 1""".stripMargin
+
+  /** Mann–Whitney U (rank-sum) statistic between the same two samples
+    * as [[statsKs]], kept EXACT by counting pairwise comparisons on the
+    * shared binned relation instead of averaging float ranks: with
+    * per-bin counts ca/cb and the running cb prefix,
+    * 2U = Σ_x ca(x)·(2·cum_b(x⁻) + cb(x)) — twice the "a beats b" pairs
+    * plus the ties, an INTEGER identity equal to 2·(Σranks_a −
+    * na(na+1)/2) under midrank tie handling. Ships 2U as exact digits
+    * (it reaches na·nb ≈ 10²⁴ at 100 TB) plus the common-language
+    * effect size U/(na·nb) — the probability a random `a` value
+    * exceeds a random `b` — floored to ppm (auc_ppm: the two-sample
+    * AUC). Only non-negative magnitudes cross `div`. The KS statistic
+    * answers "do the distributions differ anywhere"; this one answers
+    * "which one is stochastically larger, and by how much".
+    *
+    * Scale shape: identical to [[statsKs]] — one corpus scan into the
+    * domain-bounded bins, then cells-sized windows and a 1-row
+    * aggregate. */
+  def statsMwu(spark: SparkSession, sfDir: String,
+      groupA: String = "click", groupB: String = "view"): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val cum = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    twoSampleBins(spark, sfDir, groupA, groupB)
+      .select(col("ca"), col("cb"),
+        (sum("cb").over(cum) - col("cb")).as("cum_b_lt"),
+        sum("ca").over(all).as("n_a"), sum("cb").over(all).as("n_b"))
+      .agg(coalesce(max("n_a"), lit(0L)).as("n_a"),
+        coalesce(max("n_b"), lit(0L)).as("n_b"),
+        coalesce(sum(d(col("ca")) * (d(col("cum_b_lt")) * 2 + d(col("cb")))),
+          lit(0L).cast("decimal(38,0)")).as("u2"))
+      .select(col("n_a"), col("n_b"),
+        // hashed-output typing rule (FIXTURES.md, r12): exact digits as
+        // a string; DECIMAL stays internal to the division
+        col("u2").cast("string").as("u2"),
+        expr("cast(case when n_a = 0 or n_b = 0 then 0 else " +
+          "u2 * 1000000 div (cast(n_a as decimal(38,0)) * n_b * 2) end as bigint)")
+          .as("auc_ppm"))
+  }
+
+  /** DuckDB twin of [[statsMwu]] — HUGEINT pairwise-count identity on
+    * the identical binned relation. */
+  def statsMwuOracle(groupA: String = "click", groupB: String = "view"): String =
+    s"""WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS x, event_type AS g
+       |           FROM events WHERE event_type IN ('$groupA', '$groupB')),
+       |c AS (SELECT x, sum(CASE WHEN g = '$groupA' THEN 1 ELSE 0 END) AS ca,
+       |             sum(CASE WHEN g = '$groupB' THEN 1 ELSE 0 END) AS cb
+       |      FROM e GROUP BY x),
+       |w AS (SELECT ca, cb,
+       |             sum(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+       |                           AND CURRENT ROW) - cb AS cum_b_lt,
+       |             sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+       |      FROM c),
+       |s AS (SELECT coalesce(max(n_a), 0) AS n_a, coalesce(max(n_b), 0) AS n_b,
+       |             coalesce(sum(CAST(ca AS HUGEINT) * (CAST(cum_b_lt AS HUGEINT) * 2 + cb)),
+       |                      0) AS u2
+       |      FROM w)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |       CAST(u2 AS VARCHAR) AS u2,
+       |       CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+       |                 ELSE u2 * 1000000 // (CAST(n_a AS HUGEINT) * n_b * 2) END AS BIGINT)
+       |         AS auc_ppm
+       |FROM s""".stripMargin
 
   /** Welch's two-sample t statistic (unequal variances) between the
     * `value` distributions of two event types, EXACT in integer

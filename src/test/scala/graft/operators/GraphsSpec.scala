@@ -139,6 +139,34 @@ class GraphsSpec extends AnyFunSuite {
     assert(hinted.map(_._1) == (0L to Graphs.BfsLevels.toLong))
   }
 
+  test("labelProp: hand-built graph, oscillating pair pinned by fixed rounds") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_lpa").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // triangle {1,2,3} + pendant 4 + isolated pair {8,9}: after 4
+    // synchronous min-tie rounds the component {1,2,3,4} coalesces on
+    // label 1, while the 2-cycle 8-9 oscillates back to (8, 9) — the
+    // fixed-round contract pins the oscillation deterministically
+    Seq((10L, 1L, in), (10L, 2L, in), (10L, 3L, in),
+      (20L, 3L, in), (20L, 4L, in),
+      (30L, 8L, in), (30L, 9L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Graphs.labelProp(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 4L, 1L, 10L), (8L, 1L, 8L, 8L),
+      (9L, 1L, 9L, 9L)), s"got $got")
+  }
+
+  test("labelProp is deterministic across evaluations") {
+    def run() = Graphs.labelProp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val a = run()
+    assert(a == run())
+    assert(a.nonEmpty && a.map(_._2).sorted.reverse == a.map(_._2),
+      "communities come back largest-first")
+  }
+
   test("over-threshold (unhinted) path computes identical pagerank and kcore results") {
     // threshold 0 forces the co-partitioned join path everywhere; the
     // trajectories and ranks must be bit-identical to the hinted plan

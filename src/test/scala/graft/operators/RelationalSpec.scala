@@ -282,6 +282,23 @@ class RelationalSpec extends AnyFunSuite {
       r.head.getLong(3), r.head.getLong(4)) == ((3L, 2L, "3", 500000L, 300L)))
   }
 
+  test("stats_mannwhitney: hand-computed pairwise 2U and AUC") {
+    import spark.implicits._
+    // click {1, 2, 3} vs view {2, 4}: a-beats-b pairs = 1 (3 > 2),
+    // ties = 1 (2 = 2) -> 2U = 3, AUC = 1.5/6 = 0.25 -> 250000 ppm
+    val d = java.nio.file.Files.createTempDirectory("graft_mwu").toString
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, t, 1L, "click", 1.0, "{}"), (2L, t, 1L, "click", 2.0, "{}"),
+      (3L, t, 1L, "click", 3.0, "{}"), (4L, t, 2L, "view", 2.0, "{}"),
+      (5L, t, 2L, "view", 4.0, "{}"), (6L, t, 3L, "error", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r = Relational.statsMwu(spark, d).collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(0), r.head.getLong(1), r.head.getString(2),
+      r.head.getLong(3)) == ((3L, 2L, "3", 250000L)))
+  }
+
   test("stats_welch: hand-computed t² in exact milli units") {
     import spark.implicits._
     // purchase {1, 2, 3}, click {2, 4}: means 2 vs 3, sample variances
