@@ -1603,28 +1603,32 @@ object Relational {
     * sort. This is the distribution-drift test a data-quality gate
     * runs between two cohorts; [[driftFromBins]] is its coarse-bin PSI
     * sibling. */
-  /** Shared two-sample binning: ONE partial-aggregated scan bins both
-    * samples by quantized value; the result is domain-bounded (≤ 49,002
-    * cent bins for `value` ∈ [0.01, 490.02]) at any corpus size —
-    * the relation [[statsKs]] and [[statsMwu]] both run on. */
-  private def twoSampleBins(spark: SparkSession, sfDir: String,
-      groupA: String, groupB: String): DataFrame =
-    Tables.events(spark, sfDir)
+  /** Shared two-sample binning over any events-shaped relation: ONE
+    * partial-aggregated pass bins both samples by quantized value; the
+    * result is domain-bounded (≤ 49,002 cent bins for `value` ∈
+    * [0.01, 490.02]) at any corpus size. Counts, so ledgers of these
+    * bins merge by ADDITION — the property [[graft.streaming.KsStream]]
+    * rides for its slicing-independent incremental twin. */
+  private[graft] def ksBinCounts(events: DataFrame,
+      groupA: String = "click", groupB: String = "view"): DataFrame =
+    events
       .filter(col("event_type").isin(groupA, groupB))
       .select(cents(col("value")).as("x"), col("event_type").as("g"))
       .groupBy("x")
       .agg(sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
 
-  def statsKs(spark: SparkSession, sfDir: String,
-      groupA: String = "click", groupB: String = "view"): DataFrame = {
+  /** The deterministic KS tail from a `(x, ca, cb)` bin relation to the
+    * one-row statistic — shared verbatim by [[statsKs]] and the
+    * streaming ledger's snapshot reader, so stream and batch cannot
+    * drift. */
+  private[graft] def ksFromBins(bins: DataFrame): DataFrame = {
     val d = (c: Column) => c.cast("decimal(38,0)")
-    val binned = twoSampleBins(spark, sfDir, groupA, groupB)
     val cum = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    binned
+    bins
       .select(col("x"),
         sum("ca").over(cum).as("cum_a"), sum("cb").over(cum).as("cum_b"),
         sum("ca").over(all).as("n_a"), sum("cb").over(all).as("n_b"))
@@ -1642,6 +1646,10 @@ object Relational {
           .as("ks_ppm"),
         col("x").as("x_at_max"))
   }
+
+  def statsKs(spark: SparkSession, sfDir: String,
+      groupA: String = "click", groupB: String = "view"): DataFrame =
+    ksFromBins(ksBinCounts(Tables.events(spark, sfDir), groupA, groupB))
 
   /** DuckDB twin of [[statsKs]] — HUGEINT cross-multiplied deviations,
     * identical argmax tie-break, identical zero-sample guard. */
@@ -1693,7 +1701,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    twoSampleBins(spark, sfDir, groupA, groupB)
+    ksBinCounts(Tables.events(spark, sfDir), groupA, groupB)
       .select(col("ca"), col("cb"),
         (sum("cb").over(cum) - col("cb")).as("cum_b_lt"),
         sum("ca").over(all).as("n_a"), sum("cb").over(all).as("n_b"))

@@ -673,4 +673,24 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(runMonitor(10) == want,
       "one-big-batch slicing must produce the identical drift report")
   }
+
+  test("parity: incremental KS two-sample ledger == oracle-green stats_ks, slicing-independent") {
+    // Per-cent-bin cohort counts merge by ADDITION — any slicing of the
+    // event stream must accumulate the identical bin ledger, and the KS
+    // tail is the SAME function the batch query runs.
+    def runMonitor(maxFiles: Int): Set[Seq[Any]] = {
+      val snap = Files.createTempDirectory("graft_ks_snap").toString
+      val stream = EventStream.readEvents(spark, dir, maxFilesPerTrigger = maxFiles)
+      val q = KsStream.monitorStream(spark, stream, snap)
+      q.processAllAvailable(); q.stop()
+      rows(KsStream.currentKs(spark, snap))
+    }
+    val want = rows(batchQuery("stats_ks"))
+    assert(want.nonEmpty)
+    val got = runMonitor(1)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(runMonitor(10) == want,
+      "one-big-batch slicing must produce the identical KS row")
+  }
 }
