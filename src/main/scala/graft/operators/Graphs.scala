@@ -528,14 +528,20 @@ object Graphs {
     // u carries both directions, so every node appears on the a side
     var labels = u.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
-    val top1 = org.apache.spark.sql.expressions.Window
-      .partitionBy("node").orderBy(col("c").desc, col("lbl").asc)
     for (_ <- 1 to rounds) {
+      // argmax by (count desc, label asc) as max_by over the composite
+      // (c, -lbl) — a hash aggregate with map-side partials instead of
+      // a node-partitioned sort window (same wall at sf1, 11.2 s
+      // standalone: the round is edge-build/join dominated — but the
+      // agg shape partial-combines and never sorts, which is the
+      // posture that matters when per-node label multiplicity grows
+      // at corpus scale); keys are unique per (node, lbl) so the
+      // composite never ties and the pick is deterministic
       val next = u.join(labels, col("a") === col("v"))
         .groupBy(col("b").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(top1))
-        .filter(col("rn") === 1)
+        .groupBy("node")
+        .agg(max_by(col("lbl"), struct(col("c"), negate(col("lbl")))).as("lbl"))
         .select(col("node").as("v"), col("lbl"))
         .localCheckpoint()
       releaseLocalCheckpoint(labels)
