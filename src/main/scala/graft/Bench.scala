@@ -11,6 +11,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      // ContextCleaner only reclaims shuffle files / broadcasts / RDD
+      // blocks whose driver-side references have been GC'd, and its
+      // safety-net GC defaults to every 30 MINUTES — in a long shared-JVM
+      // pass (the sf10 probe runs ~60 min) a large driver heap almost
+      // never collects old gen on its own, so dead shuffle dirs pile up
+      // on /tmp and tax late heavy queries (the r13 in-pass inflation:
+      // graph_kcore 121.6 s in-pass vs 39 s standalone). A 2-minute
+      // interval keeps the debris window bounded at pass scale and costs
+      // one System.gc() per 2 min — noise at sf0.1 (≤2 GCs per pass).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       // let AQE coalesce partitions INSIDE cached plans too — persisted
       // intermediates (posting lists, LSH buckets) otherwise pin the raw
       // shuffle.partitions count and every downstream stage pays
@@ -78,6 +89,47 @@ object Bench {
     // observations. Once the context is dead nothing measured after it is
     // a performance fact: mark the remaining queries skipped, not failed.
     def ctxDead: Boolean = spark.sparkContext.isStopped
+    // Per-query JVM/disk snapshots (SPARK_GRAFT_SNAPSHOTS=1): what does a
+    // long shared-JVM pass ACCUMULATE between queries? Emitted OUTSIDE the
+    // timed region, one `BENCH-SNAP {...}` line per measurement — heap,
+    // cumulative GC, live persistent RDDs, block-manager memory/disk, and
+    // the on-disk footprint of Spark's scratch dirs (blockmgr-*/spark-*
+    // shuffle+broadcast files, the exact debris ContextCleaner reclaims)
+    // plus the graft_scratch materializations. The r13 sf10 probe showed
+    // late heavy queries 1.6-3× their standalone times; these snapshots
+    // attribute it (PERF.md "sf10 shared-pass inflation").
+    val snapshots = sys.env.get("SPARK_GRAFT_SNAPSHOTS").contains("1")
+    def dirFootprint(prefixes: Seq[String]): (Long, Long) = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      var bytes = 0L; var files = 0L
+      def walk(f: java.io.File): Unit =
+        if (f.isFile) { bytes += f.length(); files += 1 }
+        else Option(f.listFiles).foreach(_.foreach(walk))
+      Option(tmp.listFiles).foreach(_.foreach { d =>
+        if (prefixes.exists(d.getName.startsWith))
+          try walk(d) catch { case _: Throwable => }
+      })
+      (bytes, files)
+    }
+    def snap(name: String): Unit = if (snapshots) try {
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+      val gcs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      var gcMs = 0L; var gcN = 0L
+      gcs.forEach { b => gcMs += math.max(0L, b.getCollectionTime)
+        gcN += math.max(0L, b.getCollectionCount) }
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      // storage-memory in use = max − remaining over every block manager
+      // (public API; block DISK usage shows up in the tmp footprint below)
+      val memUsed = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, free) => max - free }.sum / (1 << 20)
+      val (shufB, shufF) = dirFootprint(Seq("blockmgr-", "spark-"))
+      val (scrB, scrF) = dirFootprint(Seq("graft_scratch"))
+      println(s"""BENCH-SNAP {"q":"$name","heap_mb":$heapMb,"gc_ms":$gcMs,""" +
+        s""""gc_n":$gcN,"rdds":$rdds,"storage_mem_mb":$memUsed,""" +
+        s""""tmp_shuffle_mb":${shufB / (1 << 20)},"tmp_shuffle_files":$shufF,""" +
+        s""""scratch_mb":${scrB / (1 << 20)},"scratch_files":$scrF}""")
+    } catch { case _: Throwable => }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -88,6 +140,7 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       try spark.catalog.clearCache() catch { case _: Throwable => }
+      snap(name)
       (dt, ok)
     }
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)

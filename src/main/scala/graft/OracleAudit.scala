@@ -112,7 +112,15 @@ object OracleAudit {
     ("ts_forecast", "den",
       "den = n*Stt - St^2 >= 0 by Cauchy-Schwarz (the signed numerators are sign-separated)"),
     ("stats_mannwhitney", "u2 * 1000000",
-      "u2 = sum of ca*(2*cum_b_lt + cb) with cum_b_lt = (inclusive prefix) - cb >= 0 (prefix-sum idiom): every term is a product of counts")
+      "u2 = sum of ca*(2*cum_b_lt + cb) with cum_b_lt = (inclusive prefix) - cb >= 0 (prefix-sum idiom): every term is a product of counts"),
+    ("embed_whiten", "t",
+      "t = vᵀSv is a PSD quadratic form (= N²·Var_pop(vᵀx) >= 0 by the sum-of-squares identity); every Newton division additionally sits under WHERE t > 0"),
+    ("embed_whiten", "x",
+      "integer-Newton iterate on t >= 1: seeded >= 1 (greatest(1, ...)) and (x + t//x)//2 >= 1 whenever x, t >= 1"),
+    ("embed_whiten", "(x + t // x)",
+      "sum of the positive Newton iterate x >= 1 and t//x >= 0 (both non-negative by the entries above)"),
+    ("embed_whiten", "d",
+      "d = floor-sqrt of the PSD form t, >= 0; the whitening division is guarded by CASE WHEN d = 0")
   )
 
   /** Mask the CONTENTS of single-quoted string literals with same-length

@@ -387,6 +387,11 @@ object SparkEntry {
     // deterministic synchronous LPA: most-frequent neighbor label,
     // smallest-label ties, fixed rounds
     "graph_label_prop" -> ((s, dir) => graft.operators.Graphs.labelProp(s, dir)),
+    // LPA convergence trajectory: per-round (n_changed, changed_id_sum)
+    // to the first no-change round (explicit 0 row) under a cap —
+    // run-then-dump oracle replays the executed rounds
+    "graph_label_prop_trajectory" -> ((s, dir) =>
+      graft.operators.Graphs.labelPropTrajectory(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     // exact-integer per-group OLS: rational slope/intercept + ppm
@@ -619,7 +624,11 @@ object SparkEntry {
     "embed_pca_basis" -> ((s, dir) => Similarity.pcaBasis(s, dir)),
     // the APPLY step: whitening/visualization coordinates as one
     // narrow literal-coefficient map (train-as-aggregate, apply-as-map)
-    "embed_pca_project" -> ((s, dir) => Similarity.pcaProject(s, dir)))
+    "embed_pca_project" -> ((s, dir) => Similarity.pcaProject(s, dir)),
+    // whitening proper: projection centered and scaled by the inverse
+    // integer root of vᵀSv — exact unit-variance coordinates, still one
+    // literal-coefficient map over the corpus (r14)
+    "embed_whiten" -> ((s, dir) => Similarity.pcaWhiten(s, dir)))
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -823,7 +832,9 @@ object SparkEntry {
       // trajectory oracles depend on the round count each query ran —
       // same run-then-dump contract (one per fit family: embeddings,
       // ts micro-units, standardized lineitem micro-units)
-      KMeansSteps.trajectoryOracles
+      KMeansSteps.trajectoryOracles ++
+      // LPA convergence trajectory: chain length = rounds actually run
+      graft.operators.Graphs.labelPropTrajectoryOracles
 
   private def multimodalOracle: Map[String, String] = Map(
     "multimodal_phash" -> Multimodal.phashOracle,
@@ -2109,6 +2120,7 @@ object SparkEntry {
       ("embed_pca" -> Similarity.pcaOracle()) +
       ("embed_pca_basis" -> Similarity.pcaBasisOracle()) +
       ("embed_pca_project" -> Similarity.pcaProjectOracle()) +
+      ("embed_whiten" -> Similarity.pcaWhitenOracle()) +
       ("rag_retrieve" -> Similarity.ragRetrieveOracle) +
       ("rag_bm25" -> Similarity.ragBm25Oracle) +
       ("rag_hybrid" -> Similarity.ragHybridOracle)

@@ -114,9 +114,26 @@ object Bpe {
     out.result()
   }
 
+  /** Distinct-word ceiling for the driver-collected trainer. Under it
+    * the word-frequency table collects (≤ ~40 MB — the
+    * [[graft.kmeans.FitFinal]] bounded-materialization convention) and
+    * [[train]] runs driver-side; ABOVE it [[trainDistributed]] keeps
+    * the table in Spark and the driver only ever sees one argmax pair
+    * per merge round — web-scale corpora reach 10⁸-10⁹ distinct
+    * "words" after whitespace split, and an unbounded collect there is
+    * a driver OOM (VERDICT r13 task 3). Same local/distributed gate
+    * shape as [[Dedup.COMPONENTS_LOCAL_EDGES]]. Env-overridable for
+    * scale measurements (`GRAFT_BPE_LOCAL_MAX_WORDS`). */
+  val TrainLocalMaxWords: Long =
+    sys.env.get("GRAFT_BPE_LOCAL_MAX_WORDS").map(_.toLong)
+      .getOrElse(1000000L)
+
   /** Frozen tokenizer for `sfDir` — trained once per JVM from the
-    * corpus word-frequency table (vocab-sized collect), shared by the
-    * queries and the oracle dump (run-then-dump contract). */
+    * corpus word-frequency table, shared by the queries and the oracle
+    * dump (run-then-dump contract). Driver-side under
+    * [[TrainLocalMaxWords]] distinct words, Spark-side above — the two
+    * paths learn IDENTICAL models (spec-pinned: same pair counts, same
+    * (count desc, pair asc) argmax, same left-to-right merge). */
   private[graft] def model(spark: SparkSession, sfDir: String): Model = {
     val m = reg.getOrElseUpdate(sfDir, {
       // empty words (consecutive/leading/trailing spaces) are dropped
@@ -125,16 +142,89 @@ object Bpe {
       // loses those positions while the Spark fold kept an n_tok=0 row
       // that still joined and counted (ADVICE r10). One convention,
       // filtered identically on both engines.
-      val wf = Tables(spark, sfDir, "documents")
+      val wfDf = Tables(spark, sfDir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy("w").agg(count(lit(1)).as("f"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      train(wf)
+      if (wfDf.count() <= TrainLocalMaxWords)
+        train(wfDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      else trainDistributed(spark, wfDf)
     })
     lastDir = Some(sfDir)
     m
   }
+
+  /** [[train]] with the corpus-sized state kept in Spark: the
+    * word-frequency table never collects. Per merge round ONE
+    * adjacent-pair explode + hash aggregate (map-side combined; the
+    * shuffle carries distinct PAIRS, vocabulary-bounded) finds the max
+    * count, the tied-at-max pairs (a handful) collect for the
+    * lexicographic pick — done in Scala so the tie order is the
+    * DRIVER trainer's UTF-16 ordering, not the engine's UTF-8 binary
+    * sort, keeping the two paths bit-identical on any charset — and
+    * the merge applies as one higher-order fold over each symbol
+    * array. Round state `localCheckpoint`s with eager release (the
+    * [[Graphs]] iterative-lineage device: 20 rounds would otherwise
+    * nest 20 fold expressions into one plan). Driver traffic: the
+    * alphabet, plus ≤ a few tied pairs per round. */
+  def trainDistributed(spark: SparkSession, wordFreqs: DataFrame,
+      nMerges: Int = NMerges): Model = {
+    val chars = wordFreqs
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    var seqs = wordFreqs
+      .select(split(col("w"), "").as("syms"), col("f"))
+      .select(expr("filter(syms, s -> s <> '')").as("syms"), col("f"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var done = 0
+    var stop = false
+    while (done < nMerges && !stop) {
+      // adjacent pairs at EVERY position (overlapping occurrences
+      // count, exactly like the driver loop's index scan)
+      val cnt = seqs
+        .select(explode(expr(
+          """CASE WHEN size(syms) < 2 THEN array()
+            |ELSE transform(sequence(1, size(syms) - 1),
+            |       i -> struct(element_at(syms, i) AS a,
+            |                   element_at(syms, i + 1) AS b)) END""".stripMargin))
+          .as("p"), col("f"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("f").as("c"))
+      val mxRow = cnt.agg(max("c")).collect().head
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      if (mx < 2) stop = true
+      else {
+        val (a, b) = cnt.filter(col("c") === mx)
+          .select("a", "b").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+          .minBy(identity) // Scala UTF-16 order == the driver trainer's
+        merges += ((a, b))
+        val next = seqs.select(
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(s)))).as("syms"),
+          col("f")).localCheckpoint()
+        releaseLocalCheckpoint(seqs)
+        seqs = next
+        done += 1
+      }
+    }
+    releaseLocalCheckpoint(seqs)
+    val toks = (chars ++ merges.result().map { case (a, b) => a + b }).distinct
+    Model(toks.zipWithIndex.map { case (t, i) => (t, i.toLong) }, done)
+  }
+
+  /** RDD blocks behind a `localCheckpoint()`ed plan (invisible to
+    * `clearCache`) — released once the next round is materialized. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
   private val reg = scala.collection.concurrent.TrieMap.empty[String, Model]
   @volatile private var lastDir: Option[String] = None
 

@@ -156,7 +156,7 @@ object Graphs {
     // label_prop) — the distinct self-join edge build MATERIALIZES once
     // per sfDir through the scratch registry (the winnow-index device)
     // and every consumer reads the 2-column parquet
-    graft.sources.Scratch.materialize(spark, s"coorder_edges:$sfDir") {
+    graft.sources.Scratch.materialize(spark, s"coorder_edges:${graft.sources.Scratch.corpusKey(sfDir)}") {
       val li = Tables(spark, sfDir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -186,8 +186,14 @@ object Graphs {
     * and hash aggregates; the per-order pair expansion is bounded by the
     * order-size cap (≤7 lineitems per order in this schema — a general
     * corpus would cap the group like [[Dedup]]'s posting lists). */
-  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = coOrderEdges(spark, sfDir)
+  def triangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesCensus(coOrderEdges(spark, sfDir))
+
+  /** The census body of [[triangles]] over an arbitrary distinct
+    * (a < b) edge relation — shared with the streaming edge ledger
+    * ([[graft.streaming.EdgeLedgerStream]]) so the incremental view and
+    * the batch operator cannot drift. */
+  private[graft] def trianglesCensus(e: DataFrame): DataFrame = {
     val deg = e.select(explode(array(col("a"), col("b"))).as("nd"))
       .groupBy("nd").agg(count(lit(1)).as("d"))
     val aFirst = col("da") < col("db") ||
@@ -525,6 +531,25 @@ object Graphs {
     * [[kcore]] device) so the plan doesn't nest across rounds. The
     * final top-K is a TakeOrderedAndProject over the label histogram
     * (community-count-sized), never a full sort. */
+  /** One synchronous LPA round: relabel every node with the most
+    * frequent neighbor label. Argmax by (count desc, label asc) as
+    * max_by over the composite (c, -lbl) — a hash aggregate with
+    * map-side partials instead of a node-partitioned sort window (same
+    * wall at sf1, 11.2 s standalone: the round is edge-build/join
+    * dominated — but the agg shape partial-combines and never sorts,
+    * which is the posture that matters when per-node label multiplicity
+    * grows at corpus scale); keys are unique per (node, lbl) so the
+    * composite never ties and the pick is deterministic. Shared by
+    * [[labelProp]] and [[labelPropTrajectory]] so the fixed-round
+    * histogram and the convergence trajectory cannot drift. */
+  private def lpaRound(u: DataFrame, labels: DataFrame): DataFrame =
+    u.join(labels, col("a") === col("v"))
+      .groupBy(col("b").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("node")
+      .agg(max_by(col("lbl"), struct(col("c"), negate(col("lbl")))).as("lbl"))
+      .select(col("node").as("v"), col("lbl"))
+
   def labelProp(spark: SparkSession, sfDir: String, rounds: Int = LpaRounds,
       topK: Int = LpaTopK): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -534,21 +559,7 @@ object Graphs {
     var labels = u.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      // argmax by (count desc, label asc) as max_by over the composite
-      // (c, -lbl) — a hash aggregate with map-side partials instead of
-      // a node-partitioned sort window (same wall at sf1, 11.2 s
-      // standalone: the round is edge-build/join dominated — but the
-      // agg shape partial-combines and never sorts, which is the
-      // posture that matters when per-node label multiplicity grows
-      // at corpus scale); keys are unique per (node, lbl) so the
-      // composite never ties and the pick is deterministic
-      val next = u.join(labels, col("a") === col("v"))
-        .groupBy(col("b").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy("node")
-        .agg(max_by(col("lbl"), struct(col("c"), negate(col("lbl")))).as("lbl"))
-        .select(col("node").as("v"), col("lbl"))
-        .localCheckpoint()
+      val next = lpaRound(u, labels).localCheckpoint()
       releaseLocalCheckpoint(labels)
       labels = next
     }
@@ -566,11 +577,23 @@ object Graphs {
       .orderBy(col("n_nodes").desc, col("label").asc)
   }
 
-  /** DuckDB twin of [[labelProp]] — the identical synchronous rounds as
-    * chained materialized CTEs with the identical (count desc, label)
-    * tie order. */
-  def labelPropOracle(rounds: Int = LpaRounds, topK: Int = LpaTopK): String = {
-    val chain = (1 to rounds).map { i =>
+  /** Shared oracle prefix of the LPA family (no leading WITH): the
+    * co-order edge build, both edge directions, and the self-labeled
+    * round-0 state. */
+  private def lpaOracleBase: String =
+    """li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+      |       FROM lineitem
+      |       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+      |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+      |                    FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |u AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      |l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lbl FROM u)""".stripMargin
+
+  /** The chained per-round relabel CTEs `l1..l$rounds` — identical
+    * (count desc, label asc) tie order as [[lpaRound]]. */
+  private def lpaOracleRounds(rounds: Int): String =
+    (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT node AS v, lbl FROM (
          |    SELECT u.b AS node, l.lbl, count(*) AS c,
@@ -579,21 +602,113 @@ object Graphs {
          |    FROM u JOIN l${i - 1} l ON u.a = l.v GROUP BY u.b, l.lbl)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
-       |            FROM lineitem
-       |            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-       |              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
-       |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
-       |                    FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
-       |u AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
-       |l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lbl FROM u),
-       |$chain
+
+  /** DuckDB twin of [[labelProp]] — the identical synchronous rounds as
+    * chained materialized CTEs with the identical (count desc, label)
+    * tie order. */
+  def labelPropOracle(rounds: Int = LpaRounds, topK: Int = LpaTopK): String =
+    s"""WITH $lpaOracleBase,
+       |${lpaOracleRounds(rounds)}
        |SELECT lbl AS label, count(*) AS n_nodes,
        |       CAST(min(v) AS BIGINT) AS min_node,
        |       CAST(sum(v) AS BIGINT) AS id_sum
        |FROM l$rounds GROUP BY lbl
        |ORDER BY n_nodes DESC, label LIMIT $topK""".stripMargin
+
+  /** Round cap of [[labelPropTrajectory]]. A MEASURED design point, not
+    * a backstop that normally goes unused: on the sf0.01 co-order graph
+    * synchronous min-tie LPA never reaches a fixpoint — a driver replay
+    * shows n_changed decaying 1707 → 926 over 10 rounds, then plateauing
+    * near 860 (≈ a third of the graph oscillating in 2-cycles, the
+    * dense-clique analogue of Raghavan et al. §3's bipartite
+    * oscillation) with the first exact 2-cycle only at round 27. So
+    * "run to oscillation" costs ~7× the useful signal; the cap bounds
+    * the trajectory at the knee of the decay, and a non-zero final
+    * n_changed IS the convergence answer ("not stabilized in 10 sync
+    * rounds"), exactly what the fixed-round [[labelProp]] histogram
+    * cannot say. A corpus that does stabilize exits early with the
+    * explicit 0 row (the [[kcore]] device). */
+  val LpaTrajMaxRounds = 10
+
+  // rounds the last labelPropTrajectory run executed per corpus — the
+  // run-then-dump registry the trajectory oracle replays (the Bpe
+  // frozen-vocab pattern: Verify runs queries first, dumps SQL after)
+  private val lpaTrajReg =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  @volatile private var lpaTrajLast: Option[String] = None
+
+  /** CONVERGENCE trajectory of synchronous LPA — the signal
+    * [[labelProp]]'s fixed rounds lack (a community-detection user
+    * needs to know whether labels stabilized): one row per round,
+    * `(round, n_changed, changed_id_sum)`, run to the first round where
+    * NO label changes (emitted as an explicit `(R, 0, 0)` convergence
+    * row — the [[kcore]] zero-removed device) or [[LpaTrajMaxRounds]].
+    * `changed_id_sum` pins the SET of relabeled nodes, not just its
+    * size (the [[bfs]] id-sum device).
+    *
+    * Scale shape: each round is [[lpaRound]] (edge-bounded join + two
+    * hash aggregates) plus ONE node-sized equi-join of consecutive
+    * label states folded to a single (count, sum) row — the driver sees
+    * two longs per round, exactly the kcore trajectory traffic.
+    * Lineage truncates per round via `localCheckpoint` with eager
+    * release. The DuckDB twin replays the executed rounds as chained
+    * materialized CTEs and differences consecutive states identically
+    * (run-then-dump: the chain length is the round count this corpus
+    * actually ran). */
+  def labelPropTrajectory(spark: SparkSession, sfDir: String,
+      maxRounds: Int = LpaTrajMaxRounds): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val e = coOrderEdges(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+    val u = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    var labels = u.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    val rows = Seq.newBuilder[(Long, Long, Long)]
+    var round = 1
+    var done = false
+    while (!done && round <= maxRounds) {
+      val next = lpaRound(u, labels).localCheckpoint()
+      // consecutive states differ on a node-sized equi-join; one
+      // (count, sum) row reaches the driver per round
+      val d = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "v")
+        .agg(
+          sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("nc"),
+          coalesce(sum(when(col("lbl") =!= col("prev"), col("v"))), lit(0L))
+            .as("s"))
+        .collect().head
+      val (nChanged, idSum) =
+        (if (d.isNullAt(0)) 0L else d.getLong(0), d.getLong(1))
+      rows += ((round.toLong, nChanged, idSum))
+      releaseLocalCheckpoint(labels)
+      labels = next
+      if (nChanged == 0) done = true else round += 1
+    }
+    releaseLocalCheckpoint(labels)
+    e.unpersist(blocking = false)
+    val out = rows.result()
+    lpaTrajReg(sfDir) = out.length
+    lpaTrajLast = Some(sfDir)
+    out.toDF("round", "n_changed", "changed_id_sum").orderBy("round")
   }
+
+  /** Run-then-dump DuckDB twin of [[labelPropTrajectory]] — replays the
+    * executed round count as chained CTEs, differencing consecutive
+    * label states; empty until the trajectory ran in this JVM. */
+  def labelPropTrajectoryOracles: Map[String, String] =
+    lpaTrajLast.flatMap(lpaTrajReg.get).map { rounds =>
+      val diffs = (1 to rounds).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+           |       CAST(count(*) AS BIGINT) AS n_changed,
+           |       CAST(coalesce(sum(a.v), 0) AS BIGINT) AS changed_id_sum
+           |FROM l$i a JOIN l${i - 1} b ON a.v = b.v AND a.lbl <> b.lbl""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Map("graph_label_prop_trajectory" ->
+        s"""WITH $lpaOracleBase,
+           |${lpaOracleRounds(rounds)}
+           |$diffs
+           |ORDER BY round""".stripMargin)
+    }.getOrElse(Map.empty)
 
   /** DuckDB twin of [[pageRank]] (iters = 2, topN = 20). */
   def pageRankOracle: String =

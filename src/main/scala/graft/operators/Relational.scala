@@ -1769,7 +1769,17 @@ object Relational {
     * groups), a 2-row collect, O(1) driver arithmetic. Welch's df is
     * deliberately NOT emitted: its exact rational needs aᵢ² ≈ 10⁶³ at
     * sf1 — outside int128, so no DuckDB replay could pin it; the
-    * variance components it derives from ARE emitted. */
+    * variance components it derives from ARE emitted.
+    *
+    * Two declared contracts (ADVICE r13): (1) the builder is EAGER —
+    * constructing the query runs the corpus scan (the Similarity-PCA
+    * precedent); callers that only want plan/schema inspection should
+    * not construct it. (2) the ORACLE's HUGEINT envelope holds through
+    * sf1 only — t2num ≈ 4·10³⁶ there and grows ~10⁶× per 10× sf, so an
+    * sf10+ oracle replay would overflow HUGEINT (1.7·10³⁸) and must
+    * first factor the (n−1) terms through extra remainder-split steps
+    * or coarsen the grid; the SPARK side (BigInt) has no envelope and
+    * the sweep config pins the oracle at ≤ sf1. */
   def statsWelch(spark: SparkSession, sfDir: String,
       groupA: String = "purchase", groupB: String = "click"): DataFrame = {
     import spark.implicits._

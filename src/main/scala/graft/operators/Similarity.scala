@@ -50,7 +50,7 @@ object Similarity {
       // embeddings table to keep 1/m of it (r12 judge task 3)
       case Some(m) =>
         graft.sources.Scratch.materialize(
-          spark, s"ann_points:$m:$sfDir")(build)
+          spark, s"ann_points:$m:${graft.sources.Scratch.corpusKey(sfDir)}")(build)
     }
   }
 
@@ -65,7 +65,7 @@ object Similarity {
     // (r12 judge task 3): `ann_brute_topk` and the recall harness's
     // truth leg share ONE corpus scan per bench pass instead of two
     graft.sources.Scratch.materialize(spark,
-        s"ann_brute:$nQueries:$k:$keepMod:$sfDir") {
+        s"ann_brute:$nQueries:$k:$keepMod:${graft.sources.Scratch.corpusKey(sfDir)}") {
       bruteTopKBuild(spark, sfDir, nQueries, k, keepMod)
     }
 
@@ -240,7 +240,7 @@ object Similarity {
     // registration happens on whichever call builds first, in the same
     // JVM the oracle builder later reads (run-then-dump convention)
     graft.sources.Scratch.materialize(spark,
-        s"ann_ivf_trained:$nQueries:$k:$nprobe:$keepMod:$sfDir") {
+        s"ann_ivf_trained:$nQueries:$k:$nprobe:$keepMod:${graft.sources.Scratch.corpusKey(sfDir)}") {
       ivfTrainedTopKBuild(spark, sfDir, nQueries, k, nprobe, keepMod)
     }
 
@@ -319,7 +319,7 @@ object Similarity {
     // materialized per parameterization — standalone + recall leg share
     // one banding pass per bench pass (r12 judge task 3)
     graft.sources.Scratch.materialize(spark,
-        s"ann_lsh:$nQueries:$k:$keepMod:$sfDir") {
+        s"ann_lsh:$nQueries:$k:$keepMod:${graft.sources.Scratch.corpusKey(sfDir)}") {
       lshTopKBuild(spark, sfDir, nQueries, k, keepMod)
     }
 
@@ -389,7 +389,7 @@ object Similarity {
     // materialized per parameterization — standalone + recall leg share
     // one quantize+scan pass per bench pass (r12 judge task 3)
     graft.sources.Scratch.materialize(spark,
-        s"ann_sq:$nQueries:$k:$rerank:$keepMod:$sfDir") {
+        s"ann_sq:$nQueries:$k:$rerank:$keepMod:${graft.sources.Scratch.corpusKey(sfDir)}") {
       sqTopKBuild(spark, sfDir, nQueries, k, rerank, keepMod)
     }
 
@@ -467,7 +467,7 @@ object Similarity {
     // one encode+ADC pass per bench pass (r12 judge task 3); codebook
     // freezing stays inside the build (run-then-dump, same JVM)
     graft.sources.Scratch.materialize(spark,
-        s"ann_pq:$nQueries:$k:$rerank:$keepMod:$sfDir") {
+        s"ann_pq:$nQueries:$k:$rerank:$keepMod:${graft.sources.Scratch.corpusKey(sfDir)}") {
       pqTopKBuild(spark, sfDir, nQueries, k, rerank, keepMod)
     }
 
@@ -529,7 +529,7 @@ object Similarity {
     // materialized per parameterization — standalone + recall leg share
     // one train+encode+probe pass per bench pass (r12 judge task 3)
     graft.sources.Scratch.materialize(spark,
-        s"ann_ivfpq:$nQueries:$k:$nprobe:$rerank:$keepMod:$sfDir") {
+        s"ann_ivfpq:$nQueries:$k:$nprobe:$rerank:$keepMod:${graft.sources.Scratch.corpusKey(sfDir)}") {
       ivfPqTopKBuild(spark, sfDir, nQueries, k, nprobe, rerank, keepMod)
     }
 
@@ -887,9 +887,18 @@ object Similarity {
     * share ONE corpus scan per bench pass (the scratch-registry
     * device). */
   private def pcaScatter(spark: SparkSession,
-      sfDir: String): Option[Array[Array[BigInt]]] = {
+      sfDir: String): Option[Array[Array[BigInt]]] =
+    pcaMoments(spark, sfDir).map(_._3)
+
+  /** The raw corpus moments behind the scatter matrix — (N, Σx, S) with
+    * S = N·Σxxᵀ − (Σx)(Σx)ᵀ — or None when the corpus is empty. Shared
+    * by the whole spectral family ([[pcaTopComponent]], [[pcaBasis]],
+    * [[pcaProject]], [[pcaWhiten]]: whitening needs N and Σx for the
+    * exact centering, not just S). */
+  private def pcaMoments(spark: SparkSession, sfDir: String)
+      : Option[(BigInt, Array[BigInt], Array[Array[BigInt]])] = {
     import spark.implicits._
-    val r = graft.sources.Scratch.materialize(spark, s"pca_sums:$sfDir") {
+    val r = graft.sources.Scratch.materialize(spark, s"pca_sums:${graft.sources.Scratch.corpusKey(sfDir)}") {
       Tables(spark, sfDir, "embeddings")
         .select(expr(
           "transform(cast(embedding as array<double>), x -> cast(round(x * 1000, 0) as bigint))")
@@ -904,8 +913,8 @@ object Similarity {
       val n = BigInt(r.getLong(0))
       val sx = r.getSeq[Long](1).map(BigInt(_)).toArray
       val sxy = r.getSeq[Long](2)
-      Some(Array.tabulate(d, d)((i, j) =>
-        n * BigInt(sxy(i * d + j)) - sx(i) * sx(j)))
+      Some((n, sx, Array.tabulate(d, d)((i, j) =>
+        n * BigInt(sxy(i * d + j)) - sx(i) * sx(j))))
     }
   }
 
@@ -1086,6 +1095,137 @@ object Similarity {
        |FROM q CROSS JOIN vb
        |GROUP BY q.vec_id, vb.c
        |ORDER BY vec_id, component""".stripMargin
+  }
+
+  /** Floor integer square root — exact, BigInt Newton from a
+    * power-of-two seed ≥ √n (monotone decreasing, the classic integer
+    * Newton invariant: every iterate after the first is ≥ ⌊√n⌋ and the
+    * sequence stops at the first non-decrease). */
+  private[operators] def isqrt(n: BigInt): BigInt =
+    if (n <= 0) BigInt(0)
+    else {
+      var x = BigInt(1) << ((n.bitLength + 1) / 2) // 2^⌈bits/2⌉ ≥ √n
+      var y = (x + n / x) / 2
+      while (y < x) { x = y; y = (x + n / x) / 2 }
+      x
+    }
+
+  /** Whitening APPLY step — [[pcaProject]] composed with the inverse
+    * root eigenvalue, entirely in exact integers: one row per
+    * (vec_id, component) with
+    * `white_ppm = sign(cent)·(|cent|·10⁶ div D)` where
+    * `cent = N·proj − Σᵢvᵢ·Σxᵢ` (= N·(proj − mean(proj)), the exact
+    * integer centering) and `D = ⌊√(vᵀSv)⌋`. Because
+    * Var_pop(proj) = vᵀ·Cov·v = vᵀSv/N² holds EXACTLY for any v (not
+    * just a perfect eigenvector), the whitened coordinate has unit
+    * population variance in 10⁶ units up to the ≤2/D relative
+    * truncation of the integer root — the spec pins |var−1| on the
+    * fixture.
+    *
+    * Scale shape: the corpus is touched once by the shared moment
+    * aggregate ([[pcaMoments]], scratch-materialized) and once by THIS
+    * map — the per-component constants (sv, D) collapse to literals
+    * baked into one narrow codegen'd projection; no join, no shuffle,
+    * the [[pcaProject]] train-as-aggregate / apply-as-map contract.
+    * The int64→DECIMAL(38,0) widening bounds: |N·proj| ≤ N·d·10⁹ and
+    * |cent|·10⁶ ≤ ~10³² even at N = 10¹² rows, inside 38 digits. */
+  def pcaWhiten(spark: SparkSession, sfDir: String,
+      m: Int = PcaComponents, iters: Int = PcaBasisIters): DataFrame = {
+    val mom = pcaMoments(spark, sfDir)
+    val basis = pcaBasisVectors(spark, sfDir, m, iters)
+      .getOrElse(Seq.fill(m)((Array.fill(PcaD)(BigInt(0)), BigInt(0))))
+    val (n, sx) = mom.map { case (nn, sxx, _) => (nn, sxx) }
+      .getOrElse((BigInt(0), Array.fill(PcaD)(BigInt(0))))
+    val s = mom.map(_._3).getOrElse(Array.fill(PcaD, PcaD)(BigInt(0)))
+    // per-component exact constants: sv = vᵀ·Σx, D = ⌊√(vᵀSv)⌋
+    val consts = basis.map { case (v, _) =>
+      val sv = (0 until PcaD).map(i => v(i) * sx(i)).sum
+      val vsv = (0 until PcaD)
+        .map(i => (0 until PcaD).map(j => v(i) * s(i)(j) * v(j)).sum).sum
+      (sv, isqrt(vsv))
+    }
+    val scores = array(basis.map { case (v, _) =>
+      val coefs = array(v.map(x => lit(x.toLong)).toIndexedSeq: _*)
+      aggregate(zip_with(col("xq"), coefs, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    val whiteCases = consts.zipWithIndex.map { case ((sv, d), idx) =>
+      if (d == 0) s"WHEN ${idx + 1} THEN CAST(0 AS BIGINT)"
+      else {
+        val cent = s"(CAST(proj AS DECIMAL(38,0)) * CAST('$n' AS DECIMAL(38,0))" +
+          s" - CAST('$sv' AS DECIMAL(38,0)))"
+        s"WHEN ${idx + 1} THEN CAST((CASE WHEN $cent < 0 THEN -1 ELSE 1 END) * " +
+          s"((abs($cent) * 1000000) div CAST('$d' AS DECIMAL(38,0))) AS BIGINT)"
+      }
+    }.mkString(" ")
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>), x -> cast(round(x * 1000, 0) as bigint))")
+        .as("xq"))
+      .select(col("vec_id"), posexplode(scores).as(Seq("ci", "proj")))
+      .selectExpr("vec_id", "CAST(ci + 1 AS BIGINT) AS component",
+        s"CASE CAST(ci + 1 AS INT) $whiteCases ELSE CAST(0 AS BIGINT) END AS white_ppm")
+      .orderBy("vec_id", "component")
+  }
+
+  /** DuckDB twin of [[pcaWhiten]] — replays the basis chain, derives
+    * sv/vᵀSv per component from the SAME CTEs, takes the integer root
+    * by seeded Newton steps (4 averaging steps from a ceil(√·)+1 seed —
+    * ≥ ⌊√t⌋−1 after the first step by the AM-GM floor argument — then
+    * two down- and two up-corrections pin the exact floor root), and
+    * applies the identical sign-separated truncating division. */
+  def pcaWhitenOracle(m: Int = PcaComponents,
+      iters: Int = PcaBasisIters): String = {
+    val chain = (1 to m).map(pcaRoundCtes(_, iters)).mkString(",\n")
+    val perComp = (1 to m).map { c =>
+      val vfin = s"v${c}_$iters"
+      s"""sv$c AS (SELECT CAST(coalesce(sum(v.v * m.sx), 0) AS HUGEINT) AS sv
+         |         FROM $vfin v JOIN m ON v.i = m.i),
+         |vsv$c AS (SELECT CAST(coalesce(sum(vi.v * s.s * vj.v), 0) AS HUGEINT) AS t
+         |          FROM s1 s JOIN $vfin vi ON s.i = vi.i
+         |                    JOIN $vfin vj ON s.j = vj.i),
+         |nx0_$c AS (SELECT t, CASE WHEN t <= 0 THEN CAST(1 AS HUGEINT)
+         |                         ELSE greatest(CAST(1 AS HUGEINT),
+         |                           CAST(ceil(sqrt(CAST(t AS DOUBLE))) AS HUGEINT) + 1) END AS x
+         |           FROM vsv$c),
+         |nx1_$c AS (SELECT t, (x + t // x) // 2 AS x FROM nx0_$c WHERE t > 0
+         |           UNION ALL SELECT t, x FROM nx0_$c WHERE t <= 0),
+         |nx2_$c AS (SELECT t, (x + t // x) // 2 AS x FROM nx1_$c WHERE t > 0
+         |           UNION ALL SELECT t, x FROM nx1_$c WHERE t <= 0),
+         |nx3_$c AS (SELECT t, (x + t // x) // 2 AS x FROM nx2_$c WHERE t > 0
+         |           UNION ALL SELECT t, x FROM nx2_$c WHERE t <= 0),
+         |nx4_$c AS (SELECT t, (x + t // x) // 2 AS x FROM nx3_$c WHERE t > 0
+         |           UNION ALL SELECT t, x FROM nx3_$c WHERE t <= 0),
+         |nc1_$c AS (SELECT t, CASE WHEN x > 0 AND x * x > t THEN x - 1 ELSE x END AS x FROM nx4_$c),
+         |nc2_$c AS (SELECT t, CASE WHEN x > 0 AND x * x > t THEN x - 1 ELSE x END AS x FROM nc1_$c),
+         |nc3_$c AS (SELECT t, CASE WHEN (x + 1) * (x + 1) <= t THEN x + 1 ELSE x END AS x FROM nc2_$c),
+         |dd$c AS (SELECT CASE WHEN t <= 0 THEN CAST(0 AS HUGEINT)
+         |                     WHEN (x + 1) * (x + 1) <= t THEN x + 1 ELSE x END AS d
+         |         FROM nc3_$c)""".stripMargin
+    }.mkString(",\n")
+    val vb = (1 to m)
+      .map(c => s"SELECT $c AS c, i, v FROM v${c}_$iters")
+      .mkString("\nUNION ALL\n")
+    val cst = (1 to m)
+      .map(c => s"SELECT $c AS c, (SELECT sv FROM sv$c) AS sv, (SELECT d FROM dd$c) AS d")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $pcaBaseCtes,
+       |$chain,
+       |$perComp,
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+       |vb AS ($vb),
+       |pj AS (SELECT q.vec_id, vb.c,
+       |              CAST(coalesce(sum(q.xq[vb.i + 1] * vb.v), 0) AS HUGEINT) AS proj
+       |       FROM q CROSS JOIN vb GROUP BY q.vec_id, vb.c),
+       |cst AS ($cst),
+       |cent AS (SELECT pj.vec_id, pj.c,
+       |                (SELECT n FROM nn) * pj.proj - cst.sv AS cent, cst.d
+       |         FROM pj JOIN cst USING (c))
+       |SELECT vec_id, CAST(c AS BIGINT) AS component,
+       |       CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST((CASE WHEN cent < 0 THEN -1 ELSE 1 END)
+       |                   * ((abs(cent) * 1000000) // d) AS BIGINT) END AS white_ppm
+       |FROM cent ORDER BY vec_id, component""".stripMargin
   }
 
   /** The shared corpus→scatter CTE chain (no leading WITH), ending in
@@ -1317,7 +1457,7 @@ object Similarity {
     * retrieval-index build: one corpus-sized write amortized over
     * every retrieval query against that corpus. */
   private[graft] def ragPassages(spark: SparkSession, sfDir: String): DataFrame =
-    graft.sources.Scratch.materialize(spark, s"rag_passages:$sfDir") {
+    graft.sources.Scratch.materialize(spark, s"rag_passages:${graft.sources.Scratch.corpusKey(sfDir)}") {
       Dedup.passageBlocksOf(
           Tables(spark, sfDir, "documents"), Dedup.PASSAGE_WORDS)
         .select(col("doc_id").as("p_doc"), col("blk_idx").cast("long").as("p_blk"),
@@ -1346,7 +1486,7 @@ object Similarity {
     * passes. At 100 TB this is the materialized score cache every
     * retrieval stack keeps in front of its re-rankers. */
   private[graft] def ragDenseScored(spark: SparkSession, sfDir: String): DataFrame =
-    graft.sources.Scratch.materialize(spark, s"rag_dense:$sfDir") {
+    graft.sources.Scratch.materialize(spark, s"rag_dense:${graft.sources.Scratch.corpusKey(sfDir)}") {
       val pv = ragPassageVecs(spark, sfDir)
       val qv = pv.filter(col("p_doc") < RAG_NQ && col("p_blk") === 0)
         .select(col("p_doc").as("q_doc"), col("pv").as("qv"))

@@ -192,7 +192,7 @@ object TextAnalysis {
     * every match/report query against it. */
   private[operators] def winnowSelections(spark: SparkSession,
       sfDir: String, k: Int, w: Int): DataFrame =
-    graft.sources.Scratch.materialize(spark, s"winnow:$k:$w:$sfDir") {
+    graft.sources.Scratch.materialize(spark, s"winnow:$k:$w:${graft.sources.Scratch.corpusKey(sfDir)}") {
       winnowRaw(spark, sfDir, k, w).distinct()
     }
 

@@ -57,9 +57,27 @@ object Scratch {
     buildLog.clear()
   }
 
+  /** Content-addressed corpus key: `sfDir` plus a fingerprint of every
+    * file's (relative path, length, mtime) under it. Keys built through
+    * this helper REBUILD when the corpus at a path is regenerated
+    * in-place within one JVM (e.g. a test overwriting a temp dir) —
+    * a bare-path key would silently serve the stale materialization
+    * (ADVICE r13). Metadata-only: one directory walk, no data read. */
+  def corpusKey(sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: java.io.File): Unit =
+      if (f.isFile)
+        md.update(s"${f.getPath}|${f.length}|${f.lastModified}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else Option(f.listFiles).foreach(_.sortBy(_.getName).foreach(walk))
+    walk(new java.io.File(sfDir))
+    s"$sfDir@${md.digest().map("%02x".format(_)).mkString.take(16)}"
+  }
+
   /** Read the materialization for `key`, building it (one parquet
-    * write of `build`'s result) on first call. Keys embed the sfDir so
-    * different corpora never collide. */
+    * write of `build`'s result) on first call. Keys embed the sfDir —
+    * through [[corpusKey]], so an in-place corpus rewrite invalidates —
+    * and different corpora never collide. */
   def materialize(spark: SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
     val path = reg.synchronized {

@@ -24,10 +24,24 @@ object KsStream {
 
   /** Start the incremental bin ledger over a streaming events relation.
     * Ledger schema: `(x, ca, cb)`. Returns the streaming query (caller
-    * stops it). */
-  def monitorStream(spark: SparkSession, events: DataFrame, dir: String)
+    * stops it).
+    *
+    * Restart semantics (ADVICE r13): WITH `checkpoint`, a restarted
+    * query resumes source offsets and batchIds from the checkpoint, so
+    * the idempotent `v=<batchId>` rewrites line up with the existing
+    * snapshots — the restartable production mode. WITHOUT it (the
+    * ephemeral test mode) batchIds restart at 0 while stale
+    * higher-numbered `v=` snapshots from a prior run would out-version
+    * every new batch — [[currentKs]] reads the global max version, so
+    * it would serve the stale ledger and double-count once new batchIds
+    * catch up; the start therefore CLEARS any existing snapshots in
+    * `dir` so an uncheckpointed query always begins from an empty
+    * ledger. */
+  def monitorStream(spark: SparkSession, events: DataFrame, dir: String,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    events.writeStream
+    if (checkpoint.isEmpty) clearSnapshots(dir)
+    val w = events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val contrib = Relational.ksBinCounts(batch)
         val merged = EventStream.latestSnapshot(spark, dir,
@@ -40,7 +54,18 @@ object KsStream {
         merged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
         ()
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** Remove every `v=` snapshot under `dir` — the uncheckpointed-start
+    * guard above. */
+  private def clearSnapshots(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    Option(new java.io.File(dir).listFiles)
+      .foreach(_.filter(_.getName.startsWith("v=")).foreach(rm))
   }
 
   /** The current KS statistic — row-equal to [[Relational.statsKs]]

@@ -37,6 +37,36 @@ class BpeSpec extends AnyFunSuite {
       && !m.vocab.map(_._1).contains("abab"))
   }
 
+  test("distributed trainer learns the identical model as the driver trainer") {
+    import spark.implicits._
+    def wfDf(rows: Seq[(String, Long)]) = rows.toDF("w", "f")
+    // the hand-computed corpus, a tie/overlap-heavy one, and the real
+    // fixture word table must all produce bit-identical models
+    assert(Bpe.trainDistributed(spark, wfDf(freqs), nMerges = 10)
+      == Bpe.train(freqs, nMerges = 10))
+    // overlap: "aaa" counts (a,a) at BOTH adjacent positions (4 total
+    // weighted) so it beats the 3-count ties; then (a,b) vs (b,a) tie
+    // at 3 resolves lexicographically to (a,b) on both paths
+    val tricky = Seq(("aaa", 2L), ("ab", 3L), ("ba", 3L))
+    val dDriver = Bpe.train(tricky, nMerges = 10)
+    val dDist = Bpe.trainDistributed(spark, wfDf(tricky), nMerges = 10)
+    assert(dDist == dDriver)
+    assert(dDriver.vocab.map(_._1).take(2) == Seq("a", "b") &&
+      dDriver.vocab.map(_._1).contains("aa"))
+    // real corpus: the exact word table the production model() builds
+    val wf = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .filter(org.apache.spark.sql.functions.col("w") =!= "")
+      .groupBy("w").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("f"))
+    val driverModel =
+      Bpe.train(wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(Bpe.trainDistributed(spark, wf) == driverModel,
+      "the two trainer paths must freeze the identical vocabulary")
+  }
+
   test("greedy longest-match encode against a frozen vocab (Spark fold)") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_bpe").toString

@@ -158,6 +158,84 @@ class GraphsSpec extends AnyFunSuite {
       (9L, 1L, 9L, 9L)), s"got $got")
   }
 
+  test("labelPropTrajectory: hand-built converging graph ends with the explicit 0 row") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_lpat").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // triangle {1,2,3} + pendant 4 (no oscillating pair): round 1
+    // relabels all four (1→2, 2→1, 3→1, 4→3; sum 10), round 2 fixes
+    // {1, 4} (sum 5), round 3 changes nothing — the convergence row
+    Seq((10L, 1L, in), (10L, 2L, in), (10L, 3L, in), (20L, 3L, in), (20L, 4L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Graphs.labelPropTrajectory(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 4L, 10L), (2L, 2L, 5L), (3L, 0L, 0L)), s"got $got")
+    // the run registers its round count for the run-then-dump oracle
+    val sql = Graphs.labelPropTrajectoryOracles("graph_label_prop_trajectory")
+    assert(sql.contains("l3 AS") && !sql.contains("l4 AS"),
+      "oracle chain must replay exactly the executed 3 rounds")
+  }
+
+  test("labelPropTrajectory: a 2-cycle oscillates forever and the cap bounds it") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_lpat_osc").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // the labelProp fixture: triangle+pendant coalesce, but the isolated
+    // pair {8,9} swaps labels every synchronous round (Raghavan §3's
+    // oscillation) — rounds 3..cap all report exactly those 2 changes
+    Seq((10L, 1L, in), (10L, 2L, in), (10L, 3L, in),
+      (20L, 3L, in), (20L, 4L, in),
+      (30L, 8L, in), (30L, 9L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Graphs.labelPropTrajectory(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cap = Graphs.LpaTrajMaxRounds
+    val want = Seq((1L, 6L, 27L), (2L, 4L, 22L)) ++
+      (3 to cap).map(r => (r.toLong, 2L, 17L))
+    assert(got == want, s"got $got")
+  }
+
+  test("labelPropTrajectory matches a driver-side replay on the fixture corpus") {
+    // independent Scala replay of the synchronous min-tie rounds over
+    // the collected sf0.001 co-order edges — the same device as the
+    // DuckDB twin, without SQL
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    assert(edges.nonEmpty, "fixture must produce co-order edges")
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj(a); adj(b) = a :: adj(b)
+    }
+    val nodes = adj.keys.toSeq.sorted
+    var lbl = nodes.map(v => v -> v).toMap
+    val want = Seq.newBuilder[(Long, Long, Long)]
+    var r = 1
+    var going = true
+    while (going && r <= Graphs.LpaTrajMaxRounds) {
+      val nxt = nodes.map { v =>
+        val cnt = adj(v).groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+        v -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+      val changed = nodes.filter(v => nxt(v) != lbl(v))
+      want += ((r.toLong, changed.size.toLong, changed.sum))
+      lbl = nxt
+      if (changed.isEmpty) going = false else r += 1
+    }
+    val got = Graphs.labelPropTrajectory(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == want.result(), s"got $got")
+  }
+
   test("labelProp is deterministic across evaluations") {
     def run() = Graphs.labelProp(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

@@ -488,6 +488,65 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("isqrt is the exact floor root on edges, perfect squares and big values") {
+    assert(Similarity.isqrt(BigInt(-5)) == BigInt(0))
+    assert(Similarity.isqrt(BigInt(0)) == BigInt(0))
+    for (n <- 0 to 10000)
+      assert(Similarity.isqrt(BigInt(n)) == BigInt(math.sqrt(n).toLong),
+        s"isqrt($n)")
+    // around perfect squares at HUGEINT-envelope magnitudes
+    for (r <- Seq(BigInt(10).pow(16), BigInt(10).pow(17) + 12345,
+        BigInt(3).pow(40)); d <- Seq(-1, 0, 1)) {
+      val n = r * r + d
+      val got = Similarity.isqrt(n)
+      assert(got * got <= n && (got + 1) * (got + 1) > n, s"isqrt($r²$d)")
+    }
+  }
+
+  test("pcaWhiten: planted fixture has exactly unit variance and zero mean per live component") {
+    import spark.implicits._
+    // the rank-2 planted corpus of the basis tests: components 1/2 carry
+    // ALL the variance (axes 5 and 11), component 3 is degenerate
+    // (vᵀSv = 0 → whitened 0 by the D = 0 guard)
+    val d = java.nio.file.Files.createTempDirectory("graft_pca_whiten").toString
+    (0 until 16).map { i =>
+      val v = Array.fill(64)(0.5f)
+      v(5) = if (i % 2 == 0) 4.0f else -4.0f
+      v(11) = if ((i / 2) % 2 == 0) 2.0f else -2.0f
+      (i.toLong, v, "x")
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.pcaWhiten(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.size == 16 * 3)
+    for (c <- 1L to 2L) {
+      val xs = (0 until 16).map(i => rows((i.toLong, c)) / 1e6)
+      val mean = xs.sum / xs.length
+      val varp = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      // Var_pop(proj) = vᵀSv/N² EXACTLY for any v, so whitening is
+      // unit-variance up to the ≤2/D integer-root truncation
+      assert(math.abs(mean) < 1e-3, s"component $c mean $mean")
+      assert(math.abs(varp - 1.0) < 1e-3, s"component $c variance $varp")
+      // the planted ±axes give exactly two whitened levels ±1
+      assert(xs.map(x => math.abs(math.abs(x) - 1.0)).max < 1e-3)
+    }
+    assert((0 until 16).forall(i => rows((i.toLong, 3L)) == 0L),
+      "degenerate component (zero eigenvalue) whitens to 0 by the guard")
+  }
+
+  test("pcaWhiten: near-unit variance per component on the real fixture") {
+    val rows = Similarity.pcaWhiten(spark, "/root/testdata/sf0.001").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for (c <- 1L to 3L) {
+      val xs = rows.collect { case ((_, cc), w) if cc == c => w / 1e6 }
+      val mean = xs.sum / xs.length
+      val varp = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(math.abs(mean) < 0.01, s"component $c mean $mean")
+      assert(math.abs(varp - 1.0) < 0.01, s"component $c variance $varp")
+    }
+  }
+
   test("matryoshka recall emits a row for EVERY prefix dim, zero-hit dims included") {
     import spark.implicits._
     // adversarial corpus (ADVICE r11): every vector shares an identical

@@ -253,4 +253,29 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert("<rect ".r.findAllIn(html).length == rows.length + 1, // +1 frame
       "one bar per cluster")
   }
+
+  test("corpusKey fingerprints content: an in-place rewrite invalidates the scratch key") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_scratch_fp").toString
+    Seq((1L, "one")).toDF("id", "t")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val k1 = Scratch.corpusKey(dir)
+    assert(k1.startsWith(s"$dir@"))
+    assert(Scratch.corpusKey(dir) == k1, "stable while the corpus is unchanged")
+    val n1 = Scratch.materialize(spark, s"fp_test:$k1") {
+      spark.read.parquet(s"$dir/t.parquet")
+    }.count()
+    assert(n1 == 1L)
+    // regenerate the corpus IN PLACE (more rows → different file sizes);
+    // the key must change, so a key-through-corpusKey materialization
+    // rebuilds instead of serving the stale parquet (ADVICE r13)
+    Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "t")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val k2 = Scratch.corpusKey(dir)
+    assert(k2 != k1, "in-place rewrite must change the fingerprint")
+    val n2 = Scratch.materialize(spark, s"fp_test:$k2") {
+      spark.read.parquet(s"$dir/t.parquet")
+    }.count()
+    assert(n2 == 3L, "the rebuilt materialization must see the new corpus")
+  }
 }

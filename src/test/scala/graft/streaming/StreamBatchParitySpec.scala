@@ -693,4 +693,102 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(runMonitor(10) == want,
       "one-big-batch slicing must produce the identical KS row")
   }
+
+  test("uncheckpointed KS monitor start clears stale snapshots instead of serving them") {
+    import spark.implicits._
+    // a prior run left a v=5 snapshot: a fresh query restarts batchIds
+    // at 0, so without the clear the global-max read would serve the
+    // stale ledger (and double-count once batchIds catch up) — ADVICE
+    // r13. After the clear, the current KS equals the batch query over
+    // ONLY the newly ingested events.
+    val snap = Files.createTempDirectory("graft_ks_stale_snap").toString
+    Seq((100L, 7L, 3L)).toDF("x", "ca", "cb")
+      .write.mode("overwrite").parquet(s"$snap/v=5")
+    val stream = EventStream.readEvents(spark, dir, maxFilesPerTrigger = 10)
+    val q = KsStream.monitorStream(spark, stream, snap)
+    q.processAllAvailable(); q.stop()
+    assert(!new java.io.File(s"$snap/v=5").exists(),
+      "the stale snapshot must be cleared at uncheckpointed start")
+    val got = rows(KsStream.currentKs(spark, snap))
+    assert(got == rows(batchQuery("stats_ks")),
+      "post-clear ledger must reflect exactly the ingested events")
+  }
+
+  test("parity: incremental co-order edge ledger census == oracle-green graph_triangles, slicing-independent") {
+    // Stream the sf0.001 lineitem rows in 3 l_partkey%3 files — an
+    // order's items then arrive ACROSS batches, exercising the
+    // cross-batch new×old same-order pairing (slicing by orderkey would
+    // keep every order intact and never test it). The ledger's triangle
+    // census must row-equal the batch graph_triangles (itself
+    // oracle-green at the gate); both ledgers are set unions, so any
+    // slicing yields the identical edge set.
+    val liRaw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
+    val src = Files.createTempDirectory("graft_edgeledger_src").toString
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_edgeledger_stage").toString
+      liRaw.filter(col("l_partkey") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    def runLedger(maxFiles: Int): Set[Seq[Any]] = {
+      val snap = Files.createTempDirectory("graft_edgeledger_snap").toString
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", maxFiles.toString)
+        .parquet(src)
+      val q = EdgeLedgerStream.ledgerStream(spark, stream, snap)
+      q.processAllAvailable(); q.stop()
+      rows(EdgeLedgerStream.currentCensus(spark, snap))
+    }
+    val want = rows(batchQuery("graph_triangles"))
+    assert(want.nonEmpty)
+    val got = runLedger(1)
+    assert(got == want,
+      s"stream≠batch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(runLedger(10) == want,
+      "one-big-batch slicing must produce the identical census")
+  }
+
+  test("edge ledger accumulates incrementally: per-batch census over the ingested prefix") {
+    import spark.implicits._
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // batch 1 delivers parts {1,2} of order 10 (one edge, no triangle);
+    // batch 2 delivers part 3 of the SAME order — the new item must
+    // pair with the items that arrived earlier, closing triangle {1,2,3}
+    val src = Files.createTempDirectory("graft_edgeledger_inc_src").toString
+    val b0 = Seq((10L, 1L, in), (10L, 2L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+    val b1 = Seq((10L, 3L, in)).toDF("l_orderkey", "l_partkey", "l_shipdate")
+    b0.coalesce(1).write.mode("overwrite").parquet(s"$src/stage0")
+    b1.coalesce(1).write.mode("overwrite").parquet(s"$src/stage1")
+    Seq(0, 1).foreach { i =>
+      val part = new java.io.File(s"$src/stage$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/b$i.parquet"))
+      new java.io.File(s"$src/b$i.parquet")
+        .setLastModified(new java.io.File(s"$src/b0.parquet").lastModified() + i * 10000L)
+    }
+    Seq(0, 1).foreach(i => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$src/stage$i"))
+    })
+    val snap = Files.createTempDirectory("graft_edgeledger_inc_snap").toString
+    val stream = spark.readStream
+      .schema("l_orderkey LONG, l_partkey LONG, l_shipdate TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = EdgeLedgerStream.ledgerStream(spark, stream, snap)
+    q.processAllAvailable(); q.stop()
+    val census = EdgeLedgerStream.currentCensus(spark, snap).collect().head
+    assert((census.getLong(0), census.getLong(1), census.getLong(3))
+      == ((3L, 3L, 1L)),
+      "cross-batch same-order items must close the triangle")
+  }
 }
