@@ -392,6 +392,9 @@ object SparkEntry {
     // run-then-dump oracle replays the executed rounds
     "graph_label_prop_trajectory" -> ((s, dir) =>
       graft.operators.Graphs.labelPropTrajectory(s, dir)),
+    // Newman modularity of the LPA partition, exact integer ppm
+    "graph_modularity" -> ((s, dir) =>
+      graft.operators.Graphs.modularity(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     // exact-integer per-group OLS: rational slope/intercept + ppm
@@ -904,6 +907,7 @@ object SparkEntry {
     "graph_kcore" -> graft.operators.Graphs.kcoreOracle(),
     "graph_bfs" -> graft.operators.Graphs.bfsOracle(),
     "graph_label_prop" -> graft.operators.Graphs.labelPropOracle(),
+    "graph_modularity" -> graft.operators.Graphs.modularityOracle(),
     "window_range" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,

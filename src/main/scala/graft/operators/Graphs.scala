@@ -692,6 +692,91 @@ object Graphs {
     out.toDF("round", "n_changed", "changed_id_sum").orderBy("round")
   }
 
+  /** Newman modularity of the round-[[LpaRounds]] LPA partition — the
+    * quality number a community-detection user reads next to the
+    * [[labelProp]] histogram and the [[labelPropTrajectory]] signal:
+    * Q = Σ_c (e_c/m − (d_c/2m)²), evaluated EXACTLY as the integer
+    * rational Σ_c (4m·e_c − d_c²) / 4m² and emitted as a sign-separated
+    * truncating ppm (the FIXTURES.md division device; Q ∈ [−½, 1]).
+    * Output: one row — (n_communities, n_edges, q_ppm).
+    *
+    * Scale shape: the LPA rounds are [[lpaRound]] (edge-bounded); on
+    * top, ONE edge→label equi-join pair counts intra-community edges
+    * (e_c), ONE node-degree aggregate joins labels for d_c, and the
+    * community-sized term relation folds to a single row — every
+    * per-community product stays in DECIMAL(38,0) (4m·e_c and d_c² both
+    * ≈ 4·10¹⁴ at sf10, ~10²⁶ at 10¹² edges — inside 38 digits while
+    * int64 dies at ~3·10⁹ edges). The DuckDB twin replays the same
+    * rounds ([[lpaOracleRounds]]) and folds the identical rational in
+    * HUGEINT. */
+  def modularity(spark: SparkSession, sfDir: String,
+      rounds: Int = LpaRounds): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = coOrderEdges(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+    val u = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    var labels = u.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = lpaRound(u, labels).localCheckpoint()
+      releaseLocalCheckpoint(labels)
+      labels = next
+    }
+    val m = e.count()
+    // e_c: edges whose two endpoints share the final label
+    val ec = e
+      .join(labels.select(col("v").as("a"), col("lbl").as("la")), "a")
+      .join(labels.select(col("v").as("b"), col("lbl").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ec"))
+    // d_c: sum of node degrees per community (u carries both directions,
+    // so the per-node count IS the degree and Σ_c d_c = 2m)
+    val dc = u.groupBy("a").agg(count(lit(1)).as("d"))
+      .join(labels.select(col("v").as("a"), col("lbl")), "a")
+      .groupBy("lbl").agg(sum("d").as("dc"))
+    val terms = dc.join(ec, Seq("lbl"), "left")
+      .select(col("lbl"),
+        (lit(4L * m).cast("decimal(38,0)") *
+          coalesce(col("ec"), lit(0L)).cast("decimal(38,0)") -
+          col("dc").cast("decimal(38,0)") * col("dc").cast("decimal(38,0)"))
+          .as("t"))
+    val out = terms.agg(count(lit(1)).as("n_communities"), sum("t").as("num"))
+      .selectExpr("n_communities", s"CAST($m AS BIGINT) AS n_edges",
+        if (m == 0) "CAST(0 AS BIGINT) AS q_ppm"
+        else s"CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+          s"((abs(num) * 1000000) div CAST('${4 * BigInt(m) * BigInt(m)}' AS DECIMAL(38,0))) AS BIGINT) AS q_ppm")
+    // one row; materialize before releasing the loop state
+    val row = out.collect()
+    releaseLocalCheckpoint(labels)
+    e.unpersist(blocking = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
+  }
+
+  /** DuckDB twin of [[modularity]] — identical rounds, identical
+    * integer rational in HUGEINT. */
+  def modularityOracle(rounds: Int = LpaRounds): String =
+    s"""WITH $lpaOracleBase,
+       |${lpaOracleRounds(rounds)},
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
+       |ec AS (SELECT la.lbl AS lbl, CAST(count(*) AS HUGEINT) AS ec
+       |       FROM e0 JOIN l$rounds la ON e0.a = la.v
+       |               JOIN l$rounds lb ON e0.b = lb.v
+       |       WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+       |deg AS (SELECT a, CAST(count(*) AS HUGEINT) AS d FROM u GROUP BY a),
+       |dc AS (SELECT l.lbl, CAST(sum(deg.d) AS HUGEINT) AS dc
+       |       FROM deg JOIN l$rounds l ON deg.a = l.v GROUP BY l.lbl),
+       |t AS (SELECT dc.lbl,
+       |             4 * (SELECT m FROM m) * coalesce(ec.ec, 0) - dc.dc * dc.dc AS t
+       |      FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |             CAST(coalesce(sum(t), 0) AS HUGEINT) AS num FROM t)
+       |SELECT n_communities, CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+       |       CASE WHEN (SELECT m FROM m) = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+       |                   * ((abs(num) * 1000000)
+       |                      // (4 * (SELECT m FROM m) * (SELECT m FROM m))) AS BIGINT) END AS q_ppm
+       |FROM s""".stripMargin
+
   /** Run-then-dump DuckDB twin of [[labelPropTrajectory]] — replays the
     * executed round count as chained CTEs, differencing consecutive
     * label states; empty until the trajectory ran in this JVM. */

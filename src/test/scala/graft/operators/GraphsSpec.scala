@@ -197,6 +197,38 @@ class GraphsSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("modularity: hand-computed Q over the LPA partition, exact ppm") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_mod").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // the labelProp fixture: after 4 rounds {1,2,3,4} share label 1 and
+    // the oscillating pair is back to self-labels {8},{9}. m = 5 edges;
+    // e_c = (4, 0, 0), d_c = (8, 1, 1) →
+    // N = Σ(4m·e_c − d_c²) = (80−64) + (−1) + (−1) = 14; 4m² = 100
+    // Q = 14/100 = 140000 ppm
+    Seq((10L, 1L, in), (10L, 2L, in), (10L, 3L, in),
+      (20L, 3L, in), (20L, 4L, in),
+      (30L, 8L, in), (30L, 9L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = Graphs.modularity(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 5L, 140000L)))
+  }
+
+  test("modularity: the all-singletons partition hits the −1/2 floor (sign separation)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_mod_neg").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // single edge 1-2: the pair swaps labels every sync round, so after
+    // an EVEN round count both are self-labeled singletons — every edge
+    // inter-community: N = (0−1) + (0−1) = −2, 4m² = 4 → Q = −500000 ppm
+    Seq((10L, 1L, in), (10L, 2L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = Graphs.modularity(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, -500000L)))
+  }
+
   test("labelPropTrajectory matches a driver-side replay on the fixture corpus") {
     // independent Scala replay of the synchronous min-tie rounds over
     // the collected sf0.001 co-order edges — the same device as the
