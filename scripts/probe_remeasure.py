@@ -29,11 +29,21 @@ import subprocess
 import sys
 
 
-def bench(sf_dir, only, repo="/root/repo"):
-    """One subset bench run; returns its query->sec map."""
+def bench(sf_dir, only, shuffle_parts, repo="/root/repo"):
+    """One subset bench run; returns its query->sec map.
+
+    `shuffle_parts` must MATCH the config of the in-pass record the
+    anchor adjudicates (probe leg: the probe's 200; ref leg: the full
+    sf1 run's 32). Through round 13 both legs ran the 32 default while
+    the probe ran 200 — the entire "kcore 121.6 s in-pass vs 38.9 s
+    standalone" inflation was that config mismatch, not JVM debris
+    (r14 measurement: fresh JVM, same data — 146.5 s at 200 partitions
+    vs 50.8 s at 32; PERF.md "sf10 shared-pass inflation, resolved").
+    """
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_SHUFFLE_PARTITIONS=str(shuffle_parts),
                SPARK_GRAFT_ONLY=",".join(["array_funcs"] + sorted(only)))
     subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                    cwd=repo, env=env, check=True,
@@ -45,6 +55,10 @@ def bench(sf_dir, only, repo="/root/repo"):
 
 def main():
     probe_json, ref_json, growth, out_json, probe_dir, ref_dir = sys.argv[1:7]
+    # per-leg shuffle-partition configs (argv 7/8), defaulting to the
+    # probe harness's conventions: sf10 probe at 200, sf1 full run at 32
+    probe_parts = sys.argv[7] if len(sys.argv) > 7 else "200"
+    ref_parts = sys.argv[8] if len(sys.argv) > 8 else "32"
     growth = float(growth)
     probe = json.load(open(probe_json)).get("queries", {})
     ref = json.load(open(ref_json)).get("queries", {})
@@ -55,8 +69,8 @@ def main():
               "ref": ref_json}
     if outliers:
         print(f"[remeasure] {len(outliers)} over-growth queries: {outliers}")
-        probe_alone = bench(probe_dir, outliers)
-        ref_alone = bench(ref_dir, outliers)
+        probe_alone = bench(probe_dir, outliers, probe_parts)
+        ref_alone = bench(ref_dir, outliers, ref_parts)
         for q in outliers:
             pa, ra = probe_alone.get(q), ref_alone.get(q)
             record["outliers"][q] = {

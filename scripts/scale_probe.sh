@@ -47,6 +47,12 @@ env SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 \
 # for linear-CPU queries without manual adjudication)
 cp BENCH_RESULT.json /tmp/probe_sf10_result.json
 if [[ -f BENCH_LAST_sf1.json ]]; then
-  python3 scripts/probe_remeasure.py /tmp/probe_sf10_result.json \
-      BENCH_LAST_sf1.json 10 /tmp/probe_sf10_remeasure.json "$SF10" /tmp/sf1
+  # each standalone anchor runs under the SAME partition config as the
+  # in-pass record it adjudicates (probe leg 200, sf1 ref leg 32) — the
+  # r13 mismatch (probe at 200, anchors at the 32 default) invented a
+  # 3x "kcore in-pass inflation" that was pure per-task scheduling
+  # arithmetic (PERF.md r14)
+  env SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
+    python3 scripts/probe_remeasure.py /tmp/probe_sf10_result.json \
+      BENCH_LAST_sf1.json 10 /tmp/probe_sf10_remeasure.json "$SF10" /tmp/sf1 200 32
 fi

@@ -136,6 +136,23 @@ object Graphs {
       .limit(topN)
   }
 
+  /** Partition count sized to a MEASURED row count — for iterative
+    * loops whose state shrinks (peels, frontiers): a `localCheckpoint`
+    * pins its RDD's partition count against AQE coalescing, so without
+    * this every late round pays the INITIAL partition count in fixed
+    * per-task cost on near-empty data. Measured at sf10/200 shuffle
+    * partitions: kcore 146.5 s → 57 s fresh-JVM once the per-round
+    * checkpoints coalesce to the surviving edge count (~40 peel rounds
+    * × several stages × 200 mostly-empty tasks was pure scheduler
+    * overhead — PERF.md r14 "sf10 shared-pass inflation, resolved").
+    * ~500k rows/partition ≈ 8-12 MB of (long, long) pairs; capped at
+    * the session's shuffle parallelism so round 1 never loses width. */
+  private def sizedParts(spark: SparkSession, rows: Long,
+      rowsPerPart: Long = 500000L): Int = {
+    val cap = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    math.max(1, math.min(cap.toLong, rows / rowsPerPart + 1)).toInt
+  }
+
   /** Unpersist the RDD blocks behind a `localCheckpoint()`ed plan (they
     * are RDD-level persists, invisible to `spark.catalog.clearCache`).
     * Only safe once no live plan depends on the checkpoint — here, after
@@ -312,6 +329,7 @@ object Graphs {
       val bad = cur.select(explode(array(col("a"), col("b"))).as("nd"))
         .groupBy("nd").agg(count(lit(1)).as("d"))
         .filter(col("d") < k).select("nd")
+        .coalesce(sizedParts(spark, prevNodes))
         .localCheckpoint()
       // the bad set is bounded by the CURRENT surviving node count
       // (prevNodes, shrinking every round) — size-guard the hint on it
@@ -319,10 +337,16 @@ object Graphs {
         prevNodes, bcastMaxNodes)
       val badB = maybeBroadcast(bad.withColumnRenamed("nd", "b"),
         prevNodes, bcastMaxNodes)
+      // the surviving edge set shrinks round over round: size this
+      // round's checkpoint partitioning to the PREVIOUS round's measured
+      // edge count so late rounds don't pay full-width task scheduling
+      // over near-empty partitions (the checkpoint RDD pins its
+      // partition count — AQE cannot re-coalesce an RDD scan)
       val next = cur
         .join(badA, Seq("a"), "left_anti")
         .join(badB, Seq("b"), "left_anti")
         .select("a", "b")
+        .coalesce(sizedParts(spark, prevEdges))
         .localCheckpoint()
       releaseLocalCheckpoint(bad) // next is materialized; bad is dead
       val (nNodes, nEdges) = stats(next)
