@@ -75,8 +75,8 @@ object Bpe {
   private[operators] def train(wordFreqs: Seq[(String, Long)],
       nMerges: Int = NMerges): Model = {
     val sorted = wordFreqs.sortBy(_._1)
-    val chars = sorted.flatMap(_._1.toSeq).distinct.sorted.map(_.toString)
-    var seqs = sorted.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val chars = sorted.flatMap(w => codePoints(w._1)).distinct.sorted
+    var seqs = sorted.map { case (w, f) => (codePoints(w), f) }
     val merges = Seq.newBuilder[(String, String)]
     var done = 0
     var stop = false
@@ -95,11 +95,30 @@ object Bpe {
     }
     val toks = (chars ++ merges.result().map { case (a, b) => a + b }).distinct
     val model = Model(toks.zipWithIndex.map { case (t, i) => (t, i.toLong) }, done)
-    // encode-totality invariant: every corpus char is a vocab token
-    val charSet = model.vocab.collect { case (t, _) if t.length == 1 => t }.toSet
-    require(sorted.forall(_._1.forall(c => charSet(c.toString))),
+    // encode-totality invariant: every corpus code point is a vocab
+    // token (code POINTS, not UTF-16 units — an astral char is one
+    // two-unit token)
+    val tokSet = model.vocab.map(_._1).toSet
+    require(sorted.forall(w => codePoints(w._1).forall(tokSet)),
       "BPE train: corpus char missing from vocab")
     model
+  }
+
+  /** Split into code points, each as a String — the SAME unit the
+    * distributed trainer's `split(w, '')` produces (a Java empty-regex
+    * split never separates a surrogate pair), so the two trainer paths
+    * learn identical symbol inventories on any charset, astral plane
+    * included (ADVICE r14: the old `w.map(_.toString)` split UTF-16
+    * code units and diverged on non-BMP text). */
+  private def codePoints(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
   }
 
   /** One left-to-right non-overlapping merge application. */
@@ -146,8 +165,15 @@ object Bpe {
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy("w").agg(count(lit(1)).as("f"))
-      if (wfDf.count() <= TrainLocalMaxWords)
-        train(wfDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      // gate + training input in ONE action (ADVICE r14: a count()
+      // probe followed by collect() ran the corpus aggregate twice):
+      // limit(max+1) returning ≤ max rows proves the limit captured
+      // the whole table, and those rows ARE the training input
+      val probe = wfDf
+        .limit(math.min(TrainLocalMaxWords + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (probe.length <= TrainLocalMaxWords)
+        train(probe.map(r => (r.getString(0), r.getLong(1))).toSeq)
       else trainDistributed(spark, wfDf)
     })
     lastDir = Some(sfDir)
@@ -158,15 +184,23 @@ object Bpe {
     * word-frequency table never collects. Per merge round ONE
     * adjacent-pair explode + hash aggregate (map-side combined; the
     * shuffle carries distinct PAIRS, vocabulary-bounded) finds the max
-    * count, the tied-at-max pairs (a handful) collect for the
-    * lexicographic pick — done in Scala so the tie order is the
-    * DRIVER trainer's UTF-16 ordering, not the engine's UTF-8 binary
-    * sort, keeping the two paths bit-identical on any charset — and
-    * the merge applies as one higher-order fold over each symbol
+    * count, and the lexicographically-smallest tied-at-max pair
+    * reduces IN SPARK to exactly one collected row (VERDICT r14: an
+    * adversarial all-tied corpus makes the tied set vocabulary-sized,
+    * so collecting it was the one unbounded driver materialization
+    * left in the trainer). The tie order must be the DRIVER trainer's
+    * UTF-16 code-unit order (Scala String ordering) while the engine's
+    * binary string sort is UTF-8 = code-POINT order — the two diverge
+    * exactly when a supplementary character compares against a BMP
+    * char in [U+E000, U+FFFF] — so the min_by key is each symbol's
+    * UTF-16BE ENCODING: bytewise unsigned comparison of UTF-16BE (two
+    * big-endian bytes per unit, no BOM) IS code-unit order by
+    * construction, keeping the two paths bit-identical on any charset.
+    * The merge then applies as one higher-order fold over each symbol
     * array. Round state `localCheckpoint`s with eager release (the
     * [[Graphs]] iterative-lineage device: 20 rounds would otherwise
     * nest 20 fold expressions into one plan). Driver traffic: the
-    * alphabet, plus ≤ a few tied pairs per round. */
+    * alphabet, plus exactly 2 scalar rows per round. */
   def trainDistributed(spark: SparkSession, wordFreqs: DataFrame,
       nMerges: Int = NMerges): Model = {
     val chars = wordFreqs
@@ -196,10 +230,17 @@ object Bpe {
       val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
       if (mx < 2) stop = true
       else {
-        val (a, b) = cnt.filter(col("c") === mx)
-          .select("a", "b").collect()
-          .map(r => (r.getString(0), r.getString(1)))
-          .minBy(identity) // Scala UTF-16 order == the driver trainer's
+        // UTF-16-ordered argmin of the tied pairs, reduced in Spark:
+        // ONE row crosses to the driver however many pairs tie (the
+        // doc-comment's UTF-16BE key device)
+        val utf16 = (c: Column) =>
+          org.apache.spark.sql.functions.encode(c, "UTF-16BE")
+        val r = cnt.filter(col("c") === mx)
+          .agg(min_by(struct(col("a"), col("b")),
+            struct(utf16(col("a")), utf16(col("b")))).as("p"))
+          .select(col("p.a"), col("p.b"))
+          .collect().head
+        val (a, b) = (r.getString(0), r.getString(1))
         merges += ((a, b))
         val next = seqs.select(
           aggregate(col("syms"),

@@ -163,11 +163,58 @@ object Hnsw {
     .empty[(String, Option[Long], Int, Int), Seq[(Long, Long, Long, Double)]]
   @volatile private var lastDir: Option[String] = None
 
+  /** The global per-query merge of the per-shard candidates, run
+    * DISTRIBUTED (VERDICT r14 task 3: the old driver-side merge
+    * collected q·k·shards rows — linear in the shard count, which the
+    * auto default grows ∝ corpus/[[ShardTarget]]; at web scale that
+    * collect is the driver bottleneck). Phase 1 is the repo's own
+    * [[graft.plans.TopKPerGroup]] per-partition bounded-heap prune
+    * (narrow, no exchange — each task keeps ≤ q·k rows); phase 2 is
+    * the exact per-query window over the pruned remainder (ONE
+    * shuffle of ≤ partitions·q·k bounded rows). The driver collects
+    * exactly q·k rows regardless of shard count. Ordering
+    * (cos desc, n_id asc) is the identical total order as
+    * [[mergeDriver]] — parity-pinned in the spec — so the frozen
+    * pairs are unchanged. */
+  private[operators] def mergeDistributed(local: DataFrame, k: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("cos").desc, col("n_id").asc)
+    val pruned = Relational.topkPerGroup(local, Seq(col("q_id")), ord, k)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("q_id")), r.getLong(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("n_id")), r.getDouble(r.fieldIndex("cos"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+      .map { case (q, rank, n, cos) =>
+        (q, rank, n,
+          BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
+  /** The pre-r15 driver-side merge, kept as the parity reference the
+    * spec pins [[mergeDistributed]] against: identical
+    * (cos desc, n_id asc) order, identical rank assignment and
+    * 6-decimal rounding. */
+  private[operators] def mergeDriver(local: Seq[(Long, Long, Double)], k: Int)
+      : Seq[(Long, Long, Long, Double)] =
+    local.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qId, cs) =>
+      cs.sortBy { case (_, nId, cos) => (-cos, nId) }
+        .take(k).zipWithIndex
+        .map { case ((_, nId, cos), r) =>
+          (qId, (r + 1).toLong, nId,
+            BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }
+
   /** Graph-ANN top-k: distributed sharded build+search (one
-    * `mapPartitions` job), then the global q·k merge of the
-    * shards·q·k local winners on the driver (bounded by construction).
-    * The result rows freeze into the registry for the recall oracles;
-    * the returned DataFrame is the frozen rows. */
+    * `mapPartitions` job), then the global q·k merge run distributed
+    * ([[mergeDistributed]]) so driver traffic is q·k regardless of
+    * shard count. The result rows freeze into the registry for the
+    * recall oracles; the returned DataFrame is the frozen rows. */
   def topK(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5,
       keepMod: Option[Long] = None): DataFrame = {
@@ -199,16 +246,10 @@ object Hnsw {
             searchShard(nodes, bq.value, k)
           }
         }
-        .collect()
+        .toDF("q_id", "n_id", "cos")
+      val merged = mergeDistributed(local, k)
       bq.destroy()
-      local.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qId, cs) =>
-        cs.sortBy { case (_, nId, cos) => (-cos, nId) }
-          .take(k).zipWithIndex
-          .map { case ((_, nId, cos), r) =>
-            (qId, (r + 1).toLong, nId,
-              BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          }
-      }
+      merged
     })
     lastDir = Some(sfDir)
     spark.createDataFrame(

@@ -58,17 +58,40 @@ object Scratch {
   }
 
   /** Content-addressed corpus key: `sfDir` plus a fingerprint of every
-    * file's (relative path, length, mtime) under it. Keys built through
-    * this helper REBUILD when the corpus at a path is regenerated
-    * in-place within one JVM (e.g. a test overwriting a temp dir) —
-    * a bare-path key would silently serve the stale materialization
-    * (ADVICE r13). Metadata-only: one directory walk, no data read. */
+    * file's (absolute path, length, mtime) under it AND a bounded
+    * content sample (the first and last [[SampleBytes]] bytes of each
+    * file — for parquet that covers the footer, whose row-group
+    * offsets/statistics change with any data change). Keys built
+    * through this helper REBUILD when the corpus at a path is
+    * regenerated in-place within one JVM (e.g. a test overwriting a
+    * temp dir) — a bare-path key would silently serve the stale
+    * materialization (ADVICE r13), and a metadata-only fingerprint
+    * still would on filesystems with coarse (1-2 s) mtime granularity
+    * when the rewrite lands inside the granularity window with
+    * identical names/sizes (ADVICE r14). Cost: one directory walk plus
+    * two bounded reads per file — no full data scan. */
+  private val SampleBytes = 64
+
   def corpusKey(sfDir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def walk(f: java.io.File): Unit =
-      if (f.isFile)
+      if (f.isFile) {
         md.update(s"${f.getPath}|${f.length}|${f.lastModified}\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val head = new Array[Byte](math.min(SampleBytes.toLong, raf.length).toInt)
+          raf.readFully(head)
+          md.update(head)
+          if (raf.length > SampleBytes) {
+            val tail = new Array[Byte](
+              math.min(SampleBytes.toLong, raf.length - SampleBytes).toInt)
+            raf.seek(raf.length - tail.length)
+            raf.readFully(tail)
+            md.update(tail)
+          }
+        } finally raf.close()
+      }
       else Option(f.listFiles).foreach(_.sortBy(_.getName).foreach(walk))
     walk(new java.io.File(sfDir))
     s"$sfDir@${md.digest().map("%02x".format(_)).mkString.take(16)}"

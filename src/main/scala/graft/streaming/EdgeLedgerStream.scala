@@ -42,10 +42,26 @@ object EdgeLedgerStream {
 
   /** Start the incremental edge ledger over a streaming lineitem-shaped
     * relation `(l_orderkey, l_partkey, l_shipdate)`. Returns the
-    * streaming query (caller stops it). */
+    * streaming query (caller stops it).
+    *
+    * Restart semantics ([[KsStream.monitorStream]]'s contract, ADVICE
+    * r14): WITH `checkpoint` a restarted query resumes source offsets
+    * and batchIds, lining the idempotent `v=<batchId>` rewrites up
+    * with the existing snapshots. WITHOUT it batchIds restart at 0
+    * while stale higher-numbered snapshots under `dir/items` and
+    * `dir/edges` would out-version every new batch — [[currentEdges]]
+    * reads the global max version, so it would serve the stale ledger
+    * and the new×old expansion would double-merge once batchIds catch
+    * up; the uncheckpointed start therefore CLEARS both snapshot
+    * trees. */
   def ledgerStream(spark: SparkSession, lineitems: DataFrame,
-      dir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    lineitems
+      dir: String, checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (checkpoint.isEmpty) {
+      EventStream.clearSnapshots(spark, s"$dir/items")
+      EventStream.clearSnapshots(spark, s"$dir/edges")
+    }
+    val w = lineitems
       .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -87,7 +103,7 @@ object EdgeLedgerStream {
         mergedEdges.write.mode("overwrite").parquet(s"$dir/edges/v=$batchId")
         ()
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
   /** The current accumulated distinct edge set (empty relation before

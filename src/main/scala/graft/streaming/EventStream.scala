@@ -322,6 +322,25 @@ object EventStream {
       .map(v => spark.read.parquet(s"$dir/v=$v"))
   }
 
+  /** Remove every `v=` snapshot directory under `dir` — the
+    * uncheckpointed-start guard of the ledger streams ([[KsStream]],
+    * [[EdgeLedgerStream]]): an uncheckpointed restart begins batchIds
+    * at 0, so stale higher-numbered snapshots from a prior run would
+    * out-version every new batch and the ledger readers (which take
+    * the global max version) would serve the stale state. Deletes
+    * through the SAME Hadoop FileSystem handle [[latestSnapshot]]
+    * reads through, so the guard works on any scheme (hdfs://,
+    * s3a://), not just local paths (ADVICE r14). */
+  private[streaming] def clearSnapshots(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith("v="))
+          fs.delete(st.getPath, true): Unit
+      }
+  }
+
   case class HHState(counts: Map[Long, Long], errs: Map[Long, Long])
   case class HeavyHitter(event_type: String, user_id: Long,
       est: Long, err: Long)

@@ -40,7 +40,7 @@ object KsStream {
   def monitorStream(spark: SparkSession, events: DataFrame, dir: String,
       checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    if (checkpoint.isEmpty) clearSnapshots(dir)
+    if (checkpoint.isEmpty) EventStream.clearSnapshots(spark, dir)
     val w = events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val contrib = Relational.ksBinCounts(batch)
@@ -55,17 +55,6 @@ object KsStream {
         ()
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
-  }
-
-  /** Remove every `v=` snapshot under `dir` — the uncheckpointed-start
-    * guard above. */
-  private def clearSnapshots(dir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    Option(new java.io.File(dir).listFiles)
-      .foreach(_.filter(_.getName.startsWith("v=")).foreach(rm))
   }
 
   /** The current KS statistic — row-equal to [[Relational.statsKs]]

@@ -67,6 +67,41 @@ class BpeSpec extends AnyFunSuite {
       "the two trainer paths must freeze the identical vocabulary")
   }
 
+  test("all-tied corpus: the tie pick stays bounded and both paths agree (VERDICT r14)") {
+    import spark.implicits._
+    // every adjacent pair ties at the max count (2): the distributed
+    // trainer's lexicographic argmin must reduce in Spark (one row per
+    // round) and still match the driver's (count desc, pair asc) order
+    val tied = ('a' to 'z').grouped(2)
+      .map(p => (p.mkString, 2L)).toSeq
+    val dDriver = Bpe.train(tied, nMerges = 5)
+    val dDist = Bpe.trainDistributed(spark, tied.toDF("w", "f"), nMerges = 5)
+    assert(dDist == dDriver)
+    // merges proceed in lexicographic pair order: ab, cd, ef, gh, ij
+    assert(dDriver.vocab.map(_._1).drop(26) == Seq("ab", "cd", "ef", "gh", "ij"))
+  }
+
+  test("non-BMP text: code-point split + UTF-16 tie order keep the paths bit-identical (ADVICE r14)") {
+    import spark.implicits._
+    // 😀 (U+1F600) is one symbol on both paths (the old driver split
+    // broke it into two surrogate code units); and in the tie between
+    // (😀,x) and (�,x) the UTF-16 code-unit order picks 😀 first
+    // (high surrogate 0xD83D < 0xFFFD) while UTF-8/code-point binary
+    // order would pick � — the divergence the UTF-16BE min_by key
+    // exists to close
+    val astral = Seq(("😀x", 2L), ("�x", 2L))
+    val dDriver = Bpe.train(astral, nMerges = 1)
+    val dDist = Bpe.trainDistributed(spark, astral.toDF("w", "f"), nMerges = 1)
+    assert(dDist == dDriver)
+    assert(dDriver.vocab.map(_._1).contains("😀x"),
+      s"UTF-16 tie order must merge the astral pair first: ${dDriver.vocab}")
+    assert(!dDriver.vocab.map(_._1).contains("�x"))
+    // split parity on its own: an astral word with no ties at all
+    val plain = Seq(("a😀b", 3L), ("a😀c", 2L))
+    assert(Bpe.trainDistributed(spark, plain.toDF("w", "f"), nMerges = 10)
+      == Bpe.train(plain, nMerges = 10))
+  }
+
   test("greedy longest-match encode against a frozen vocab (Spark fold)") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_bpe").toString

@@ -74,4 +74,26 @@ class HnswSpec extends AnyFunSuite {
     }.sum
     assert(hits >= 20, s"recall@5 too low: $hits/30")
   }
+
+  test("distributed merge == the old driver merge, ties included (VERDICT r14 task 3)") {
+    import spark.implicits._
+    // per-shard candidate rows with deliberate cos ties (resolved by
+    // n_id asc), duplicate (q, n) pairs from overlapping shards, and a
+    // query with fewer than k candidates — every merge edge case
+    val cands = Seq(
+      (0L, 10L, 0.90), (0L, 11L, 0.90), (0L, 12L, 0.95), (0L, 13L, 0.80),
+      (0L, 14L, 0.80), (0L, 15L, 0.70), (0L, 16L, 0.9999995),
+      (1L, 20L, 0.50), (1L, 21L, 0.50), (1L, 22L, 0.50),
+      (2L, 30L, 0.10))
+    val k = 3
+    val viaDriver = Hnsw.mergeDriver(cands, k)
+    val viaSpark = Hnsw.mergeDistributed(
+      cands.toDF("q_id", "n_id", "cos").repartition(7), k)
+    assert(viaSpark == viaDriver)
+    // sanity on content, not just parity: rank order is (cos desc, id)
+    assert(viaDriver.filter(_._1 == 0L).map(_._3) == Seq(16L, 12L, 10L))
+    assert(viaDriver.filter(_._1 == 2L).map(_._3) == Seq(30L))
+    // 6-decimal rounding applied AFTER ranking: 0.9999995 rounds to 1.0
+    assert(viaDriver.find(_._3 == 16L).get._4 == 1.0)
+  }
 }
