@@ -105,10 +105,26 @@ object OracleAudit {
       "n^2 - n = n(n-1) >= 0 for any count n, and the CASE guard bounds it >= 2 at the division"),
     ("stats_welch", "(nb * nb - nb)",
       "n^2 - n = n(n-1) >= 0 for any count n, and the CASE guard bounds it >= 2 at the division"),
-    ("stats_welch", "t2num",
-      "t2num = dnum^2 * (na-1)(nb-1) with the CASE guard forcing 0 when either n < 2 — a square times non-negative factors"),
-    ("stats_welch", "t2den",
-      "t2den = aa*nb^2(nb-1) + ab*na^2(na-1), every factor >= 0 (aa/ab by Cauchy-Schwarz, the guard zeroes the n < 2 branch)"),
+    ("stats_welch", "(aa * nb * nb)",
+      "aa = na*Qa - Sa^2 >= 0 by Cauchy-Schwarz; nb is a count >= 0"),
+    ("stats_welch", "(ab * na * na)",
+      "ab = nb*Qb - Sb^2 >= 0 by Cauchy-Schwarz; na is a count >= 0"),
+    ("stats_welch", "w",
+      "w = u1 + u2, each a floor quotient of a non-negative product by a positive (n-1); its divisions sit under CASE w > 0 / w = 0 guards"),
+    ("stats_welch", "g1",
+      "g1 = na - 1 >= 1 under the na < 2 CASE guard wrapping every division it appears in"),
+    ("stats_welch", "g2",
+      "g2 = nb - 1 >= 1 under the nb < 2 CASE guard wrapping every division it appears in"),
+    ("stats_welch", "fr",
+      "fr = r1*g2 + r2*g1: floor-mod remainders and (n-1) factors, all >= 0; its division sits under the den = 0 guard (den = 0 implies fr = 0 when w = 0)"),
+    ("stats_welch", "den",
+      "den = w*gg + fr = t2den exactly, every term >= 0 (aa/ab by Cauchy-Schwarz); divisions sit under the CASE den = 0 guard"),
+    ("stats_welch", "biga",
+      "biga = 1000 * dnum^2 — a square times a positive constant, >= 0 regardless of dnum's sign; every co-factor (gg, w, fr) is a product/sum of guarded non-negative terms"),
+    ("stats_welch", "(r0 * gg - q0 * fr)",
+      "evaluated only under the CASE branch r0*gg >= q0*fr — the sign-separated half of the factored floor correction (the other branch handles the negative case by magnitude)"),
+    ("stats_welch", "(q0 * fr - r0 * gg - 1)",
+      "evaluated only under the ELSE of r0*gg >= q0*fr, i.e. q0*fr >= r0*gg + 1, so the operand >= 0 (floor(-M/D) = -1 - (M-1) div D, M >= 1)"),
     ("ts_forecast", "den",
       "den = n*Stt - St^2 >= 0 by Cauchy-Schwarz (the signed numerators are sign-separated)"),
     ("stats_mannwhitney", "u2 * 1000000",

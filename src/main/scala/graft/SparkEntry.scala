@@ -379,6 +379,11 @@ object SparkEntry {
     // part↔supplier bipartite graph, rounded-fixpoint oracle (same
     // contract as kmeans_fit_steps)
     "graph_pagerank" -> ((s, dir) => graft.operators.Graphs.pageRank(s, dir)),
+    // PageRank convergence trajectory: per-round (n_changed,
+    // l1_delta_pico) on the exact pico grid, run to L1 < 0.01 under a
+    // cap — run-then-dump oracle replays the executed rounds
+    "graph_pagerank_trajectory" -> ((s, dir) =>
+      graft.operators.Graphs.pageRankTrajectory(s, dir)),
     // degree-oriented exact triangle census of the part co-order graph
     "graph_triangles" -> ((s, dir) => graft.operators.Graphs.triangles(s, dir)),
     // k-core peel to the true fixpoint: per-round trajectory rows
@@ -395,6 +400,10 @@ object SparkEntry {
     // Newman modularity of the LPA partition, exact integer ppm
     "graph_modularity" -> ((s, dir) =>
       graft.operators.Graphs.modularity(s, dir)),
+    // one synchronous Louvain local-move pass on the LPA partition,
+    // priced exactly before and after by the modularity rational
+    "graph_louvain_move" -> ((s, dir) =>
+      graft.operators.Graphs.louvainMove(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     // exact-integer per-group OLS: rational slope/intercept + ppm
@@ -837,7 +846,8 @@ object SparkEntry {
       // ts micro-units, standardized lineitem micro-units)
       KMeansSteps.trajectoryOracles ++
       // LPA convergence trajectory: chain length = rounds actually run
-      graft.operators.Graphs.labelPropTrajectoryOracles
+      graft.operators.Graphs.labelPropTrajectoryOracles ++
+      graft.operators.Graphs.pageRankTrajectoryOracles
 
   private def multimodalOracle: Map[String, String] = Map(
     "multimodal_phash" -> Multimodal.phashOracle,
@@ -908,6 +918,7 @@ object SparkEntry {
     "graph_bfs" -> graft.operators.Graphs.bfsOracle(),
     "graph_label_prop" -> graft.operators.Graphs.labelPropOracle(),
     "graph_modularity" -> graft.operators.Graphs.modularityOracle(),
+    "graph_louvain_move" -> graft.operators.Graphs.louvainMoveOracle(),
     "window_range" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,

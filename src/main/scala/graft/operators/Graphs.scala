@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -84,15 +84,18 @@ object Graphs {
     * (it backs the returned lazy plan) lives until the driver GCs the
     * RDD reference (ContextCleaner) — bounded at one node-sized relation
     * per invocation, not one per round. */
-  def pageRank(spark: SparkSession, sfDir: String,
-      iters: Int = 2, topN: Int = 20,
-      bcastMaxNodes: Long = GraphBroadcastMaxNodes): DataFrame = {
+  /** The degree-annotated rank graph shared by [[pageRank]] and
+    * [[pageRankTrajectory]]: the cached bipartite pair list, the node
+    * relation with degrees, the measured node count, and the cached
+    * both-direction degree-annotated edge list. Per-side degrees are
+    * node-sized → under the size guard they BROADCAST back onto the
+    * pair list; the only full-width shuffles in the whole build are
+    * the pairs distinct and the two degree aggregates over the
+    * cache. */
+  private def rankGraph(spark: SparkSession, sfDir: String,
+      bcastMaxNodes: Long): (Long, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val p = pairs(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
-    // per-side degrees are node-sized → under the size guard they
-    // BROADCAST back onto the pair list; the only full-width shuffles
-    // in the whole build are the distinct above and the two degree
-    // aggregates over the cache
     val degA = p.groupBy("a").agg(count(lit(1)).as("da"))
     val degB = p.groupBy("b").agg(count(lit(1)).as("db"))
     val nodes = degA.select(col("a"), col("da").as("d"))
@@ -106,13 +109,19 @@ object Graphs {
       .unionByName(withDeg.select(col("b").as("a"), col("a").as("b"),
         col("db").as("d")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    (n, nodes, eDeg)
+  }
+
+  def pageRank(spark: SparkSession, sfDir: String,
+      iters: Int = 2, topN: Int = 20,
+      bcastMaxNodes: Long = GraphBroadcastMaxNodes): DataFrame = {
+    val (n, nodes, eDeg) = rankGraph(spark, sfDir, bcastMaxNodes)
     var ranks = nodes.select(col("a").as("v"), round(lit(1.0) / n, 12).as("r"))
     // previous round's checkpointed plan — its blocks die once the next
     // round is materialized, so release them instead of pinning one
     // node-sized relation per round until driver GC
     var prevCp: DataFrame = null
     for (_ <- 1 to iters) {
-      // contributions flow a→b: r(a)/d(a) summed per target b.
       // localCheckpoint truncates the lineage each round (node-sized
       // materialization on the executors) — without it every round
       // re-embeds all previous rounds' subtrees into each broadcast
@@ -120,11 +129,7 @@ object Graphs {
       // classic iterative-lineage blowup. The k-means loop solves the
       // same problem with its driver-side centroid holder; ranks are
       // node-sized, too big to literalize.
-      val next = eDeg.join(maybeBroadcast(ranks, n, bcastMaxNodes),
-          col("a") === col("v"))
-        .select(col("b").as("v2"), (col("r") / col("d")).as("c"))
-        .groupBy(col("v2").as("v"))
-        .agg(round(lit(0.15) / n + lit(0.85) * sum("c"), 12).as("r"))
+      val next = prRound(eDeg, ranks, n, bcastMaxNodes)
         .localCheckpoint() // eager: materialized before the old one dies
       if (prevCp != null) releaseLocalCheckpoint(prevCp)
       prevCp = next
@@ -135,6 +140,137 @@ object Graphs {
       .orderBy(desc("rank"), asc("node"))
       .limit(topN)
   }
+
+  /** One PageRank round: contributions flow a→b (r(a)/d(a) summed per
+    * target b), damped and rounded to the 12-decimal grid — the
+    * rounded-fixpoint contract that makes the iteration
+    * DuckDB-replayable. Shared by [[pageRank]] and
+    * [[pageRankTrajectory]] so the fixed-round top-N and the
+    * convergence trajectory cannot drift. */
+  private def prRound(eDeg: DataFrame, ranks: DataFrame, n: Long,
+      bcastMaxNodes: Long): DataFrame =
+    eDeg.join(maybeBroadcast(ranks, n, bcastMaxNodes),
+        col("a") === col("v"))
+      .select(col("b").as("v2"), (col("r") / col("d")).as("c"))
+      .groupBy(col("v2").as("v"))
+      .agg(round(lit(0.15) / n + lit(0.85) * sum("c"), 12).as("r"))
+
+  /** Round cap of [[pageRankTrajectory]] — the [[LpaTrajMaxRounds]]
+    * design-point convention: damping 0.85 contracts the L1 delta
+    * ~0.85× per round, so reaching the reference threshold from a
+    * cold uniform start can take tens of rounds; the cap bounds the
+    * replayable trajectory and a final over-threshold row IS the
+    * answer ("not converged in 10 rounds"). */
+  val PrTrajMaxRounds = 10
+
+  /** Convergence threshold of [[pageRankTrajectory]] in picounits:
+    * total L1 rank movement < 0.01 — the reference master's own stop
+    * rule (`main/master/master.go:193-236`, delta < 0.01), expressed
+    * on the exact integer pico grid the 12-decimal rounding already
+    * defines. */
+  val PrTrajL1ThresholdPico = 10000000000L
+
+  // rounds the last pageRankTrajectory run executed per corpus — the
+  // run-then-dump registry the trajectory oracle replays (the LPA
+  // trajectory pattern)
+  private val prTrajReg =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  @volatile private var prTrajLast: Option[String] = None
+
+  /** CONVERGENCE trajectory of PageRank — the per-round delta signal
+    * [[pageRank]]'s fixed 2 rounds lack (kcore peels to its fixpoint
+    * and LPA has [[labelPropTrajectory]]; this closes the last
+    * iterative graph operator without one): one row per round,
+    * `(round, n_changed, l1_delta_pico)`, run until the total L1 rank
+    * movement drops under [[PrTrajL1ThresholdPico]] (the explicit
+    * sub-threshold row is the convergence row) or [[PrTrajMaxRounds]].
+    * Deltas are EXACT integers: each round's ranks are already rounded
+    * to the 12-decimal grid, so `round(r · 1e12)` is an exact integer
+    * picocount on both engines (`r · 1e12` is the same IEEE product,
+    * within ~1e-6 of its integer, and half-up/half-away agree on
+    * positives) — no float sum ever crosses engines.
+    *
+    * Scale shape: each round is [[prRound]] (one size-guarded
+    * broadcast join + one node-keyed partial aggregate — the edge
+    * list is never reshuffled) plus ONE node-sized equi-join of
+    * consecutive rank states folded to a single (count, sum) row; the
+    * driver sees two longs per round, the kcore/LPA trajectory
+    * traffic. Lineage truncates per round via `localCheckpoint` with
+    * eager release. The DuckDB twin replays the executed rounds as
+    * chained materialized CTEs and differences consecutive states on
+    * the identical pico grid (run-then-dump). */
+  def pageRankTrajectory(spark: SparkSession, sfDir: String,
+      maxRounds: Int = PrTrajMaxRounds,
+      thresholdPico: Long = PrTrajL1ThresholdPico,
+      bcastMaxNodes: Long = GraphBroadcastMaxNodes): DataFrame = {
+    import spark.implicits._
+    val (n, nodes, eDeg) = rankGraph(spark, sfDir, bcastMaxNodes)
+    val pico = (c: Column) => round(c * lit(1e12), 0).cast("long")
+    var ranks = nodes
+      .select(col("a").as("v"), round(lit(1.0) / n, 12).as("r"))
+      .localCheckpoint()
+    val rows = Seq.newBuilder[(Long, Long, Long)]
+    var rnd = 1
+    var done = false
+    while (!done && rnd <= maxRounds) {
+      val next = prRound(eDeg, ranks, n, bcastMaxNodes).localCheckpoint()
+      val d = next
+        .join(ranks.select(col("v"), col("r").as("pr")), "v")
+        .select((pico(col("r")) - pico(col("pr"))).as("dp"))
+        .agg(sum(when(col("dp") =!= 0L, 1L).otherwise(0L)).as("nc"),
+          coalesce(sum(abs(col("dp"))), lit(0L)).as("l1"))
+        .collect().head
+      val (nChanged, l1) =
+        (if (d.isNullAt(0)) 0L else d.getLong(0), d.getLong(1))
+      rows += ((rnd.toLong, nChanged, l1))
+      releaseLocalCheckpoint(ranks)
+      ranks = next
+      if (l1 < thresholdPico) done = true else rnd += 1
+    }
+    releaseLocalCheckpoint(ranks)
+    val out = rows.result()
+    prTrajReg(sfDir) = out.length
+    prTrajLast = Some(sfDir)
+    out.toDF("round", "n_changed", "l1_delta_pico").orderBy("round")
+  }
+
+  /** Run-then-dump DuckDB twin of [[pageRankTrajectory]] — replays the
+    * executed round count as chained materialized CTEs (every rank
+    * state is referenced by the next round AND its diff — the
+    * FIXTURES.md chain-CTE rule), differencing consecutive states on
+    * the identical pico grid; empty until the trajectory ran in this
+    * JVM. */
+  def pageRankTrajectoryOracles: Map[String, String] =
+    prTrajLast.flatMap(prTrajReg.get).map { rounds =>
+      val chain = (1 to rounds).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.b AS v, sum(r${i - 1}.r / deg.d) AS s
+           |     FROM e JOIN r${i - 1} ON e.a = r${i - 1}.v
+           |            JOIN deg ON e.a = deg.a GROUP BY e.b),
+           |r$i AS MATERIALIZED (SELECT c$i.v, round(0.15 / nn.n + 0.85 * c$i.s, 12) AS r
+           |     FROM c$i, nn)""".stripMargin
+      }.mkString(",\n")
+      val diffs = (1 to rounds).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+           |  CAST(coalesce(sum(CASE WHEN CAST(round(a.r * 1e12) AS BIGINT)
+           |         <> CAST(round(b.r * 1e12) AS BIGINT) THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |    AS n_changed,
+           |  CAST(coalesce(sum(abs(CAST(round(a.r * 1e12) AS BIGINT)
+           |         - CAST(round(b.r * 1e12) AS BIGINT))), 0) AS BIGINT) AS l1_delta_pico
+           |FROM r$i a JOIN r${i - 1} b ON a.v = b.v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Map("graph_pagerank_trajectory" ->
+        s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+           |            FROM lineitem
+           |            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+           |e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+           |deg AS MATERIALIZED (SELECT a, count(*) AS d FROM e GROUP BY a),
+           |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+           |r0 AS MATERIALIZED (SELECT a AS v, round(1.0 / nn.n, 12) AS r FROM deg, nn),
+           |$chain
+           |$diffs
+           |ORDER BY round""".stripMargin)
+    }.getOrElse(Map.empty)
 
   /** Partition count sized to a MEASURED row count — for iterative
     * loops whose state shrinks (peels, frontiers): a `localCheckpoint`
@@ -736,6 +872,7 @@ object Graphs {
   def modularity(spark: SparkSession, sfDir: String,
       rounds: Int = LpaRounds): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
     val e = coOrderEdges(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
     val u = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     var labels = u.select(col("a").as("v")).distinct()
@@ -746,34 +883,200 @@ object Graphs {
       labels = next
     }
     val m = e.count()
-    // e_c: edges whose two endpoints share the final label
+    val (nComm, num) = qNumRow(e, u, labels, m)
+    releaseLocalCheckpoint(labels)
+    e.unpersist(blocking = false)
+    Seq((nComm, m, qPpm(num, m)))
+      .toDF("n_communities", "n_edges", "q_ppm")
+  }
+
+  /** The one folded pricing row of a (v, lbl) partition — the
+    * community count and the exact integer numerator
+    * Σ_c (4m·e_c − d_c²) of Newman Q over the fixed denominator 4m².
+    * Shared by [[modularity]] and [[louvainMove]] so the pricing
+    * cannot drift between the measurement and the optimizer step.
+    * Every per-community product stays in DECIMAL(38,0) (4m·e_c and
+    * d_c² both ≈ 4·10¹⁴ at sf10, ~10²⁶ at 10¹² edges — inside 38
+    * digits while int64 dies at ~3·10⁹ edges); the single (count,
+    * sum) row collects, numerator exact in BigInt. */
+  private def qNumRow(e: DataFrame, u: DataFrame, labels: DataFrame,
+      m: Long): (Long, BigInt) = {
+    // e_c: edges whose two endpoints share the label
     val ec = e
       .join(labels.select(col("v").as("a"), col("lbl").as("la")), "a")
       .join(labels.select(col("v").as("b"), col("lbl").as("lb")), "b")
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ec"))
-    // d_c: sum of node degrees per community (u carries both directions,
-    // so the per-node count IS the degree and Σ_c d_c = 2m)
+    // d_c: sum of node degrees per community (u carries both
+    // directions, so the per-node count IS the degree and Σ_c d_c = 2m)
     val dc = u.groupBy("a").agg(count(lit(1)).as("d"))
       .join(labels.select(col("v").as("a"), col("lbl")), "a")
       .groupBy("lbl").agg(sum("d").as("dc"))
-    val terms = dc.join(ec, Seq("lbl"), "left")
-      .select(col("lbl"),
+    val row = dc.join(ec, Seq("lbl"), "left")
+      .select(
         (lit(4L * m).cast("decimal(38,0)") *
           coalesce(col("ec"), lit(0L)).cast("decimal(38,0)") -
           col("dc").cast("decimal(38,0)") * col("dc").cast("decimal(38,0)"))
           .as("t"))
-    val out = terms.agg(count(lit(1)).as("n_communities"), sum("t").as("num"))
-      .selectExpr("n_communities", s"CAST($m AS BIGINT) AS n_edges",
-        if (m == 0) "CAST(0 AS BIGINT) AS q_ppm"
-        else s"CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
-          s"((abs(num) * 1000000) div CAST('${4 * BigInt(m) * BigInt(m)}' AS DECIMAL(38,0))) AS BIGINT) AS q_ppm")
-    // one row; materialize before releasing the loop state
-    val row = out.collect()
+      .agg(count(lit(1)).as("n_communities"), sum("t").as("num"))
+      .collect().head
+    (row.getLong(0),
+      if (row.isNullAt(1)) BigInt(0)
+      else BigInt(row.getDecimal(1).toBigInteger))
+  }
+
+  /** Sign-separated truncating ppm of num / 4m² — identical floor
+    * semantics as the pre-factor Spark expression and the HUGEINT
+    * oracle replay (the FIXTURES.md division device). */
+  private def qPpm(num: BigInt, m: Long): Long =
+    if (m == 0) 0L
+    else (BigInt(num.signum) *
+      ((num.abs * 1000000) / (4 * BigInt(m) * BigInt(m)))).toLong
+
+  /** One synchronous Louvain-style local-move pass on the
+    * round-[[LpaRounds]] LPA partition, priced exactly (Blondel et
+    * al., J. Stat. Mech. 2008 §2): every node's candidate set is its
+    * neighbors' communities plus its own, and joining community c
+    * scores the exact integer gain 4m·k_{i,c} − 2·d_i·D'_c over the
+    * fixed denominator 4m², with the remove-the-node-first convention
+    * D'_c = D_c − d_i when c is the node's own community (so staying
+    * prices the same rational as leaving and rejoining, and the
+    * argmax is a true local-move choice). Ties break to the smallest
+    * candidate label; a node moves when the argmax differs from its
+    * current label. Output: one row —
+    * (n_nodes, n_moved, q_before_ppm, q_after_ppm), Q priced by the
+    * [[modularity]] rational ([[qNumRow]]) before and after the pass.
+    *
+    * Synchronous-move caveat (a documented design point): all nodes
+    * decide against the OLD partition simultaneously — colliding
+    * moves can in principle lower Q (classic Louvain moves
+    * sequentially, which no engine-exact replay can express at
+    * scale); on real community structure one synchronous pass raises
+    * Q, the spec pins q_after ≥ q_before on the fixture, and the
+    * emitted before/after pair IS the measurement either way.
+    *
+    * Scale shape: the LPA rounds are [[lpaRound]] (edge-bounded); on
+    * top, ONE edge→label join for k_{i,c} (edge-bounded), node-sized
+    * degree and community-degree aggregates, one (node, candidate)-
+    * keyed max_by argmax (hash aggregate with map-side partials — no
+    * sort window), and two [[qNumRow]] pricings. Driver traffic: 3
+    * single-row collects. */
+  def louvainMove(spark: SparkSession, sfDir: String,
+      rounds: Int = LpaRounds): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val e = coOrderEdges(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+    val u = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    var labels = u.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = lpaRound(u, labels).localCheckpoint()
+      releaseLocalCheckpoint(labels)
+      labels = next
+    }
+    val m = e.count()
+    val (_, numBefore) = qNumRow(e, u, labels, m)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val deg = u.groupBy("a").agg(count(lit(1)).as("d"))
+    // D_c of the BEFORE partition — both the gain's community mass and
+    // (inside qNumRow) the before pricing read the same aggregate shape
+    val dc = deg.join(labels.select(col("v").as("a"), col("lbl")), "a")
+      .groupBy("lbl").agg(sum("d").as("dc"))
+    // k_{i,c}: per node, neighbor count into each neighboring community
+    val kic = u
+      .join(labels.select(col("v").as("b"), col("lbl").as("nl")), "b")
+      .groupBy(col("a"), col("nl")).agg(count(lit(1)).as("k"))
+    // the node's own community is always a candidate (k = 0 when no
+    // neighbor shares it); max folds the duplicate when one does
+    val cand = kic
+      .unionByName(labels.select(col("v").as("a"), col("lbl").as("nl"),
+        lit(0L).as("k")))
+      .groupBy("a", "nl").agg(max("k").as("k"))
+    val gain = cand
+      .join(deg, "a")
+      .join(labels.select(col("v").as("a"), col("lbl")), "a")
+      .join(dc.select(col("lbl").as("nl"), col("dc")), "nl")
+      .select(col("a"), col("nl"), col("lbl"),
+        (dec(lit(4L * m)) * dec(col("k")) -
+          dec(lit(2L)) * dec(col("d")) *
+            (dec(col("dc")) -
+              dec(when(col("nl") === col("lbl"), col("d")).otherwise(lit(0L)))))
+          .as("g"))
+    // argmax by (gain desc, label asc) — the lpaRound composite-key
+    // device; keys are unique per (node, candidate) so no tie inside
+    // the composite
+    val picked = gain.groupBy("a")
+      .agg(max_by(col("nl"), struct(col("g"), negate(col("nl")))).as("nl"))
+      .localCheckpoint()
+    val mv = picked
+      .join(labels.select(col("v").as("a"), col("lbl")), "a")
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(when(col("nl") =!= col("lbl"), 1L).otherwise(0L)),
+          lit(0L)).as("n_moved"))
+      .collect().head
+    val (nNodes, nMoved) = (mv.getLong(0), mv.getLong(1))
+    val l2 = picked.select(col("a").as("v"), col("nl").as("lbl"))
+    val (_, numAfter) = qNumRow(e, u, l2, m)
     releaseLocalCheckpoint(labels)
+    releaseLocalCheckpoint(picked)
     e.unpersist(blocking = false)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
+    Seq((nNodes, nMoved, qPpm(numBefore, m), qPpm(numAfter, m)))
+      .toDF("n_nodes", "n_moved", "q_before_ppm", "q_after_ppm")
+  }
+
+  /** DuckDB twin of [[louvainMove]] — identical LPA rounds, identical
+    * integer gain and argmax tie order, identical HUGEINT Q pricing of
+    * both partitions. */
+  def louvainMoveOracle(rounds: Int = LpaRounds): String = {
+    // the Q numerator CTE block for the partition labeled by `lbl`,
+    // suffixed so before/after coexist in one WITH chain
+    def price(lbl: String, s: String): String =
+      s"""ec$s AS (SELECT la.lbl AS lbl, CAST(count(*) AS HUGEINT) AS ec
+         |       FROM e0 JOIN $lbl la ON e0.a = la.v
+         |               JOIN $lbl lb ON e0.b = lb.v
+         |       WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+         |dcq$s AS (SELECT l.lbl, CAST(sum(deg.d) AS HUGEINT) AS dc
+         |       FROM deg JOIN $lbl l ON deg.a = l.v GROUP BY l.lbl),
+         |t$s AS (SELECT dcq$s.lbl,
+         |             4 * (SELECT m FROM m) * coalesce(ec$s.ec, 0) - dcq$s.dc * dcq$s.dc AS t
+         |      FROM dcq$s LEFT JOIN ec$s ON dcq$s.lbl = ec$s.lbl),
+         |q$s AS (SELECT CAST(coalesce(sum(t), 0) AS HUGEINT) AS num FROM t$s)""".stripMargin
+    def ppm(q: String): String =
+      s"""CAST(CASE WHEN (SELECT m FROM m) = 0 THEN 0
+         |          ELSE (CASE WHEN $q.num < 0 THEN -1 ELSE 1 END)
+         |               * ((abs($q.num) * 1000000)
+         |                  // (4 * (SELECT m FROM m) * (SELECT m FROM m))) END AS BIGINT)""".stripMargin
+    s"""WITH $lpaOracleBase,
+       |${lpaOracleRounds(rounds)},
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
+       |deg AS (SELECT a, CAST(count(*) AS HUGEINT) AS d FROM u GROUP BY a),
+       |${price(s"l$rounds", "0")},
+       |kic AS (SELECT u.a, l.lbl AS nl, CAST(count(*) AS HUGEINT) AS k
+       |        FROM u JOIN l$rounds l ON u.b = l.v GROUP BY u.a, l.lbl),
+       |cand AS (SELECT a, nl, max(k) AS k FROM (
+       |           SELECT a, nl, k FROM kic
+       |           UNION ALL SELECT v AS a, lbl AS nl, CAST(0 AS HUGEINT) AS k
+       |           FROM l$rounds) GROUP BY a, nl),
+       |gain AS (SELECT c.a, c.nl, l.lbl,
+       |           4 * (SELECT m FROM m) * c.k
+       |           - 2 * deg.d * (dq.dc - CASE WHEN c.nl = l.lbl
+       |                                       THEN deg.d ELSE CAST(0 AS HUGEINT) END) AS g
+       |         FROM cand c JOIN deg ON deg.a = c.a
+       |           JOIN l$rounds l ON l.v = c.a
+       |           JOIN dcq0 dq ON dq.lbl = c.nl),
+       |pick AS MATERIALIZED (SELECT a, nl, lbl FROM (
+       |          SELECT a, nl, lbl,
+       |                 row_number() OVER (PARTITION BY a ORDER BY g DESC, nl) AS rn
+       |          FROM gain) WHERE rn = 1),
+       |lmv AS MATERIALIZED (SELECT a AS v, nl AS lbl FROM pick),
+       |${price("lmv", "1")},
+       |mv AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |              CAST(coalesce(sum(CASE WHEN nl <> lbl THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |                AS n_moved FROM pick)
+       |SELECT mv.n_nodes, mv.n_moved,
+       |       ${ppm("q0")} AS q_before_ppm,
+       |       ${ppm("q1")} AS q_after_ppm
+       |FROM mv, q0, q1""".stripMargin
   }
 
   /** DuckDB twin of [[modularity]] — identical rounds, identical

@@ -1774,12 +1774,19 @@ object Relational {
     * Two declared contracts (ADVICE r13): (1) the builder is EAGER —
     * constructing the query runs the corpus scan (the Similarity-PCA
     * precedent); callers that only want plan/schema inspection should
-    * not construct it. (2) the ORACLE's HUGEINT envelope holds through
-    * sf1 only — t2num ≈ 4·10³⁶ there and grows ~10⁶× per 10× sf, so an
-    * sf10+ oracle replay would overflow HUGEINT (1.7·10³⁸) and must
-    * first factor the (n−1) terms through extra remainder-split steps
-    * or coarsen the grid; the SPARK side (BigInt) has no envelope and
-    * the sweep config pins the oracle at ≤ sf1. */
+    * not construct it. (2) the ORACLE replays the t² floor through the
+    * FACTORED route (VERDICT r14 task 6): the direct
+    * t2num = dnum²·(n₁−1)(n₂−1) clears both (n−1) denominators into
+    * int128 — ≈4·10³⁶ at sf1, and its ·1000 remainder step overflows
+    * HUGEINT at sf10 — so the twin divides t2den by G = (n₁−1)(n₂−1)
+    * up front and corrects with one exact remainder term (details at
+    * [[statsWelchOracle]]); every sf10 intermediate is ≤ ~10³⁶
+    * (measured: A ~ 10²⁸, W ~ 10²³, R₀·G ~ 10³⁶, q₀·F ~ 10¹⁹), the
+    * envelope now failing only past ~sf30 (the aa·nb² product) or on
+    * zero-variance degenerate corpora (q₀·F); the SPARK side (BigInt)
+    * has no envelope, and [[graft.operators]] RelationalSpec pins the
+    * factored identity against the direct formula on sf10-shaped
+    * magnitudes. */
   def statsWelch(spark: SparkSession, sfDir: String,
       groupA: String = "purchase", groupB: String = "click"): DataFrame = {
     import spark.implicits._
@@ -1813,8 +1820,26 @@ object Relational {
         "var_a_milli", "var_b_milli", "t2_milli")
   }
 
-  /** DuckDB twin of [[statsWelch]] — HUGEINT sufficient statistics, the
-    * exact remainder-split division identity, identical guards. */
+  /** DuckDB twin of [[statsWelch]] — HUGEINT sufficient statistics,
+    * identical guards, and the FACTORED t² floor (VERDICT r14 task 6):
+    * with G = g1·g2 (gᵢ = nᵢ−1) and the exact floor/mod splits
+    *
+    *   aa·nb² = g1·u1 + r1,  ab·na² = g2·u2 + r2
+    *   W = u1 + u2,  F = r1·g2 + r2·g1   (so t2den = W·G + F exactly)
+    *   A = 1000·dnum²;  q0 = A div W,  R0 = A mod W
+    *
+    * the identity A·G = q0·t2den + (R0·G − q0·F) gives
+    *
+    *   t2_milli = floor(A·G / t2den) = q0 + floor((R0·G − q0·F)/t2den)
+    *
+    * unconditionally, with every sf10 intermediate ≤ ~10³⁶ where the
+    * direct t2num·1000 needs 10³⁹ (outside HUGEINT). The one
+    * negative-capable floor is expressed sign-separated
+    * (floor(−M/D) = −1 − (M−1) div D for M ≥ 1) so `//` only ever
+    * sees magnitudes — the FIXTURES.md negative-// rule. The W = 0
+    * degenerate (near-zero variance) falls back to
+    * floor(A·G/F) = G·(A div F) + (A mod F)·G div F, also
+    * magnitude-only. */
   def statsWelchOracle(groupA: String = "purchase",
       groupB: String = "click"): String =
     s"""WITH e AS (SELECT event_type AS g, CAST(round(value, 0) AS BIGINT) AS x
@@ -1829,17 +1854,29 @@ object Relational {
        |      FROM e),
        |d AS (SELECT na, nb, sa, sb,
        |             na * qa - sa * sa AS aa, nb * qb - sb * sb AS ab,
-       |             sa * nb - sb * na AS dnum
+       |             sa * nb - sb * na AS dnum,
+       |             na - 1 AS g1, nb - 1 AS g2
        |      FROM a),
+       |-- the factored pieces; the na/nb < 2 guards keep g1/g2 off the
+       |-- divisors for degenerate groups (t2 is 0 there anyway)
+       |f AS (SELECT na, nb, sa, sb, aa, ab, g1, g2, g1 * g2 AS gg,
+       |             1000 * dnum * dnum AS biga,
+       |             CASE WHEN na < 2 OR nb < 2 THEN 0 ELSE (aa * nb * nb) // g1 END AS u1,
+       |             CASE WHEN na < 2 OR nb < 2 THEN 0 ELSE (aa * nb * nb) % g1 END AS r1,
+       |             CASE WHEN na < 2 OR nb < 2 THEN 0 ELSE (ab * na * na) // g2 END AS u2,
+       |             CASE WHEN na < 2 OR nb < 2 THEN 0 ELSE (ab * na * na) % g2 END AS r2
+       |      FROM d),
+       |g AS (SELECT *, u1 + u2 AS w, r1 * g2 + r2 * g1 AS fr FROM f),
+       |h AS (SELECT *, w * gg + fr AS den,
+       |             CASE WHEN w > 0 THEN biga // w ELSE 0 END AS q0,
+       |             CASE WHEN w > 0 THEN biga % w ELSE 0 END AS r0
+       |      FROM g),
        |t AS (SELECT na, nb, sa, sb, aa, ab,
-       |             -- guards keep both operands non-negative even for
-       |             -- degenerate groups (n < 2 would make (n-1) terms
-       |             -- negative), so `//` only ever sees magnitudes
-       |             CASE WHEN na < 2 OR nb < 2 THEN 0
-       |                  ELSE dnum * dnum * (na - 1) * (nb - 1) END AS t2num,
-       |             CASE WHEN na < 2 OR nb < 2 THEN 0
-       |                  ELSE aa * nb * nb * (nb - 1) + ab * na * na * (na - 1) END AS t2den
-       |      FROM d)
+       |             CASE WHEN na < 2 OR nb < 2 OR den = 0 THEN 0
+       |                  WHEN w = 0 THEN gg * (biga // fr) + ((biga % fr) * gg) // fr
+       |                  WHEN r0 * gg >= q0 * fr THEN q0 + (r0 * gg - q0 * fr) // den
+       |                  ELSE q0 - 1 - (q0 * fr - r0 * gg - 1) // den END AS t2m
+       |      FROM h)
        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        |       CAST(CASE WHEN na = 0 THEN 0 ELSE sa * 1000000 // na END AS BIGINT)
        |         AS mean_a_ppm,
@@ -1849,10 +1886,7 @@ object Relational {
        |         AS var_a_milli,
        |       CAST(CASE WHEN nb < 2 THEN 0 ELSE ab * 1000 // (nb * nb - nb) END AS BIGINT)
        |         AS var_b_milli,
-       |       CAST(CASE WHEN na < 2 OR nb < 2 OR t2den = 0 THEN 0
-       |                 ELSE (t2num // t2den) * 1000
-       |                      + ((t2num % t2den) * 1000 // t2den) END AS BIGINT)
-       |         AS t2_milli
+       |       CAST(t2m AS BIGINT) AS t2_milli
        |FROM t""".stripMargin
 
   /** DuckDB twin of [[compactionPlan]] — identical sort, identical

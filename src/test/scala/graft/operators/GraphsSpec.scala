@@ -277,6 +277,85 @@ class GraphsSpec extends AnyFunSuite {
       "communities come back largest-first")
   }
 
+  test("louvainMove: hand-computed gains on the modularity fixture, swap collision included") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_louv").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // the modularity fixture: after 4 LPA rounds {1,2,3,4} share label
+    // 1; 8 and 9 are self-labeled singletons. m = 5, 4m = 20.
+    // Gains (4m·k − 2d·D'):
+    //   node 1: own c1 k=2 → 20·2 − 2·2·(8−2) = 16  → stays
+    //   node 3: own c1 k=3 → 60 − 2·3·(8−3) = 30    → stays
+    //   node 4: own c1 k=1 → 20 − 2·1·(8−1) = 6     → stays
+    //   node 8: c9 k=1 → 20 − 2·1·1 = 18 beats own 0 → moves to c9
+    //   node 9: symmetric → moves to c8 — the documented synchronous
+    //   swap collision: both move, the PARTITION is unchanged up to
+    //   label names, so Q stays exactly 140000 ppm
+    Seq((10L, 1L, in), (10L, 2L, in), (10L, 3L, in),
+      (20L, 3L, in), (20L, 4L, in),
+      (30L, 8L, in), (30L, 9L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = Graphs.louvainMove(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((6L, 2L, 140000L, 140000L)))
+  }
+
+  test("louvainMove on the fixture corpus: the pass never lowers Q, deterministic") {
+    def run() = Graphs.louvainMove(spark, sf).collect().head
+    val r = run()
+    val (nNodes, nMoved, qb, qa) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nNodes > 0 && nMoved >= 0 && nMoved <= nNodes)
+    assert(qa >= qb, s"local move lowered Q: $qb -> $qa")
+    val r2 = run()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3))
+      == ((nNodes, nMoved, qb, qa)))
+  }
+
+  test("pageRankTrajectory matches a driver-side replay on the fixture corpus") {
+    // independent Scala replay of the damped rounds with the identical
+    // 12-decimal rounding (scala.BigDecimal(double) is valueOf-style,
+    // the same decimal Spark's Round sees) and pico differencing
+    val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val nodes = adj.keys.toSeq.sorted
+    val n = nodes.size
+    val deg = nodes.map(v => v -> adj(v).size).toMap
+    def rnd12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pico(x: Double): Long =
+      BigDecimal(x * 1e12).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var rank = nodes.map(v => v -> rnd12(1.0 / n)).toMap
+    val want = Seq.newBuilder[(Long, Long, Long)]
+    var rd = 1
+    var going = true
+    while (going && rd <= Graphs.PrTrajMaxRounds) {
+      val next = nodes.map { v =>
+        v -> rnd12(0.15 / n +
+          0.85 * adj(v).sorted.map(a => rank(a) / deg(a)).sum)
+      }.toMap
+      val dps = nodes.map(v => pico(next(v)) - pico(rank(v)))
+      val l1 = dps.map(math.abs).sum
+      want += ((rd.toLong, dps.count(_ != 0).toLong, l1))
+      rank = next
+      if (l1 < Graphs.PrTrajL1ThresholdPico) going = false else rd += 1
+    }
+    val got = Graphs.pageRankTrajectory(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == want.result(), s"got $got")
+    // the damped iteration contracts L1 every round — the signal the
+    // trajectory exists to expose
+    assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(1) < w(0)))
+  }
+
   test("over-threshold (unhinted) path computes identical pagerank and kcore results") {
     // threshold 0 forces the co-partitioned join path everywhere; the
     // trajectories and ranks must be bit-identical to the hinted plan
@@ -287,5 +366,9 @@ class GraphsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
     assert(kc(0L) == kc(Graphs.GraphBroadcastMaxNodes))
+    def pt(limit: Long) = Graphs.pageRankTrajectory(spark, sf,
+        bcastMaxNodes = limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pt(0L) == pt(Graphs.GraphBroadcastMaxNodes))
   }
 }

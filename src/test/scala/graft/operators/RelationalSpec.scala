@@ -331,4 +331,83 @@ class RelationalSpec extends AnyFunSuite {
       r.getLong(4), r.getLong(5), r.getLong(6)) ==
       ((1L, 0L, 5000000L, 0L, 0L, 0L, 0L)))
   }
+
+  test("stats_welch oracle: the factored t² floor fits int128 on sf10-shaped stats (VERDICT r14)") {
+    // The oracle's factored route replayed in BigInt with an explicit
+    // int128 ceiling on EVERY intermediate — the magnitude contract the
+    // HUGEINT replay depends on. The direct form (t2num·1000 /
+    // t2den) needs ~10³⁹ at sf10 and is asserted to BREACH the ceiling,
+    // which is exactly why the factored route exists.
+    val int128Max = (BigInt(1) << 127) - 1
+    def factored(na: BigInt, sa: BigInt, qa: BigInt,
+        nb: BigInt, sb: BigInt, qb: BigInt): BigInt = {
+      def fits(x: BigInt): BigInt = {
+        assert(x.abs <= int128Max, s"intermediate $x overflows int128")
+        x
+      }
+      val aa = fits(na * qa - sa * sa); val ab = fits(nb * qb - sb * sb)
+      val dnum = fits(sa * nb - sb * na)
+      val (g1, g2) = (na - 1, nb - 1)
+      if (na < 2 || nb < 2) return BigInt(0)
+      val gg = fits(g1 * g2)
+      val u1 = fits(fits(aa * nb * nb) / g1); val r1 = (aa * nb * nb) % g1
+      val u2 = fits(fits(ab * na * na) / g2); val r2 = (ab * na * na) % g2
+      val w = fits(u1 + u2); val fr = fits(r1 * g2 + r2 * g1)
+      val den = fits(w * gg + fr)
+      val bigA = fits(1000 * dnum * dnum)
+      if (den == 0) BigInt(0)
+      else if (w == 0) fits(gg * (bigA / fr)) + fits((bigA % fr) * gg) / fr
+      else {
+        val q0 = bigA / w; val r0 = bigA % w
+        val lhs = fits(r0 * gg); val rhs = fits(q0 * fr)
+        if (lhs >= rhs) q0 + (lhs - rhs) / den
+        else q0 - 1 - (rhs - lhs - 1) / den
+      }
+    }
+    def direct(na: BigInt, sa: BigInt, qa: BigInt,
+        nb: BigInt, sb: BigInt, qb: BigInt): BigInt = {
+      val aa = na * qa - sa * sa; val ab = nb * qb - sb * sb
+      val dnum = sa * nb - sb * na
+      val t2num = dnum * dnum * (na - 1) * (nb - 1)
+      val t2den = aa * nb * nb * (nb - 1) + ab * na * na * (na - 1)
+      if (na < 2 || nb < 2 || t2den == 0) BigInt(0) else t2num * 1000 / t2den
+    }
+    // the MEASURED sf10 sufficient statistics' shape: n ~ 2·10⁶ rows
+    // per group, |x| ~ 500, sum ~ 10⁹, sum-of-squares ~ 10¹². The
+    // envelope's own edge is t2den (still a direct factor of the
+    // correction divisor): ~10³⁷ here, breaching int128 past ~sf30 —
+    // the documented residual limit.
+    val cases = Seq(
+      (BigInt(2008400), BigInt(1072341787), BigInt(1193491038251L),
+        BigInt(1986300), BigInt(198630) * 480, BigInt(1986300) * 260000 + 7919),
+      // degenerate shapes: zero variance (w = 0), tiny groups
+      (BigInt(5), BigInt(50), BigInt(500), BigInt(7), BigInt(7), BigInt(7)),
+      (BigInt(1), BigInt(9), BigInt(81), BigInt(4), BigInt(10), BigInt(30)),
+      (BigInt(3), BigInt(6), BigInt(14), BigInt(2), BigInt(6), BigInt(20)))
+    for ((na, sa, qa, nb, sb, qb) <- cases)
+      assert(factored(na, sa, qa, nb, sb, qb) == direct(na, sa, qa, nb, sb, qb),
+        s"factored != direct for ($na, $sa, $qa, $nb, $sb, $qb)")
+    // randomized agreement sweep, including negative dnum (the signed
+    // branch of the floor correction)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val na = BigInt(rnd.between(2L, 3000000L))
+      val nb = BigInt(rnd.between(2L, 3000000L))
+      val xa = BigInt(rnd.between(-900L, 900L)); val xb = BigInt(rnd.between(-900L, 900L))
+      val sa = na * xa + rnd.between(-1000L, 1000L)
+      val sb = nb * xb + rnd.between(-1000L, 1000L)
+      // qa >= sa²/na (Cauchy-Schwarz) with headroom for variance
+      val qa = sa * sa / na + BigInt(rnd.between(0L, 1000000L)) * na / 1000 + na
+      val qb = sb * sb / nb + BigInt(rnd.between(0L, 1000000L)) * nb / 1000 + nb
+      assert(factored(na, sa, qa, nb, sb, qb) == direct(na, sa, qa, nb, sb, qb))
+    }
+    // the direct form genuinely breaches int128 on the sf10 shape —
+    // the reason the factored route is the one the oracle ships
+    val (na, sa, qa, nb, sb, qb) = cases.head
+    val t2num1000 = (sa * nb - sb * na).pow(2) * (na - 1) * (nb - 1) * 1000
+    assert(t2num1000 > int128Max,
+      s"expected the direct t2num*1000 ($t2num1000) to overflow int128 at this shape")
+    assert(qa * na >= sa * sa && qb * nb >= sb * sb,
+      "fixture stats must satisfy Cauchy-Schwarz (be realizable)")
+  }
 }
