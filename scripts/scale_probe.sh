@@ -46,6 +46,12 @@ env SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=32 \
 # scale points (VERDICT r9 task 8 — retires the in-pass ratio blind spot
 # for linear-CPU queries without manual adjudication)
 cp BENCH_RESULT.json /tmp/probe_sf10_result.json
+# fold this probe into the monotone matched-config floor record
+# (Bench.scala's own min maintenance skips SKIP/200p runs by design;
+# all sf10 probes share the 200p/24g convention, so they are
+# min-comparable — VERDICT r14 task 1)
+python3 scripts/build_min_record.py BENCH_MIN_sf10.json "$SF10" \
+  /tmp/probe_sf10_result.json
 if [[ -f BENCH_LAST_sf1.json ]]; then
   # each standalone anchor runs under the SAME partition config as the
   # in-pass record it adjudicates (probe leg 200, sf1 ref leg 32) — the
