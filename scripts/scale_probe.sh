@@ -49,9 +49,12 @@ cp BENCH_RESULT.json /tmp/probe_sf10_result.json
 # fold this probe into the monotone matched-config floor record
 # (Bench.scala's own min maintenance skips SKIP/200p runs by design;
 # all sf10 probes share the 200p/24g convention, so they are
-# min-comparable — VERDICT r14 task 1)
-python3 scripts/build_min_record.py BENCH_MIN_sf10.json "$SF10" \
-  /tmp/probe_sf10_result.json
+# min-comparable — VERDICT r14 task 1). The label is canonical (sf10,
+# not the fixture path — ADVICE r15), and the config string names the
+# multi-file fixture layout the r16 floors were re-based on.
+python3 scripts/build_min_record.py BENCH_MIN_sf10.json \
+  "$(basename "$SF10")" /tmp/probe_sf10_result.json \
+  --config "local[32], shuffle=200, driver 24g, multi-file fixture (scale_probe.sh)"
 if [[ -f BENCH_LAST_sf1.json ]]; then
   # each standalone anchor runs under the SAME partition config as the
   # in-pass record it adjudicates (probe leg 200, sf1 ref leg 32) — the

@@ -130,8 +130,24 @@ object Bench {
         s""""tmp_shuffle_mb":${shufB / (1 << 20)},"tmp_shuffle_files":$shufF,""" +
         s""""scratch_mb":${scrB / (1 << 20)},"scratch_files":$scrF}""")
     } catch { case _: Throwable => }
+    // cold/warm floor provenance (VERDICT r15 task 1): every compute
+    // cache (Scratch + the per-JVM registries) reports lookups to
+    // CacheProbe while a query is timed. An observation that BUILT ≥ 1
+    // entry is "cold" (it paid the build), one that only read entries a
+    // sibling built is "warm" (the designed amortized-pass cost), no
+    // cache activity records no tag. Before each de-noising re-run the
+    // entries the previous observation built are EVICTED, so a
+    // build-owning query repeats its build on every observation — the
+    // old behavior re-read the per-JVM cache and recorded the ~0.1 s
+    // amortized read as the floor (the r15 ann_hnsw_topk artifact).
+    graft.sources.CacheProbe.setEnabled(true)
+    def provenance(acc: Seq[graft.sources.CacheProbe.Access]): Option[String] =
+      if (acc.exists(_.built)) Some("cold")
+      else if (acc.nonEmpty) Some("warm")
+      else None
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean) = {
+        : (Double, Boolean, Seq[graft.sources.CacheProbe.Access]) = {
+      graft.sources.CacheProbe.drain()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>
@@ -139,16 +155,19 @@ object Bench {
         false
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val acc = graft.sources.CacheProbe.drain()
       try spark.catalog.clearCache() catch { case _: Throwable => }
       snap(name)
-      (dt, ok)
+      (dt, ok, acc)
     }
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)) && !skip.contains(kv._1))
-    // (name, fn, dt, ok, attempted)
+    // (name, fn, dt, ok, attempted, cacheAccesses)
     val firstPass = qs0.map { case (name, fn) =>
-      if (ctxDead) (name, fn, 0.0, false, false)
-      else { val (dt, ok) = timeOne(name, fn); (name, fn, dt, ok, true) }
+      if (ctxDead)
+        (name, fn, 0.0, false, false,
+          Seq.empty[graft.sources.CacheProbe.Access])
+      else { val (dt, ok, acc) = timeOne(name, fn); (name, fn, dt, ok, true, acc) }
     }
     // De-noising re-measure (PERF.md "bench methodology"): a transient
     // machine stall (GC pause, page-cache churn, CI contention) must not
@@ -193,8 +212,8 @@ object Bench {
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
     val cutoff = math.max(3 * median, 2.0)
     val remeasured = Seq.newBuilder[(String, Seq[(Double, Boolean)])]
-    // (name, dt, ok, attempted)
-    val results = firstPass.map { case (name, fn, dt, ok, attempted) =>
+    // (name, dt, ok, attempted, provenance of the recorded observation)
+    val results = firstPass.map { case (name, fn, dt, ok, attempted, acc) =>
       // regression = 2× the best time ever recorded for this query at
       // this sf (falling back to last round's for queries the min file
       // hasn't seen). The min anchor is what closes the compounding
@@ -202,8 +221,9 @@ object Bench {
       // machine-level environmental drift (PERF.md r6 A/B)
       val anchor = (minRec.get(name).toList ++ prior.get(name)).minOption
       def regressed(t: Double) = anchor.exists(p => t > 2 * p)
-      if (!attempted) (name, dt, ok, attempted)
-      else if (!ok || (dt <= cutoff && !regressed(dt))) (name, dt, ok, attempted)
+      if (!attempted) (name, dt, ok, attempted, provenance(acc))
+      else if (!ok || (dt <= cutoff && !regressed(dt)))
+        (name, dt, ok, attempted, provenance(acc))
       else {
         // up to TWO warm re-runs: the r8 record showed a single rerun
         // under sustained machine contention still lands 2-5× above the
@@ -218,15 +238,23 @@ object Bench {
         // context is dead — they'd all fail instantly.
         var obs = List((dt, ok))
         var best = (dt, ok)
+        var bestProv = provenance(acc)
+        // entries the latest observation BUILT: evicted before the next
+        // re-run so it pays the same builds (cold stays cold)
+        var lastBuilt = acc.filter(_.built)
         var tries = 0
         while (tries < 2 && !ctxDead && (tries == 0 || regressed(best._1))) {
-          val (dtN, okN) = timeOne(name, fn)
+          lastBuilt.foreach(_.evict())
+          val (dtN, okN, accN) = timeOne(name, fn)
           obs = obs :+ ((dtN, okN))
-          if (okN && (!best._2 || dtN < best._1)) best = (dtN, true)
+          if (okN && (!best._2 || dtN < best._1)) {
+            best = (dtN, true); bestProv = provenance(accN)
+          }
+          lastBuilt = accN.filter(_.built)
           tries += 1
         }
         remeasured += ((name, obs))
-        (name, best._1, best._2, attempted)
+        (name, best._1, best._2, attempted, bestProv)
       }
     }
     // the queries map and total carry SUCCESSFUL timings only: a crashed
@@ -234,16 +262,22 @@ object Bench {
     // record becomes the next run's regression anchor (prior/min) — a
     // fast crash would otherwise anchor a spurious 2× trip once fixed
     // (exactly what the r7 events crashes did to BENCH_LAST)
-    val qs = results.collect { case (k, v, true, _) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a crashed query must be visible in the JSON, not silently folded
     // into the total as its time-to-failure
-    val failed = results.collect { case (k, _, false, true) => s"\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, true, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     // queries never attempted because the SparkContext had already died
     // — neither measurements nor query failures
-    val skipped = results.collect { case (k, _, _, false) => s"\"" + k + "\"" }
+    val skipped = results.collect { case (k, _, _, false, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // cold/warm cache provenance of each recorded time (queries with no
+    // cache activity are absent): "cold" = the observation paid ≥ 1
+    // cache build, "warm" = it read entries a sibling query built
+    val cacheProv = results
+      .collect { case (k, _, true, _, Some(p)) => s"\"" + k + "\":\"" + p + "\"" }
+      .mkString("{", ",", "}")
     // transparency: which recorded times are best-of-2, and what both
     // observations were (see PERF.md bench methodology)
     val rem = remeasured.result()
@@ -254,8 +288,8 @@ object Bench {
       .mkString("{", ",", "}")
     val priorName =
       if (prior.nonEmpty) "\"" + priorFile.getName + "\"" else "null"
-    val total = results.collect { case (_, v, true, _) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"skipped_dead_context":$skipped,"remeasured":$rem,"prior_record":$priorName,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"skipped_dead_context":$skipped,"remeasured":$rem,"cache":$cacheProv,"prior_record":$priorName,"sf":"$sfDir"}"""
     println(line)
     // stable machine-readable copy at a fixed path: the driver's
     // stdout-scrape has produced "parsed": null wrappers two rounds
@@ -276,14 +310,43 @@ object Bench {
       catch { case _: Throwable => }
       // refresh the monotone anchor: elementwise min of the record so
       // far and this run's successful timings (failed queries excluded
-      // — a time-to-crash is not a performance floor)
+      // — a time-to-crash is not a performance floor). Cold/warm
+      // provenance travels with whichever run supplied the floor, so
+      // the record says what each floor measured (a cold build vs an
+      // amortized warm read) — the convention PERF.md "cache-provenance
+      // floors" documents.
       try {
-        val merged = (minRec.toSeq ++ results.collect { case (k, v, true, _) => k -> v })
-          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
-        val body = merged.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val priorProv: Map[String, String] =
+          if (!minFile.isFile) Map.empty
+          else try {
+            val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(minFile)
+            val c = root.get("cache")
+            if (c == null) Map.empty
+            else {
+              val it = c.fields()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+              b.result()
+            }
+          } catch { case _: Throwable => Map.empty[String, String] }
+        val thisRun = results.collect { case (k, v, true, _, p) => k -> (v, p) }.toMap
+        val merged = (minRec.keySet ++ thisRun.keySet).toSeq.map { k =>
+          val old = minRec.get(k)
+          val cur = thisRun.get(k).map(_._1)
+          val v = (old.toList ++ cur).min
+          // provenance of the run that owns the floor
+          val prov =
+            if (cur.contains(v)) thisRun(k)._2.orElse(priorProv.get(k))
+            else priorProv.get(k)
+          (k, v, prov)
+        }
+        val body = merged.sortBy(_._1)
+          .map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val provBody = merged.sortBy(_._1)
+          .collect { case (k, _, Some(p)) => s"\"" + k + "\":\"" + p + "\"" }
+          .mkString("{", ",", "}")
         java.nio.file.Files.writeString(minFile.toPath,
-          s"""{"queries":$body,"sf":"$sfDir"}""" + "\n")
+          s"""{"queries":$body,"cache":$provBody,"sf":"$sfDir"}""" + "\n")
       } catch { case _: Throwable => }
     }
     spark.stop()

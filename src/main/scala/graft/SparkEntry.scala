@@ -384,6 +384,12 @@ object SparkEntry {
     // cap — run-then-dump oracle replays the executed rounds
     "graph_pagerank_trajectory" -> ((s, dir) =>
       graft.operators.Graphs.pageRankTrajectory(s, dir)),
+    // relative-threshold twin: stops at the first round whose L1 falls
+    // under 1/3 of round 1's (exact integer rule) — guaranteed inside
+    // the cap by the ×0.85 contraction, so the convergence exit is
+    // exercised in production code (VERDICT r15 task 4)
+    "graph_pagerank_trajectory_rel" -> ((s, dir) =>
+      graft.operators.Graphs.pageRankTrajectoryRel(s, dir)),
     // degree-oriented exact triangle census of the part co-order graph
     "graph_triangles" -> ((s, dir) => graft.operators.Graphs.triangles(s, dir)),
     // k-core peel to the true fixpoint: per-round trajectory rows
@@ -404,6 +410,13 @@ object SparkEntry {
     // priced exactly before and after by the modularity rational
     "graph_louvain_move" -> ((s, dir) =>
       graft.operators.Graphs.louvainMove(s, dir)),
+    // FULL Louvain: move passes to a local fixpoint (bounded cap) +
+    // one community-contraction level + a weighted pass on the
+    // contracted graph, Q priced by the same exact rational at every
+    // level boundary (VERDICT r15 task 3). Run-then-dump oracle
+    // replays the executed pass count as chained CTEs.
+    "graph_louvain" -> ((s, dir) =>
+      graft.operators.Graphs.louvain(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "stats_agg" -> ((s, dir) => Relational.statsAgg(s, dir)),
     // exact-integer per-group OLS: rational slope/intercept + ppm
@@ -626,6 +639,11 @@ object SparkEntry {
     // declared contract (sequential insertion isn't SQL-replayable) —
     // its frozen pairs are recall-checked inside ann_recall/_sampled
     "ann_hnsw_topk" -> ((s, dir) => graft.operators.Hnsw.topK(s, dir)),
+    // recall-vs-search-effort curve of the graph index: recall@5 at
+    // efSearch 16 vs 64 against the SQL-replayed brute truth — search
+    // quality as an oracle-checked function of beam width (the nprobe
+    // device; VERDICT r15 task 5). Frozen pairs keyed per efSearch.
+    "ann_hnsw_ef_recall" -> ((s, dir) => graft.operators.Hnsw.efRecall(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     // deterministic JL ±1-sign projection: the no-training
     // dimensionality-reduction front end (one narrow map, no shuffle)
@@ -847,7 +865,10 @@ object SparkEntry {
       KMeansSteps.trajectoryOracles ++
       // LPA convergence trajectory: chain length = rounds actually run
       graft.operators.Graphs.labelPropTrajectoryOracles ++
-      graft.operators.Graphs.pageRankTrajectoryOracles
+      graft.operators.Graphs.pageRankTrajectoryOracles ++
+      graft.operators.Graphs.pageRankTrajectoryRelOracles ++
+      // full Louvain: chain length = move passes actually executed
+      graft.operators.Graphs.louvainOracles()
 
   private def multimodalOracle: Map[String, String] = Map(
     "multimodal_phash" -> Multimodal.phashOracle,
@@ -2108,8 +2129,15 @@ object SparkEntry {
       d <- lastDir
       hn <- graft.operators.Hnsw.pairsSql(d, Some(5L), 50)
     } yield Map("ann_recall_sampled" -> recallSql(annSqlsSampled, pq, ip, hn))
+    // efSearch curve: both legs' frozen pairs (keyed per efSearch) +
+    // the same SQL-replayed brute truth; absent until both searches ran
+    val efr = for {
+      d <- lastDir
+      sql <- graft.operators.Hnsw.efRecallOracleSql(d, base("ann_brute_topk"))
+    } yield Map("ann_hnsw_ef_recall" -> sql)
     base ++ full.getOrElse(Map.empty) ++ sampled.getOrElse(Map.empty) ++
-      ivfPqFull.map(sql => Map("ann_ivf_pq" -> sql)).getOrElse(Map.empty)
+      ivfPqFull.map(sql => Map("ann_ivf_pq" -> sql)).getOrElse(Map.empty) ++
+      efr.getOrElse(Map.empty)
   }
 
   /** The `ann_ivf_trained` training-replay prefix (pts/cents → Lloyd-2

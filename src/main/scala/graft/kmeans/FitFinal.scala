@@ -91,7 +91,9 @@ object FitFinal {
 
   private def frozen(spark: SparkSession, sfDir: String, variant: String): Frozen = {
     val (space, cfg, mustConverge) = variants(variant)
-    val f = cache.getOrElseUpdate((sfDir, variant), {
+    val cacheKey = (sfDir, variant)
+    val cacheHit = cache.contains(cacheKey)
+    val f = cache.getOrElseUpdate(cacheKey, {
       val liStats =
         if (space == "lineitem") Some(Tables.lineitemStats(spark, sfDir)) else None
       val r =
@@ -113,6 +115,8 @@ object FitFinal {
           s"(iter=${r.iterations}, delta=${r.finalDelta})")
       Frozen(r, space, liStats)
     })
+    graft.sources.CacheProbe.record(s"kmeans_fit:$cacheKey", built = !cacheHit)(
+      { cache.remove(cacheKey); () })
     lastDir = Some(sfDir)
     f
   }

@@ -142,10 +142,16 @@ object Bpe {
     * "words" after whitespace split, and an unbounded collect there is
     * a driver OOM (VERDICT r13 task 3). Same local/distributed gate
     * shape as [[Dedup.COMPONENTS_LOCAL_EDGES]]. Env-overridable for
-    * scale measurements (`GRAFT_BPE_LOCAL_MAX_WORDS`). */
+    * scale measurements (`GRAFT_BPE_LOCAL_MAX_WORDS`), clamped below
+    * Int.MaxValue: the gate probes with a `limit(max + 1)` collect,
+    * which is Int-sized — a configured max at or above Int.MaxValue
+    * could never be probed (the +1 row is unrepresentable), so a
+    * larger corpus would silently local-train on a truncated word set,
+    * and Long.MaxValue would overflow the limit to a negative value
+    * and throw (ADVICE r15). */
   val TrainLocalMaxWords: Long =
-    sys.env.get("GRAFT_BPE_LOCAL_MAX_WORDS").map(_.toLong)
-      .getOrElse(1000000L)
+    math.min(sys.env.get("GRAFT_BPE_LOCAL_MAX_WORDS").map(_.toLong)
+      .getOrElse(1000000L), Int.MaxValue - 1L)
 
   /** Frozen tokenizer for `sfDir` — trained once per JVM from the
     * corpus word-frequency table, shared by the queries and the oracle
@@ -154,6 +160,7 @@ object Bpe {
     * paths learn IDENTICAL models (spec-pinned: same pair counts, same
     * (count desc, pair asc) argmax, same left-to-right merge). */
   private[graft] def model(spark: SparkSession, sfDir: String): Model = {
+    val regHit = reg.contains(sfDir)
     val m = reg.getOrElseUpdate(sfDir, {
       // empty words (consecutive/leading/trailing spaces) are dropped
       // EVERYWHERE — train, encode, and both oracle CTE chains: the
@@ -176,6 +183,8 @@ object Bpe {
         train(probe.map(r => (r.getString(0), r.getLong(1))).toSeq)
       else trainDistributed(spark, wfDf)
     })
+    graft.sources.CacheProbe.record(s"bpe:$sfDir", built = !regHit)(
+      { reg.remove(sfDir); () })
     lastDir = Some(sfDir)
     m
   }

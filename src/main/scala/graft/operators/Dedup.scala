@@ -1120,10 +1120,13 @@ object Dedup {
     * runs first. */
   private[operators] def scaledCentroids(spark: SparkSession,
       sfDir: String): Array[Array[Double]] = {
+    val regHit = scaledReg.contains(sfDir)
     val cs = scaledReg.getOrElseUpdate(sfDir, {
       val k = scaledK(Tables.points(spark, sfDir).count())
       trainBuckets(spark, sfDir, k, maxIter = 5)
     })
+    graft.sources.CacheProbe.record(s"semdedup:$sfDir", built = !regHit)(
+      { scaledReg.remove(sfDir); () })
     lastScaledDir = Some(sfDir)
     cs
   }

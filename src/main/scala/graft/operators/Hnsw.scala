@@ -45,12 +45,18 @@ object Hnsw {
   val MMax = 2 * M
   /** Beam width during insertion. */
   val EfConstruction = 32
-  /** Beam width during search — 2× the construction beam: at ~1k-node
-    * shards ef=32 measured recall@5 = 0.78 vs brute on the sf1 %5
-    * sample; ef=64 recovers ≥0.9-class recall for 2× search work that
-    * is still O(ef·M) per query per shard, independent of corpus
-    * size (the standard HNSW quality knob). */
+  /** Default beam width during search — 2× the construction beam: at
+    * ~1k-node shards ef=32 measured recall@5 = 0.78 vs brute on the
+    * sf1 %5 sample; ef=64 recovers ≥0.9-class recall for 2× search
+    * work that is still O(ef·M) per query per shard, independent of
+    * corpus size (the standard HNSW quality knob). Parameterized per
+    * search (VERDICT r15 task 5): `ann_hnsw_ef_recall` measures the
+    * recall-vs-effort curve at [[EfSearchLow]] and this default, each
+    * leg's frozen pairs keyed by its efSearch in the registry. */
   val EfSearch = 64
+  /** The cheap end of the measured efSearch curve (½ the construction
+    * beam — the setting whose recall loss the recall leg quantifies). */
+  val EfSearchLow = 16
   /** Minimum shard count. */
   val NShards = 4
   /** Target nodes per shard for the AUTO shard count (default
@@ -75,7 +81,7 @@ object Hnsw {
   private[operators] def searchShard(
       nodes: Array[(Long, Array[Double], Double)],
       queries: Array[(Long, Array[Double], Double)],
-      k: Int): Iterator[(Long, Long, Double)] = {
+      k: Int, efSearch: Int = EfSearch): Iterator[(Long, Long, Double)] = {
     if (nodes.isEmpty) return Iterator.empty
     val n = nodes.length
     val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
@@ -149,18 +155,20 @@ object Hnsw {
 
     // ----- search: every query against this shard's graph
     queries.iterator.flatMap { case (qId, qv, qn) =>
-      beam(qv, qn, EfSearch, n).iterator
+      beam(qv, qn, efSearch, n).iterator
         .filter { case (_, idx) => nodes(idx)._1 != qId }
         .take(k)
         .map { case (s, idx) => (qId, nodes(idx)._1, s) }
     }
   }
 
-  /** Frozen search results per (sfDir, keepMod, nQueries, k):
+  /** Frozen search results per (sfDir, keepMod, nQueries, k, efSearch):
     * `(q_id, rank, n_id, cos)` rows — bounded (q·k), materialized by
-    * [[topK]] and replayed as literals by the recall oracles. */
+    * [[topK]] and replayed as literals by the recall oracles. The
+    * efSearch key component keeps differently-parameterized searches
+    * from serving each other's frozen pairs (the nprobe convention). */
   private val reg = scala.collection.concurrent.TrieMap
-    .empty[(String, Option[Long], Int, Int), Seq[(Long, Long, Long, Double)]]
+    .empty[(String, Option[Long], Int, Int, Int), Seq[(Long, Long, Long, Double)]]
   @volatile private var lastDir: Option[String] = None
 
   /** The global per-query merge of the per-shard candidates, run
@@ -217,12 +225,14 @@ object Hnsw {
     * recall oracles; the returned DataFrame is the frozen rows. */
   def topK(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5,
-      keepMod: Option[Long] = None): DataFrame = {
+      keepMod: Option[Long] = None, efSearch: Int = EfSearch): DataFrame = {
     // no nShards parameter: the shard count is always the auto default.
     // A caller-chosen count would change the graph (and hence the
     // frozen pairs) while the registry key wouldn't see it — a stale
     // cache hazard for zero expressive gain (ADVICE r10).
-    val rows = reg.getOrElseUpdate((sfDir, keepMod, nQueries, k), {
+    val regKey = (sfDir, keepMod, nQueries, k, efSearch)
+    val regHit = reg.contains(regKey)
+    val rows = reg.getOrElseUpdate(regKey, {
       import spark.implicits._
       val p = Similarity.pointsFor(spark, sfDir, keepMod)
       // auto shard count: bounded per-shard graphs at any corpus size
@@ -243,7 +253,7 @@ object Hnsw {
           // builds independently (grouping is partitioning-independent)
           it.toArray.groupBy(_._1).iterator.flatMap { case (_, rs) =>
             val nodes = rs.map(r => (r._2, r._3.toArray, r._4)).sortBy(_._1)
-            searchShard(nodes, bq.value, k)
+            searchShard(nodes, bq.value, k, efSearch)
           }
         }
         .toDF("q_id", "n_id", "cos")
@@ -251,6 +261,8 @@ object Hnsw {
       bq.destroy()
       merged
     })
+    graft.sources.CacheProbe.record(s"hnsw:$regKey", built = !regHit)(
+      { reg.remove(regKey); () })
     lastDir = Some(sfDir)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(t => Row(t._1, t._2, t._3, t._4)), 1),
@@ -262,12 +274,12 @@ object Hnsw {
     * given twin — present only after [[topK]] ran in this JVM
     * (run-then-dump). Consumed by the recall oracles as the hnsw leg. */
   def pairsSql(sfDir: String, keepMod: Option[Long], nQueries: Int,
-      k: Int = 5): Option[String] =
+      k: Int = 5, efSearch: Int = EfSearch): Option[String] =
     // an empty frozen row set would render `VALUES ` — a SQL syntax
     // error, not an empty relation (ADVICE r10): degrade to None so the
     // recall oracle falls back to the rows-only check like the other
     // run-then-dump legs
-    reg.get((sfDir, keepMod, nQueries, k)).filter(_.nonEmpty).map { rows =>
+    reg.get((sfDir, keepMod, nQueries, k, efSearch)).filter(_.nonEmpty).map { rows =>
       val vals = rows.map(t => s"(${t._1}, ${t._3})").mkString(", ")
       s"SELECT q_id, n_id FROM (VALUES $vals) t(q_id, n_id)"
     }
@@ -275,4 +287,67 @@ object Hnsw {
   /** Last sfDir a [[topK]] ran against (the run-then-dump key the
     * oracle builder uses, mirroring the PQ registry convention). */
   def lastRunDir: Option[String] = lastDir
+
+  /** Recall-vs-search-effort curve (VERDICT r15 task 5): recall@k of
+    * the NSW search at [[EfSearchLow]] and [[EfSearch]] against the
+    * exact brute-force truth, one row —
+    * `(n_brute, ef_lo, n_hit_lo, recall_lo, ef_hi, n_hit_hi,
+    * recall_hi)` — so search quality is an oracle-checked NUMBER as a
+    * function of beam width (the nprobe device of `ann_ivf_topk`,
+    * applied to the graph index). Each leg's frozen pairs live under
+    * their own efSearch registry key; the DuckDB oracle replays the
+    * brute truth exactly and re-counts the overlap against both
+    * legs' frozen literals. The graph is built once per shard pass —
+    * only the search beam differs — so the measured delta is pure
+    * search effort. */
+  def efRecall(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5,
+      efLo: Int = EfSearchLow, efHi: Int = EfSearch): DataFrame = {
+    val brute = Similarity.bruteTopK(spark, sfDir, nQueries = nQueries)
+      .select(col("q_id"), col("n_id"))
+    val lo = topK(spark, sfDir, nQueries, k, None, efLo)
+      .select(col("q_id"), col("n_id"))
+    val hi = topK(spark, sfDir, nQueries, k, None, efHi)
+      .select(col("q_id"), col("n_id"))
+    val hitLo = brute.join(lo, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit_lo"))
+    val hitHi = brute.join(hi, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit_hi"))
+    brute.agg(count(lit(1)).as("n_brute"))
+      .crossJoin(hitLo).crossJoin(hitHi)
+      .select(col("n_brute"),
+        lit(efLo.toLong).as("ef_lo"), col("n_hit_lo"),
+        round(col("n_hit_lo") * lit(1.0) / col("n_brute"), 6).as("recall_lo"),
+        lit(efHi.toLong).as("ef_hi"), col("n_hit_hi"),
+        round(col("n_hit_hi") * lit(1.0) / col("n_brute"), 6).as("recall_hi"))
+  }
+
+  /** Run-then-dump oracle for [[efRecall]] — the SQL-replayed brute
+    * truth re-counted against BOTH legs' frozen pairs; present only
+    * after both searches ran in this JVM. `bruteSql` is the exact
+    * brute-force top-k SQL the `ann_recall` oracle uses. */
+  def efRecallOracleSql(sfDir: String, bruteSql: String,
+      nQueries: Int = 10, k: Int = 5,
+      efLo: Int = EfSearchLow, efHi: Int = EfSearch): Option[String] =
+    for {
+      loSql <- pairsSql(sfDir, None, nQueries, k, efLo)
+      hiSql <- pairsSql(sfDir, None, nQueries, k, efHi)
+    } yield
+      s"""WITH brute AS ($bruteSql),
+         |b AS (SELECT q_id, n_id FROM brute),
+         |lo AS ($loSql),
+         |hi AS ($hiSql),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM b),
+         |hl AS (SELECT CAST(count(*) AS BIGINT) AS n_hit_lo
+         |       FROM b WHERE EXISTS (SELECT 1 FROM lo
+         |                            WHERE lo.q_id = b.q_id AND lo.n_id = b.n_id)),
+         |hh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit_hi
+         |       FROM b WHERE EXISTS (SELECT 1 FROM hi
+         |                            WHERE hi.q_id = b.q_id AND hi.n_id = b.n_id))
+         |SELECT nb.n_brute,
+         |       CAST($efLo AS BIGINT) AS ef_lo, hl.n_hit_lo,
+         |       round(hl.n_hit_lo * 1.0 / nb.n_brute, 6) AS recall_lo,
+         |       CAST($efHi AS BIGINT) AS ef_hi, hh.n_hit_hi,
+         |       round(hh.n_hit_hi * 1.0 / nb.n_brute, 6) AS recall_hi
+         |FROM nb, hl, hh""".stripMargin
 }

@@ -464,6 +464,7 @@ object Pipeline {
     * literals the plan used (run-then-dump, the
     * [[graft.kmeans.FitFinal]] contract). */
   private def tempStats(spark: SparkSession, sfDir: String): (Long, Double) = {
+    val regHit = tempReg.contains(sfDir)
     val st = tempReg.getOrElseUpdate(sfDir, {
       val counts = Tables(spark, sfDir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n_g"))
@@ -472,6 +473,8 @@ object Pipeline {
       (counts.map(_._2).sum,
         counts.foldLeft(0.0) { case (acc, (_, ng)) => acc + math.sqrt(ng.toDouble) })
     })
+    graft.sources.CacheProbe.record(s"tempstats:$sfDir", built = !regHit)(
+      { tempReg.remove(sfDir); () })
     tempLastDir = Some(sfDir)
     st
   }

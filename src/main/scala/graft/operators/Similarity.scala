@@ -630,7 +630,9 @@ object Similarity {
     * (run-then-dump, the [[graft.kmeans.FitFinal]] contract). */
   private[operators] def pqCodebooks(spark: SparkSession, sfDir: String,
       keepMod: Option[Long] = None): Array[Array[Array[Double]]] = {
-    val cbs = pqReg.getOrElseUpdate((sfDir, keepMod), {
+    val pqKey = (sfDir, keepMod)
+    val pqHit = pqReg.contains(pqKey)
+    val cbs = pqReg.getOrElseUpdate(pqKey, {
       val p = points(spark, sfDir, keepMod)
       (0 until PQ_M).map { s =>
         val subPts = p.select(col("vec_id").as("id"),
@@ -643,6 +645,8 @@ object Similarity {
           .centroids.sortBy(_._1).map(_._2)
       }.toArray
     })
+    graft.sources.CacheProbe.record(s"pq:$pqKey", built = !pqHit)(
+      { pqReg.remove(pqKey); () })
     pqLastDir = Some(sfDir)
     cbs
   }

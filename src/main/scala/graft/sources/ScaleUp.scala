@@ -24,13 +24,46 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding`: offset by `r · 0.0017`, so replicas are
   *    near but not identical in cosine space.
   *
+  * Output layout: MULTI-FILE, sized from the input table's on-disk
+  * bytes × factor at [[TargetFileBytes]] per file (cap
+  * [[MaxFilesPerTable]]). A single-file-per-table layout caps scan
+  * parallelism at ceil(file/maxPartitionBytes) splits — the r15 sf10
+  * fixture's 912 MB lineitem file got ~7 input splits on 32 cores, so
+  * the scan-bound TPC-H band ran under-parallelized and its timings
+  * were page-cache-state-dependent (VERDICT r15 task 2). ~24 MB
+  * compressed files put the 780 MB sf10 lineitem at ~32 files ≈ one
+  * split per core. This is a config-boundary change: floor records
+  * derived under the single-file layout are not min-comparable with
+  * runs against a multi-file fixture (the r14 partition-config
+  * lesson), so BENCH_MIN_sf10 is re-based when the fixture is
+  * regenerated.
+  *
   * Usage: `runMain graft.sources.ScaleUp <inDir> <outDir> <factor>`. */
 object ScaleUp {
+
+  /** Target compressed bytes per output parquet file (overridable via
+    * GRAFT_SCALEUP_FILE_MB). 24 MB keeps every file well under the
+    * 128 MB split size while giving the largest derived table ~1 split
+    * per local core. */
+  private def TargetFileBytes: Long =
+    sys.env.getOrElse("GRAFT_SCALEUP_FILE_MB", "24").toLong << 20
+  private val MaxFilesPerTable = 64
 
   private def pow10Above(x: Long): Long = {
     var s = 10L
     while (s <= x) s *= 10
     s
+  }
+
+  /** Bytes of data files under a parquet directory (crc/_SUCCESS
+    * bookkeeping excluded) — sizes the output file count. */
+  private def dataBytes(path: String): Long = {
+    var b = 0L
+    def walk(f: java.io.File): Unit =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) b += f.length }
+      else Option(f.listFiles).foreach(_.foreach(walk))
+    walk(new java.io.File(path))
+    b
   }
 
   def main(args: Array[String]): Unit = {
@@ -54,8 +87,15 @@ object ScaleUp {
   def scaleUp(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
     def in(t: String) = spark.read.parquet(s"$inDir/$t.parquet")
     def write(t: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      println(s"[scaleup] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
+      // multi-file layout: one round-robin shuffle per table (a one-time
+      // derivation cost) so downstream scans get file-count parallelism
+      // instead of ceil(one-big-file / 128 MB) splits
+      val nFiles = math.max(1L, math.min(MaxFilesPerTable.toLong,
+        dataBytes(s"$inDir/$t.parquet") * factor / TargetFileBytes)).toInt
+      val out = if (nFiles > 1) df.repartition(nFiles) else df
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} " +
+        s"rows in $nFiles file(s)")
     }
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c).cast("long"))).head().getLong(0)

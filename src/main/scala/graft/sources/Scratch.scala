@@ -68,32 +68,40 @@ object Scratch {
     * materialization (ADVICE r13), and a metadata-only fingerprint
     * still would on filesystems with coarse (1-2 s) mtime granularity
     * when the rewrite lands inside the granularity window with
-    * identical names/sizes (ADVICE r14). Cost: one directory walk plus
+    * identical names/sizes (ADVICE r14). Walks and samples through the
+    * Hadoop FileSystem API — a `java.io` walk would silently find no
+    * files on an `hdfs://`-style sfDir and yield a content-insensitive
+    * key (ADVICE r15; same scheme-agnostic contract as
+    * `EventStream.clearSnapshots`). Cost: one directory listing plus
     * two bounded reads per file — no full data scan. */
   private val SampleBytes = 64
 
   def corpusKey(sfDir: String): String = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
     val md = java.security.MessageDigest.getInstance("MD5")
-    def walk(f: java.io.File): Unit =
-      if (f.isFile) {
-        md.update(s"${f.getPath}|${f.length}|${f.lastModified}\n"
+    val root = new Path(sfDir)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def walk(p: Path): Unit = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) {
+        md.update(s"${p.toUri.getPath}|${st.getLen}|${st.getModificationTime}\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val raf = new java.io.RandomAccessFile(f, "r")
+        val in = fs.open(p)
         try {
-          val head = new Array[Byte](math.min(SampleBytes.toLong, raf.length).toInt)
-          raf.readFully(head)
+          val head = new Array[Byte](math.min(SampleBytes.toLong, st.getLen).toInt)
+          in.readFully(0L, head)
           md.update(head)
-          if (raf.length > SampleBytes) {
+          if (st.getLen > SampleBytes) {
             val tail = new Array[Byte](
-              math.min(SampleBytes.toLong, raf.length - SampleBytes).toInt)
-            raf.seek(raf.length - tail.length)
-            raf.readFully(tail)
+              math.min(SampleBytes.toLong, st.getLen - SampleBytes).toInt)
+            in.readFully(st.getLen - tail.length, tail)
             md.update(tail)
           }
-        } finally raf.close()
-      }
-      else Option(f.listFiles).foreach(_.sortBy(_.getName).foreach(walk))
-    walk(new java.io.File(sfDir))
+        } finally in.close()
+      } else fs.listStatus(p).sortBy(_.getPath.getName)
+        .foreach(s => walk(s.getPath))
+    }
+    if (fs.exists(root)) walk(root)
     s"$sfDir@${md.digest().map("%02x".format(_)).mkString.take(16)}"
   }
 
@@ -105,7 +113,8 @@ object Scratch {
       (build: => DataFrame): DataFrame = {
     val path = reg.synchronized {
       cleanup
-      reg.getOrElseUpdate(key, {
+      val hit = reg.contains(key)
+      val p = reg.getOrElseUpdate(key, {
         val p = java.nio.file.Files
           .createTempDirectory("graft_scratch").toString
         val df = build
@@ -114,6 +123,11 @@ object Scratch {
         buildLog += ((key, df))
         p
       })
+      // cold/warm provenance + re-run eviction (bench-only; the dir
+      // stays on disk until the exit hook — eviction re-materializes)
+      CacheProbe.record(s"scratch:$key", built = !hit)(
+        reg.synchronized { reg.remove(key); () })
+      p
     }
     spark.read.parquet(path)
   }

@@ -313,6 +313,103 @@ class GraphsSpec extends AnyFunSuite {
       == ((nNodes, nMoved, qb, qa)))
   }
 
+  test("louvain: hand fixture — oscillating swap runs to the cap, coarsen accepted at equal Q") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_louv_full").toString
+    val in = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    // the louvainMove fixture: components {1,2,3,4} (labeled 1 after
+    // LPA) and the 8–9 edge (self-labeled singletons). Every move pass
+    // swaps 8↔9 synchronously (each node's best move is the other's
+    // community — the documented collision), so the loop never reaches
+    // n_moved = 0 and exits at the cap with the partition unchanged up
+    // to label names: Q stays exactly 140000 ppm at every boundary.
+    // The coarsened proposal swaps the two singleton supernodes the
+    // same way — a pure relabeling, priced equal — so monotone accept
+    // KEEPS it (>=) and n_communities stays 3.
+    Seq((10L, 1L, in), (10L, 2L, in), (10L, 3L, in),
+      (20L, 3L, in), (20L, 4L, in),
+      (30L, 8L, in), (30L, 9L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = Graphs.louvain(spark, d).collect().head
+    assert((0 until 8).map(r.getLong) ==
+      Seq(6L, Graphs.LouvainPassCap.toLong, 2L, 1L, 3L,
+        140000L, 140000L, 140000L))
+  }
+
+  test("louvain on the fixture corpus: Q non-decreasing across levels, deterministic") {
+    def run() = Graphs.louvain(spark, sf).collect().head
+    val r = run()
+    val (nNodes, passes, movedLast, accepted, nComm, qs, qf, qz) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(nNodes > 0 && nComm > 0 && nComm <= nNodes)
+    assert(passes >= 1 && passes <= Graphs.LouvainPassCap)
+    assert(movedLast >= 0 && movedLast <= nNodes)
+    assert(accepted == 0L || accepted == 1L)
+    // level boundaries: the move passes must not lower Q on this
+    // fixture (measured), and the coarsen boundary CANNOT lower it —
+    // monotone accept makes q_final ≥ q_fixpoint a construction
+    // invariant, with rejection leaving it exactly equal
+    assert(qf >= qs, s"move passes lowered Q: $qs -> $qf")
+    assert(qz >= qf, s"coarsen boundary lowered Q: $qf -> $qz")
+    if (accepted == 0L) assert(qz == qf)
+    val r2 = run()
+    assert((0 until 8).map(r2.getLong) == (0 until 8).map(r.getLong))
+  }
+
+  test("pageRankTrajectoryRel: driver replay agrees and the convergence exit fires under the cap") {
+    // identical replay as the absolute-threshold test, with the
+    // relative stop rule 3·l1_r < l1_1 (exact integers)
+    val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val nodes = adj.keys.toSeq.sorted
+    val n = nodes.size
+    val deg = nodes.map(v => v -> adj(v).size).toMap
+    def rnd12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pico(x: Double): Long =
+      BigDecimal(x * 1e12).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var rank = nodes.map(v => v -> rnd12(1.0 / n)).toMap
+    val want = Seq.newBuilder[(Long, Long, Long)]
+    var l1First = 0L
+    var rd = 1
+    var going = true
+    while (going && rd <= Graphs.PrTrajMaxRounds) {
+      val next = nodes.map { v =>
+        v -> rnd12(0.15 / n +
+          0.85 * adj(v).sorted.map(a => rank(a) / deg(a)).sum)
+      }.toMap
+      val dps = nodes.map(v => pico(next(v)) - pico(rank(v)))
+      val l1 = dps.map(math.abs).sum
+      want += ((rd.toLong, dps.count(_ != 0).toLong, l1))
+      if (rd == 1) l1First = l1
+      rank = next
+      if (l1 == 0L || (rd >= 2 && Graphs.PrTrajRelDivisor * l1 < l1First))
+        going = false
+      else rd += 1
+    }
+    val got = Graphs.pageRankTrajectoryRel(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == want.result(), s"got $got")
+    // the whole point of the variant (VERDICT r15 task 4): the
+    // convergence exit RUNS — strictly inside the cap, final row
+    // sub-threshold under the relative rule, no earlier row is
+    assert(got.length < Graphs.PrTrajMaxRounds,
+      s"relative rule did not exit under the cap: ${got.length} rounds")
+    val l1s = got.map(_._3)
+    assert(l1s.last == 0L ||
+      Graphs.PrTrajRelDivisor * l1s.last < l1s.head)
+    assert(l1s.drop(1).dropRight(1).forall(l1 =>
+      Graphs.PrTrajRelDivisor * l1 >= l1s.head))
+  }
+
   test("pageRankTrajectory matches a driver-side replay on the fixture corpus") {
     // independent Scala replay of the damped rounds with the identical
     // 12-decimal rounding (scala.BigDecimal(double) is valueOf-style,

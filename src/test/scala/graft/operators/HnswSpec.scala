@@ -38,6 +38,60 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("efSearch knob: exhaustive at ef ≥ n, monotone result-set quality down to a narrow beam") {
+    // the parameterized search beam (VERDICT r15 task 5): at ef ≥ n the
+    // beam visits the whole (connected-by-construction) graph, so the
+    // result is EXACTLY brute force regardless of graph shape; a narrow
+    // beam is still deterministic and returns well-formed top-k rows
+    val nodes = (0 until 150).map(i => (i.toLong, vec(i), nrm(vec(i)))).toArray
+    val queries = nodes.take(4)
+    val exhaustive = Hnsw.searchShard(nodes, queries, k = 5, efSearch = 150).toSeq
+    for ((qId, qv, _) <- queries) {
+      val expect = nodes.filter(_._1 != qId)
+        .map(n => (n._1, cos(qv, n._2)))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      assert(exhaustive.filter(_._1 == qId).map(_._2) == expect, s"query $qId")
+    }
+    val narrow = Hnsw.searchShard(nodes, queries, k = 5, efSearch = Hnsw.EfSearchLow).toSeq
+    assert(narrow == Hnsw.searchShard(nodes, queries, k = 5,
+      efSearch = Hnsw.EfSearchLow).toSeq)
+    assert(narrow.map(_._1).distinct.sorted == queries.map(_._1).toSeq)
+    // recall(narrow) counted against the exhaustive truth is the very
+    // number ann_hnsw_ef_recall oracle-checks; here just bound it
+    val hits = queries.map { case (qId, _, _) =>
+      val truth = exhaustive.filter(_._1 == qId).map(_._2).toSet
+      narrow.filter(_._1 == qId).map(_._2).count(truth)
+    }.sum
+    assert(hits >= 10, s"ef=${Hnsw.EfSearchLow} recall collapsed: $hits/20")
+  }
+
+  test("efRecall: frozen pairs keyed per efSearch, recall bounds, default leg shared with topK") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_hnsw_ef").toString
+    val rows = (0 until 300).map(i => (i.toLong, vec(i).toSeq, i % 4))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = Hnsw.efRecall(spark, d, nQueries = 6, k = 5).collect().head
+    val (nb, efLo, hitLo, recLo) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val (efHi, hitHi, recHi) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+    assert(nb == 30L)
+    assert((efLo, efHi) == ((Hnsw.EfSearchLow.toLong, Hnsw.EfSearch.toLong)))
+    assert(hitLo >= 0 && hitLo <= nb && hitHi >= 0 && hitHi <= nb)
+    assert(recLo >= 0.0 && recLo <= 1.0 && recHi >= 0.0 && recHi <= 1.0)
+    // the hi leg IS ann_hnsw_topk's frozen entry (same registry key):
+    // a later default topK must replay identical pairs
+    val viaTopK = Hnsw.topK(spark, d, nQueries = 6, k = 5).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    // both parameterizations' oracles are present and distinct keys
+    val loSql = Hnsw.pairsSql(d, None, 6, 5, Hnsw.EfSearchLow)
+    val hiSql = Hnsw.pairsSql(d, None, 6, 5, Hnsw.EfSearch)
+    assert(loSql.isDefined && hiSql.isDefined)
+    assert(viaTopK.size == 30)
+    val hiPairs = hiSql.get
+    assert(viaTopK.forall { case (q, n) => hiPairs.contains(s"($q, $n)") })
+  }
+
   test("searchShard is deterministic") {
     val nodes = (0 until 120).map(i => (i.toLong, vec(i), nrm(vec(i)))).toArray
     val queries = nodes.take(5)
@@ -78,12 +132,15 @@ class HnswSpec extends AnyFunSuite {
   test("distributed merge == the old driver merge, ties included (VERDICT r14 task 3)") {
     import spark.implicits._
     // per-shard candidate rows with deliberate cos ties (resolved by
-    // n_id asc), duplicate (q, n) pairs from overlapping shards, and a
-    // query with fewer than k candidates — every merge edge case
+    // n_id asc), a duplicated (q, n, cos) row landing INSIDE the top-k
+    // (impossible under pmod sharding, but the merge must not corrupt
+    // ranks if a caller ever feeds overlapping shards — ADVICE r15:
+    // the fixture now actually contains the duplicate the comment
+    // claims), and a query with fewer than k candidates
     val cands = Seq(
       (0L, 10L, 0.90), (0L, 11L, 0.90), (0L, 12L, 0.95), (0L, 13L, 0.80),
       (0L, 14L, 0.80), (0L, 15L, 0.70), (0L, 16L, 0.9999995),
-      (1L, 20L, 0.50), (1L, 21L, 0.50), (1L, 22L, 0.50),
+      (1L, 20L, 0.50), (1L, 21L, 0.50), (1L, 21L, 0.50), (1L, 22L, 0.50),
       (2L, 30L, 0.10))
     val k = 3
     val viaDriver = Hnsw.mergeDriver(cands, k)
