@@ -34,6 +34,7 @@ class PlanGateSpec extends AnyFunSuite {
     "basket_rules" -> "1-row basket-count aggregate broadcast-cross-joined onto the brand-squared rule relation",
     "ann_recall" -> "1-row hit/truth count aggregates cross-joined into the single metric row (the legs read materialized sweeps)",
     "ann_recall_sampled" -> "same 1-row cross-joins over the %5-sampled harness",
+    "ann_hnsw_ef_recall" -> "same 1-row hit/truth cross-joins for the two efSearch legs (the brute truth reads the materialized sweep)",
     "dedup_recall" -> "1-row count aggregates cross-joined into the single metric row",
     "join_bloom" -> "1-row stats aggregates cross-joined into the single metric row (the bloom test itself is a narrow scan)",
     "graph_triangles" -> "1-row census aggregates cross-joined into the single metric row (the wedge/closing joins are equi-joins)",
