@@ -538,15 +538,12 @@ object SparkEntry {
     // the banding parameters before a 100 TB run. Deterministic, so even
     // the recall misses reproduce in the oracle.
     "dedup_recall" -> ((s, dir) => {
-      import org.apache.spark.storage.StorageLevel
-      import org.apache.spark.sql.functions.{col, explode}
-      // ONE hashed-shingle sweep feeds both pipelines under comparison
-      val base = Dedup.hashedShingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val shRows = base.select(col("doc_id"), explode(col("hsh")).as("shh"))
-      val exact = Dedup.ngramJaccardFrom(shRows).select("doc_a", "doc_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val lsh = Dedup.minhashLSHFrom(base).select("doc_a", "doc_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // r16: both pair relations come from the scratch registry — the
+      // SAME materializations dedup_ngram / dedup_minhash own (this
+      // query previously re-ran both full pipelines over a shared
+      // shingle sweep; now it reads two tiny verified-pair parquets)
+      val exact = Dedup.ngramJaccard(s, dir).select("doc_a", "doc_b")
+      val lsh = Dedup.minhashLSH(s, dir).select("doc_a", "doc_b")
       val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))

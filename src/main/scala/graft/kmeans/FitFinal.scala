@@ -95,7 +95,7 @@ object FitFinal {
     val cacheHit = cache.contains(cacheKey)
     val f = cache.getOrElseUpdate(cacheKey, {
       val liStats =
-        if (space == "lineitem") Some(Tables.lineitemStats(spark, sfDir)) else None
+        if (space == "lineitem") Some(Tables.lineitemStatsShared(spark, sfDir)) else None
       val r =
         if (variant == "mllib")
           // external trainer: only the frozen centers matter; converged
@@ -104,7 +104,9 @@ object FitFinal {
             iterations = 0, finalDelta = Double.NaN, converged = false)
         else {
           val points = space match {
-            case "lineitem" => Tables.lineitemPointsStdWith(spark, sfDir, liStats.get)
+            // reads the scratch-materialized std points (identical
+            // doubles to the liStats projection — r16 shared build)
+            case "lineitem" => Tables.lineitemPointsStd(spark, sfDir)
             case "ts" => graft.operators.TimeSeries.roundedPoints(spark, sfDir)
             case _ => Tables.points(spark, sfDir)
           }
@@ -129,7 +131,7 @@ object FitFinal {
 
   private def pointsDF(spark: SparkSession, sfDir: String, f: Frozen): DataFrame =
     f.space match {
-      case "lineitem" => Tables.lineitemPointsStdWith(spark, sfDir, f.liStats.get)
+      case "lineitem" => Tables.lineitemPointsStd(spark, sfDir)
       case "ts" => graft.operators.TimeSeries.roundedPoints(spark, sfDir)
       case _ => Tables.points(spark, sfDir)
     }

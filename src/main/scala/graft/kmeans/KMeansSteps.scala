@@ -319,8 +319,10 @@ object KMeansSteps {
     * (`master.go:212-231`) independently recomputed by the replay. */
   def lineitemTrajectory(spark: SparkSession, sfDir: String, k: Int = 5,
       cap: Int = 20): DataFrame = {
-    val stats = Tables.lineitemStats(spark, sfDir)
-    val p = Tables.lineitemPointsStdWith(spark, sfDir, stats)
+    val stats = Tables.lineitemStatsShared(spark, sfDir)
+    // reads the scratch-materialized std points (r16 shared build; the
+    // oracle head still embeds the stats literals, identical doubles)
+    val p = Tables.lineitemPointsStd(spark, sfDir)
       .select(col("id"),
         transform(col("features"), x => round(round(x, 6) * 1e6, 0)).as("features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -43,13 +43,18 @@ object Dedup {
     * of shingle strings, and the oracle derives the identical keys (so
     * even a hash collision — P ≈ n²/2⁶¹ — reproduces exactly on both
     * sides). */
-  private[graft] def hashedShingles(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    Tables(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        column(graft.plans.HashedShingles(
-          expression(split(col("text"), " ")), 3)).as("hsh"))
-  }
+  private[graft] def hashedShingles(spark: SparkSession, sfDir: String): DataFrame =
+    // r16: materialized per corpus (the coOrderEdges device) — the md5
+    // shingle kernel sweep feeds several dedup pipelines per pass
+    // (ngram build, minhash build, jaccard_prefix) which each re-ran it
+    graft.sources.Scratch.materialize(spark,
+        s"dedup_shingles:${graft.sources.Scratch.corpusKey(sfDir)}") {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          column(graft.plans.HashedShingles(
+            expression(split(col("text"), " ")), 3)).as("hsh"))
+    }
 
   /** (doc_id, shh) — exploded form of [[hashedShingles]]. */
   private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
@@ -229,7 +234,14 @@ object Dedup {
     // from re-exploding the compact posting lists (shingles are distinct
     // per doc, so explode(ds) IS the kept (shh, doc) row set) instead of
     // joining the full shingle table back against the kept keys.
-    ngramJaccardFrom(shingleRows(spark, sfDir), threshold, maxDf)
+    // r16: the verified pair relation (tiny — near-dup-density-sized)
+    // is materialized per parameterization: `dedup_recall` re-derived
+    // the identical relation per pass; the ORDER BY re-applies after
+    // the parquet read (writes don't preserve order).
+    graft.sources.Scratch.materialize(spark,
+        s"dedup_ngram:$threshold:$maxDf:${graft.sources.Scratch.corpusKey(sfDir)}") {
+      ngramJaccardFrom(shingleRows(spark, sfDir), threshold, maxDf)
+    }.orderBy("doc_a", "doc_b")
   }
 
   /** [[ngramJaccard]] over a pre-built (doc_id, shh) shingle-row table —
@@ -346,9 +358,17 @@ object Dedup {
   def minhashLSH(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame =
     // ONE md5 sweep: the hashed-shingle base feeds both the signature
-    // kernel and the verification rows
-    minhashLSHFrom(hashedShingles(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), threshold)
+    // kernel and the verification rows. r16: the verified pair relation
+    // is materialized per parameterization — FIVE queries walk it per
+    // pass (dedup_minhash, dedup_recall, dedup_edit via candidate
+    // pairs, dedup_components, dedup_canonical), each previously
+    // re-running the whole signature+band+verify pipeline; the ORDER BY
+    // re-applies after the parquet read.
+    graft.sources.Scratch.materialize(spark,
+        s"dedup_minhash:$threshold:${graft.sources.Scratch.corpusKey(sfDir)}") {
+      minhashLSHFrom(hashedShingles(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), threshold)
+    }.orderBy("doc_a", "doc_b")
 
   /** [[minhashLSH]] over a pre-built (doc_id, hsh) hashed-shingle base
     * (caller owns its persistence). */
@@ -698,7 +718,16 @@ object Dedup {
     * only). */
   private def cdcChunkRows(spark: SparkSession, sfDir: String,
       k: Int, divisor: Int): DataFrame =
-    cdcChunkRowsFrom(Tables(spark, sfDir, "documents"), k, divisor)
+    // r16: materialized per (corpus, k, divisor) — FOUR queries share
+    // this exact chunk relation per pass (chunk_cdc, dedup_chunks,
+    // dedup_chunk_stats, dedup_chunk_canonical), each previously
+    // re-running the corpus-sized gram pass + boundary aggregate +
+    // slicing join ("the family constant": ~116-123 s apiece at sf10,
+    // PERF.md r11). All six columns are primitive — parquet-exact.
+    graft.sources.Scratch.materialize(spark,
+        s"cdc_chunks:$k:$divisor:${graft.sources.Scratch.corpusKey(sfDir)}") {
+      cdcChunkRowsFrom(Tables(spark, sfDir, "documents"), k, divisor)
+    }
 
   /** [[cdcChunkRows]] over any `(doc_id, text, …)` relation — shared
     * with the incremental chunk-ledger stream

@@ -1340,11 +1340,17 @@ object Relational {
   def basketRules(spark: SparkSession, sfDir: String,
       topN: Int = BasketTopN): DataFrame = {
     val d = (c: Column) => c.cast("decimal(38,0)")
+    // r16: the distinct basket projection feeds THREE branches (basket
+    // count, item counts, the pair self-join) — persist it so the
+    // lineitem⋈part scan + distinct shuffle run once, not per branch
+    // (PERF.md rule 6; exchange reuse does not cover the self-join's
+    // differing downstream projections)
     val li = Tables(spark, sfDir, "lineitem")
       .join(broadcast(Tables(spark, sfDir, "part")),
         col("p_partkey") === col("l_partkey"))
       .select(col("l_orderkey").as("o"), col("p_brand").as("br"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = li.agg(countDistinct(col("o")).as("n_baskets"))
     val items = li.groupBy("br").agg(count(lit(1)).as("ci"))
     val pairs = li.as("x").join(li.as("y"), Seq("o"))

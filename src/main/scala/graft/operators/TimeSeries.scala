@@ -145,8 +145,17 @@ object TimeSeries {
     * this precision), used by both the step queries and the fit so the
     * fit's end state is frozen-literal verifiable. */
   def roundedPoints(spark: SparkSession, sfDir: String, stride: Int = 4): DataFrame =
-    stridedPoints(spark, sfDir, stride)
-      .select(col("id"), transform(col("features"), x => round(x, 6)).as("features"))
+    // r16: materialized per (corpus, stride) — FOUR queries re-derived
+    // this identical feature relation per pass (ts_cluster via the
+    // frozen fit, ts_cluster_final's re-score, ts_cluster_steps,
+    // ts_cluster_trajectory), each paying the event scan + per-user
+    // window + z-normalization chain; the 6-decimal-rounded doubles
+    // round-trip parquet exactly, so consumers are bit-identical
+    graft.sources.Scratch.materialize(spark,
+        s"ts_points:$stride:${graft.sources.Scratch.corpusKey(sfDir)}") {
+      stridedPoints(spark, sfDir, stride)
+        .select(col("id"), transform(col("features"), x => round(x, 6)).as("features"))
+    }
 
   /** [[roundedPoints]] scaled to integer micro-units (×1e6) — the exact,
     * order-independent feature representation the loop queries run in. */

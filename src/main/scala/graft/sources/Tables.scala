@@ -82,9 +82,36 @@ object Tables {
     * one tiny aggregate collected driver-side, then a narrow literal
     * projection). Unstandardized lineitem numerics span 6 orders of
     * magnitude (price ~1e5 vs discount ~1e-1), which makes a
-    * mean-displacement convergence threshold meaningless. */
+    * mean-displacement convergence threshold meaningless.
+    *
+    * r16: materialized per corpus through the scratch registry — the
+    * standardized feature build (full lineitem scan + projection) is
+    * shared by the whole lineitem fit family (`kmeans_fit_lineitem`,
+    * `_final`, `_trajectory`), which previously each re-derived it;
+    * the projected doubles round-trip parquet exactly, so consumers
+    * are bit-identical to the in-plan projection. */
   def lineitemPointsStd(spark: SparkSession, sfDir: String): DataFrame =
-    lineitemPointsStdWith(spark, sfDir, lineitemStats(spark, sfDir))
+    Scratch.materialize(spark,
+        s"li_points_std:${Scratch.corpusKey(sfDir)}") {
+      lineitemPointsStdWith(spark, sfDir, lineitemStatsShared(spark, sfDir))
+    }
+
+  // per-JVM stats registry (the pqCodebooks device): the 1-row
+  // standardization aggregate is collected once per corpus instead of
+  // once per consuming query; CacheProbe carries cold/warm provenance
+  // and the bench's re-run eviction
+  private val liStatsReg =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Double, Double)]]
+
+  /** [[lineitemStats]] cached per corpus (content-addressed key). */
+  def lineitemStatsShared(spark: SparkSession, sfDir: String): Seq[(Double, Double)] = {
+    val ck = Scratch.corpusKey(sfDir)
+    val hit = liStatsReg.contains(ck)
+    val v = liStatsReg.getOrElseUpdate(ck, lineitemStats(spark, sfDir))
+    CacheProbe.record(s"li_stats:$ck", built = !hit)(
+      { liStatsReg.remove(ck); () })
+    v
+  }
 
   /** Per-dimension (mean, clamped std) of [[lineitemPoints]] — exposed so
     * frozen-state oracles can carry the exact literals the projection
