@@ -50,7 +50,9 @@ object Dedup {
     graft.sources.Scratch.materialize(spark,
         s"dedup_shingles:${graft.sources.Scratch.corpusKey(sfDir)}") {
       import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-      Tables(spark, sfDir, "documents")
+      // r17: widened scan (guide §2.5) — the md5 sweep is CPU-bound
+      // and the fixture layout provides fewer scan tasks than cores
+      Tables.documentsWide(spark, sfDir)
         .select(col("doc_id"),
           column(graft.plans.HashedShingles(
             expression(split(col("text"), " ")), 3)).as("hsh"))
@@ -726,7 +728,11 @@ object Dedup {
     // PERF.md r11). All six columns are primitive — parquet-exact.
     graft.sources.Scratch.materialize(spark,
         s"cdc_chunks:$k:$divisor:${graft.sources.Scratch.corpusKey(sfDir)}") {
-      cdcChunkRowsFrom(Tables(spark, sfDir, "documents"), k, divisor)
+      // r17: widened scan (guide §2.5) — the per-position gram-hash
+      // pass is CPU-bound and the fixture layout provides fewer scan
+      // tasks than cores (2 tasks on 32 cores at sf10: most of the
+      // family's 53 s cold build)
+      cdcChunkRowsFrom(Tables.documentsWide(spark, sfDir), k, divisor)
     }
 
   /** [[cdcChunkRows]] over any `(doc_id, text, …)` relation — shared
@@ -812,7 +818,7 @@ object Dedup {
       (acc, x) => when(x >= element_at(acc, lit(-1)) + lit(minSize),
         concat(acc, array(x))).otherwise(acc))
     chunksFromStarts(
-      cdcBoundaries(Tables(spark, sfDir, "documents"), CdcK, CdcD), kept)
+      cdcBoundaries(Tables.documentsWide(spark, sfDir), CdcK, CdcD), kept)
       .select("doc_id", "chunk_idx", "start_pos", "chunk_len", "chunk_hash")
       .orderBy("doc_id", "chunk_idx")
   }

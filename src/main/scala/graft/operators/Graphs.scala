@@ -167,6 +167,32 @@ object Graphs {
       .groupBy(col("v2").as("v"))
       .agg(round(lit(0.15) / n + lit(0.85) * sum("c"), 12).as("r"))
 
+  /** [[prRound]] with the previous rank riding the SAME aggregate as a
+    * self-message (r17 — the trajectory diff-fold fusion,
+    * OPTIMIZATION_r16 candidate 2): each node's old rank enters the
+    * contribution shuffle as one extra null-contribution row, so the
+    * round output `(v, r, pr)` already pairs consecutive states and
+    * the per-round convergence fold needs NO node-sized equi-join of
+    * two checkpoints. Exactness: `sum(c)` ignores the null self-rows,
+    * so `r` is the same damped sum as [[prRound]] (IEEE order inside
+    * one engine's aggregate was never pinned — the 12-decimal round is
+    * the contract); a node with no in-edges would surface with a null
+    * `r` where [[prRound]] dropped it, so the caller filters
+    * `r IS NOT NULL` — identical row set by construction (and on this
+    * both-direction graph the case never occurs). */
+  private def prRoundWithPrev(eDeg: DataFrame, ranks: DataFrame, n: Long,
+      bcastMaxNodes: Long): DataFrame =
+    eDeg.join(maybeBroadcast(ranks, n, bcastMaxNodes),
+        col("a") === col("v"))
+      .select(col("b").as("v2"), (col("r") / col("d")).as("c"),
+        lit(null).cast("double").as("pr"))
+      .unionByName(ranks.select(col("v").as("v2"),
+        lit(null).cast("double").as("c"), col("r").as("pr")))
+      .groupBy(col("v2").as("v"))
+      .agg(round(lit(0.15) / n + lit(0.85) * sum("c"), 12).as("r"),
+        max("pr").as("pr"))
+      .filter(col("r").isNotNull)
+
   /** Round cap of [[pageRankTrajectory]] — the [[LpaTrajMaxRounds]]
     * design-point convention: damping 0.85 contracts the L1 delta
     * ~0.85× per round, so reaching the reference threshold from a
@@ -207,13 +233,15 @@ object Graphs {
     * node and round), an assumption the trajectory oracles pin
     * empirically rather than a proof (ADVICE r15).
     *
-    * Scale shape: each round is [[prRound]] (one size-guarded
-    * broadcast join + one node-keyed partial aggregate — the edge
-    * list is never reshuffled) plus ONE node-sized equi-join of
-    * consecutive rank states folded to a single (count, sum) row; the
-    * driver sees two longs per round, the kcore/LPA trajectory
+    * Scale shape: each round is [[prRoundWithPrev]] (one size-guarded
+    * broadcast join + one node-keyed partial aggregate carrying the
+    * previous rank as a self-message — the edge list is never
+    * reshuffled and consecutive states need NO per-round equi-join)
+    * plus one join-free (count, sum) fold over the round's checkpoint;
+    * the driver sees two longs per round, the kcore/LPA trajectory
     * traffic. Lineage truncates per round via `localCheckpoint` with
-    * eager release. The DuckDB twin replays the executed rounds as
+    * eager release, checkpoints coalesced to the measured node count
+    * with a core-count floor ([[sizedPartsFloor]]). The DuckDB twin replays the executed rounds as
     * chained materialized CTEs and differences consecutive states on
     * the identical pico grid (run-then-dump). */
   def pageRankTrajectory(spark: SparkSession, sfDir: String,
@@ -223,16 +251,29 @@ object Graphs {
     import spark.implicits._
     val (n, nodes, eDeg) = rankGraph(spark, sfDir, bcastMaxNodes)
     val pico = (c: Column) => round(c * lit(1e12), 0).cast("long")
+    // r17: the rank state is node-sized and CONSTANT across rounds —
+    // coalesce each round's checkpoint to the measured size with a
+    // floor at the session core count (the r16 round-2 recipe: the
+    // coalesce propagates into the final aggregate's reduce tasks, so
+    // the floor keeps that stage at full width while late node-sized
+    // jobs stop paying the full shuffle-partition task count)
+    val parts = sizedPartsFloor(spark, n)
     var ranks = nodes
       .select(col("a").as("v"), round(lit(1.0) / n, 12).as("r"))
+      .coalesce(parts)
       .localCheckpoint()
     val rows = Seq.newBuilder[(Long, Long, Long)]
     var rnd = 1
     var done = false
     while (!done && rnd <= maxRounds) {
-      val next = prRound(eDeg, ranks, n, bcastMaxNodes).localCheckpoint()
+      // the previous rank rides the round's aggregate (diff-fold
+      // fusion — [[prRoundWithPrev]]): the convergence fold below
+      // reads ONE checkpoint, no per-round state join
+      val next = prRoundWithPrev(eDeg, ranks.select(col("v"), col("r")),
+          n, bcastMaxNodes)
+        .coalesce(parts)
+        .localCheckpoint()
       val d = next
-        .join(ranks.select(col("v"), col("r").as("pr")), "v")
         .select((pico(col("r")) - pico(col("pr"))).as("dp"))
         .agg(sum(when(col("dp") =!= 0L, 1L).otherwise(0L)).as("nc"),
           coalesce(sum(abs(col("dp"))), lit(0L)).as("l1"))
@@ -330,17 +371,23 @@ object Graphs {
     import spark.implicits._
     val (n, nodes, eDeg) = rankGraph(spark, sfDir, bcastMaxNodes)
     val pico = (c: Column) => round(c * lit(1e12), 0).cast("long")
+    // r17: sized-with-core-floor checkpoints + diff-fold fusion — see
+    // [[pageRankTrajectory]]
+    val parts = sizedPartsFloor(spark, n)
     var ranks = nodes
       .select(col("a").as("v"), round(lit(1.0) / n, 12).as("r"))
+      .coalesce(parts)
       .localCheckpoint()
     val rows = Seq.newBuilder[(Long, Long, Long)]
     var l1First = 0L
     var rnd = 1
     var done = false
     while (!done && rnd <= maxRounds) {
-      val next = prRound(eDeg, ranks, n, bcastMaxNodes).localCheckpoint()
+      val next = prRoundWithPrev(eDeg, ranks.select(col("v"), col("r")),
+          n, bcastMaxNodes)
+        .coalesce(parts)
+        .localCheckpoint()
       val d = next
-        .join(ranks.select(col("v"), col("r").as("pr")), "v")
         .select((pico(col("r")) - pico(col("pr"))).as("dp"))
         .agg(sum(when(col("dp") =!= 0L, 1L).otherwise(0L)).as("nc"),
           coalesce(sum(abs(col("dp"))), lit(0L)).as("l1"))
@@ -384,6 +431,24 @@ object Graphs {
       rowsPerPart: Long = 500000L): Int = {
     val cap = math.max(1, spark.sessionState.conf.numShufflePartitions)
     math.max(1, math.min(cap.toLong, rows / rowsPerPart + 1)).toInt
+  }
+
+  /** [[sizedParts]] with a floor at the session core count (r17 — the
+    * r16 round-2 coalescing recipe): a `coalesce(k)` before a
+    * checkpoint propagates up the narrow chain into the final
+    * aggregate's reduce tasks, so k below the core count serializes
+    * the heavy per-round aggregate exactly where [[kcore]]'s cheap
+    * per-node count never noticed (the r16 revert). The floor keeps
+    * the aggregate at full machine width; the win is the per-task
+    * scheduling the full shuffle-partition count wastes on node-sized
+    * state (200 − cores tasks per round-job at the sf10 probe
+    * convention). */
+  private def sizedPartsFloor(spark: SparkSession, rows: Long,
+      rowsPerPart: Long = 500000L): Int = {
+    val cap = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    math.max(1, math.min(cap.toLong,
+      math.max(cores.toLong, rows / rowsPerPart + 1))).toInt
   }
 
   /** Unpersist the RDD blocks behind a `localCheckpoint()`ed plan (they
@@ -818,6 +883,27 @@ object Graphs {
       .agg(max_by(col("lbl"), struct(col("c"), negate(col("lbl")))).as("lbl"))
       .select(col("node").as("v"), col("lbl"))
 
+  /** [[lpaRound]] with the previous label riding the SAME argmax
+    * aggregate as a zero-count self-message (r17 — the trajectory
+    * diff-fold fusion): each node's current label enters the second
+    * aggregate as one extra `c = 0` row, which can never win the
+    * (count desc, label asc) argmax against a real neighbor count
+    * (≥ 1) and is recovered exactly by `max(when(c = 0, lbl))` —
+    * one self-row per node, so the round output `(v, lbl, prev)`
+    * already pairs consecutive states and the per-round diff fold
+    * needs NO node-sized equi-join of two checkpoints. The picked
+    * label is bit-identical to [[lpaRound]]'s. */
+  private def lpaRoundWithPrev(u: DataFrame, labels: DataFrame): DataFrame =
+    u.join(labels, col("a") === col("v"))
+      .groupBy(col("b").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .unionByName(labels.select(col("v").as("node"), col("lbl"),
+        lit(0L).as("c")))
+      .groupBy("node")
+      .agg(max_by(col("lbl"), struct(col("c"), negate(col("lbl")))).as("lbl"),
+        max(when(col("c") === 0L, col("lbl"))).as("prev"))
+      .select(col("node").as("v"), col("lbl"), col("prev"))
+
   /** The round-[[LpaRounds]] synchronous LPA label state `(v, lbl)` —
     * the same deterministic partition FOUR queries in a pass derive
     * from ([[labelProp]], [[modularity]], [[louvainMove]],
@@ -931,12 +1017,15 @@ object Graphs {
     * `changed_id_sum` pins the SET of relabeled nodes, not just its
     * size (the [[bfs]] id-sum device).
     *
-    * Scale shape: each round is [[lpaRound]] (edge-bounded join + two
-    * hash aggregates) plus ONE node-sized equi-join of consecutive
-    * label states folded to a single (count, sum) row — the driver sees
-    * two longs per round, exactly the kcore trajectory traffic.
-    * Lineage truncates per round via `localCheckpoint` with eager
-    * release. The DuckDB twin replays the executed rounds as chained
+    * Scale shape: each round is [[lpaRoundWithPrev]] (edge-bounded
+    * join + two hash aggregates, the previous label riding the argmax
+    * as a zero-count self-message so consecutive states need NO
+    * per-round equi-join) plus one join-free (count, sum) fold over
+    * the round's checkpoint — the driver sees two longs per round,
+    * exactly the kcore trajectory traffic. Lineage truncates per
+    * round via `localCheckpoint` with eager release, checkpoints
+    * coalesced to the measured node count with a core-count floor
+    * ([[sizedPartsFloor]]). The DuckDB twin replays the executed rounds as chained
     * materialized CTEs and differences consecutive states identically
     * (run-then-dump: the chain length is the round count this corpus
     * actually ran). */
@@ -951,19 +1040,28 @@ object Graphs {
     val rows = Seq.newBuilder[(Long, Long, Long)]
     var round = 1
     var done = false
+    // r17: the label state is node-sized and constant-cardinality —
+    // size each round's checkpoint off the previous fold's measured
+    // node count with a core-count floor ([[sizedPartsFloor]]; round 1
+    // keeps full width), and let the previous label ride the round's
+    // own argmax ([[lpaRoundWithPrev]]) so the diff fold below reads
+    // ONE checkpoint with no per-round state join
+    var nNodes = -1L
     while (!done && round <= maxRounds) {
-      val next = lpaRound(u, labels).localCheckpoint()
-      // consecutive states differ on a node-sized equi-join; one
-      // (count, sum) row reaches the driver per round
+      val fused = lpaRoundWithPrev(u, labels.select(col("v"), col("lbl")))
+      val next = (if (nNodes < 0) fused
+        else fused.coalesce(sizedPartsFloor(spark, nNodes)))
+        .localCheckpoint()
       val d = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "v")
         .agg(
           sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("nc"),
           coalesce(sum(when(col("lbl") =!= col("prev"), col("v"))), lit(0L))
-            .as("s"))
+            .as("s"),
+          count(lit(1)).as("nn"))
         .collect().head
       val (nChanged, idSum) =
         (if (d.isNullAt(0)) 0L else d.getLong(0), d.getLong(1))
+      nNodes = d.getLong(2)
       rows += ((round.toLong, nChanged, idSum))
       releaseLocalCheckpoint(labels)
       labels = next
@@ -1003,37 +1101,27 @@ object Graphs {
     val labels = lpaLabels(spark, sfDir, rounds)
     val m = e.count()
     val deg = u.groupBy("a").agg(count(lit(1)).as("d"))
-    val (nComm, num) = qNumRow(e, labels, deg, m)
+    // r17: single-edge-join pricing (see [[qNumRowU]]) — the old form
+    // joined the edge list with the labels twice
+    val (nComm, num) = qNumRowU(u, labels, deg, m)
     e.unpersist(blocking = false)
     Seq((nComm, m, qPpm(num, m)))
       .toDF("n_communities", "n_edges", "q_ppm")
   }
 
-  /** The one folded pricing row of a (v, lbl) partition — the
-    * community count and the exact integer numerator
+  /** The one folded pricing row over a per-community `(dc, ec)`
+    * relation — community count and the exact integer numerator
     * Σ_c (4m·e_c − d_c²) of Newman Q over the fixed denominator 4m².
-    * Shared by [[modularity]] and [[louvainMove]] so the pricing
-    * cannot drift between the measurement and the optimizer step.
-    * Every per-community product stays in DECIMAL(38,0) (4m·e_c and
-    * d_c² both ≈ 4·10¹⁴ at sf10, ~10²⁶ at 10¹² edges — inside 38
-    * digits while int64 dies at ~3·10⁹ edges); the single (count,
-    * sum) row collects, numerator exact in BigInt. */
-  private def qNumRow(e: DataFrame, labels: DataFrame, deg: DataFrame,
-      m: Long): (Long, BigInt) = {
-    // e_c: edges whose two endpoints share the label
-    val ec = e
-      .join(labels.select(col("v").as("a"), col("lbl").as("la")), "a")
-      .join(labels.select(col("v").as("b"), col("lbl").as("lb")), "b")
-      .filter(col("la") === col("lb"))
-      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ec"))
-    // d_c: sum of node degrees per community (deg is the per-node count
-    // over the both-direction edge list, so Σ_c d_c = 2m). r16: callers
-    // pass deg — the pricing previously re-aggregated it from the edge
-    // list on every call (louvain prices three partitions per run)
-    val dc = deg
-      .join(labels.select(col("v").as("a"), col("lbl")), "a")
-      .groupBy("lbl").agg(sum("d").as("dc"))
-    val row = dc.join(ec, Seq("lbl"), "left")
+    * ONE fold shared by every pricing path ([[modularity]],
+    * [[louvainMove]], [[louvain]]'s three boundary prices) so the
+    * arithmetic cannot drift between them. Every per-community product
+    * stays in DECIMAL(38,0) (4m·e_c and d_c² both ≈ 4·10¹⁴ at sf10,
+    * ~10²⁶ at 10¹² edges — inside 38 digits while int64 dies at
+    * ~3·10⁹ edges); the single (count, sum) row collects, numerator
+    * exact in BigInt. `ec` may be null (a community with no intra
+    * edges). */
+  private def qNumFold(dcEc: DataFrame, m: Long): (Long, BigInt) = {
+    val row = dcEc
       .select(
         (lit(4L * m).cast("decimal(38,0)") *
           coalesce(col("ec"), lit(0L)).cast("decimal(38,0)") -
@@ -1045,6 +1133,67 @@ object Graphs {
       if (row.isNullAt(1)) BigInt(0)
       else BigInt(row.getDecimal(1).toBigInteger))
   }
+
+  /** Exact Q pricing of a (v, lbl) partition from the both-direction
+    * edge list. r17 (guide §2.3/§2.4): ONE edge-wide join instead of
+    * the old two — e_c is recovered from the per-(node,
+    * neighbor-community) mass kic as Σ_{a: lbl(a)=c} k_{a,c} = 2·e_c
+    * (u carries both directions, so every intra-community edge
+    * contributes once at each endpoint; the sum is even and the
+    * halving exact integer division), so the edge list joins labels
+    * once (neighbor side) and everything downstream is
+    * kic/node/community-sized. Identical integers to the old
+    * two-join form by construction. */
+  private def qNumRowU(u: DataFrame, labels: DataFrame, deg: DataFrame,
+      m: Long): (Long, BigInt) = {
+    val kic = u
+      .join(labels.select(col("v").as("b"), col("lbl").as("nl")), "b")
+      .groupBy(col("a"), col("nl")).agg(count(lit(1)).as("k"))
+    val ec2 = kic
+      .join(labels.select(col("v").as("a"), col("lbl")), "a")
+      .filter(col("nl") === col("lbl"))
+      .groupBy("lbl").agg(sum("k").as("k2"))
+    val dc = deg
+      .join(labels.select(col("v").as("a"), col("lbl")), "a")
+      .groupBy("lbl").agg(sum("d").as("dc"))
+    qNumFold(dc.join(ec2, Seq("lbl"), "left")
+      .select(col("dc"), expr("coalesce(k2, 0) div 2").as("ec")), m)
+  }
+
+  /** Exact Q pricing from the single-direction edge list — the
+    * two-join form (e ⋈ labels on a ⋈ labels on b, filter la = lb):
+    * exactly 2 edge-wide exchanges with the intra-community filter
+    * BEFORE the aggregate. Kept alongside [[qNumRowU]] because the two
+    * shapes price differently per partition: [[qNumRowU]]'s kic
+    * aggregate exchanges up to 2m (node, label) partials (compressing
+    * only as well as the partition's labels have coalesced), while
+    * this form always exchanges exactly 2m edge rows — measured at
+    * sf10, the two-join form wins for a single standalone pricing
+    * (louvainMove's after-price) and kic wins when the aggregate is
+    * shared ([[modularity]]). */
+  private def qNumRowE(e: DataFrame, labels: DataFrame, deg: DataFrame,
+      m: Long): (Long, BigInt) = {
+    val ec = e
+      .join(labels.select(col("v").as("a"), col("lbl").as("la")), "a")
+      .join(labels.select(col("v").as("b"), col("lbl").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ec"))
+    val dc = deg
+      .join(labels.select(col("v").as("a"), col("lbl")), "a")
+      .groupBy("lbl").agg(sum("d").as("dc"))
+    qNumFold(dc.join(ec, Seq("lbl"), "left").select(col("dc"), col("ec")), m)
+  }
+
+  /** Exact Q pricing of a pick's INPUT partition from the pick's own
+    * output — [[louvainPick]] carries per node the mass into its own
+    * community (`k_own`, Σ_{a: lbl(a)=c} k_own = 2·e_c — the
+    * [[qNumRowU]] identity) and its degree, so pricing the partition a
+    * pass started from is a node-sized aggregate with NO edge-wide
+    * work at all (r17, guide §2.4: the pick already paid the edge
+    * join; the pricing rides its checkpoint). */
+  private def qNumFromPicked(picked: DataFrame, m: Long): (Long, BigInt) =
+    qNumFold(picked.groupBy("lbl")
+      .agg(sum("d").as("dc"), expr("sum(k_own) div 2").as("ec")), m)
 
   /** Sign-separated truncating ppm of num / 4m² — identical floor
     * semantics as the pre-factor Spark expression and the HUGEINT
@@ -1066,7 +1215,7 @@ object Graphs {
     * candidate label; a node moves when the argmax differs from its
     * current label. Output: one row —
     * (n_nodes, n_moved, q_before_ppm, q_after_ppm), Q priced by the
-    * [[modularity]] rational ([[qNumRow]]) before and after the pass.
+    * [[modularity]] rational ([[qNumFold]] over the exact per-community (dc, ec) integers) before and after the pass.
     *
     * Synchronous-move caveat (a documented design point): all nodes
     * decide against the OLD partition simultaneously — colliding
@@ -1080,7 +1229,9 @@ object Graphs {
     * top, ONE edge→label join for k_{i,c} (edge-bounded), node-sized
     * degree and community-degree aggregates, one (node, candidate)-
     * keyed max_by argmax (hash aggregate with map-side partials — no
-    * sort window), and two [[qNumRow]] pricings. Driver traffic: 3
+    * sort window), and two pricings — the before-price a node-sized
+    * fold over the pick's checkpoint ([[qNumFromPicked]]), the
+    * after-price one edge-wide join ([[qNumRowU]]). Driver traffic: 3
     * single-row collects. */
   def louvainMove(spark: SparkSession, sfDir: String,
       rounds: Int = LpaRounds): DataFrame = {
@@ -1096,8 +1247,11 @@ object Graphs {
     // checkpoint the node-sized relation ONCE and reuse it in the pick
     // and both pricings — each previously re-aggregated it edge-wide
     val deg = u.groupBy("a").agg(count(lit(1)).as("d")).localCheckpoint()
-    val (_, numBefore) = qNumRow(e, labels, deg, m)
     val picked = louvainPick(m, u, deg, labels).localCheckpoint()
+    // r17 (guide §2.4): the before-pricing rides the pick's checkpoint
+    // (node-sized — see [[qNumFromPicked]]); it previously re-joined
+    // the edge list with the labels twice
+    val (_, numBefore) = qNumFromPicked(picked, m)
     val mv = picked
       .agg(count(lit(1)).as("n_nodes"),
         coalesce(sum(when(col("nl") =!= col("lbl"), 1L).otherwise(0L)),
@@ -1105,7 +1259,9 @@ object Graphs {
       .collect().head
     val (nNodes, nMoved) = (mv.getLong(0), mv.getLong(1))
     val l2 = picked.select(col("a").as("v"), col("nl").as("lbl"))
-    val (_, numAfter) = qNumRow(e, l2, deg, m)
+    // after-pricing: the two-join form (see [[qNumRowE]] — the kic
+    // variant measured slower here at sf10)
+    val (_, numAfter) = qNumRowE(e, l2, deg, m)
     releaseLocalCheckpoint(picked)
     releaseLocalCheckpoint(deg)
     e.unpersist(blocking = false)
@@ -1118,7 +1274,10 @@ object Graphs {
     * integer gain 4m·k_{i,c} − 2·d_i·D'_c with the
     * remove-the-node-first convention (D'_c = D_c − d_i when c is the
     * node's own community), ties to the smallest label — returns
-    * `(a, nl, lbl)`: the chosen and the current community per node.
+    * `(a, nl, lbl, k_own, d)`: the chosen and the current community
+    * per node, plus the node's mass into its OWN community and its
+    * degree (r17 — [[qNumFromPicked]] prices the input partition off
+    * these two columns with no further edge-wide work).
     * Shared by [[louvainMove]] (one pass on the original graph) and
     * [[louvain]] (passes to fixpoint, then a weighted pass on the
     * contracted graph) so the pricing cannot drift between the two.
@@ -1150,7 +1309,7 @@ object Graphs {
       .join(deg, "a")
       .join(labels.select(col("v").as("a"), col("lbl")), "a")
       .join(dc.select(col("lbl").as("nl"), col("dc")), "nl")
-      .select(col("a"), col("nl"), col("lbl"),
+      .select(col("a"), col("nl"), col("lbl"), col("k"), col("d"),
         (dec(lit(4L * m)) * dec(col("k")) -
           dec(lit(2L)) * dec(col("d")) *
             (dec(col("dc")) -
@@ -1159,11 +1318,17 @@ object Graphs {
     // argmax by (gain desc, label asc) — the lpaRound composite-key
     // device; keys are unique per (node, candidate) so no tie inside
     // the composite. lbl is functionally dependent on the group key,
-    // so carrying it through the argmax struct is exact.
+    // so carrying it through the argmax struct is exact; k_own (the
+    // nl == lbl candidate's k — the own community is always a
+    // candidate, so the max never sees an empty set) and d (also
+    // group-constant) ride the same aggregate for [[qNumFromPicked]].
     gain.groupBy("a")
       .agg(max_by(struct(col("nl"), col("lbl")),
-        struct(col("g"), negate(col("nl")))).as("p"))
-      .select(col("a"), col("p.nl").as("nl"), col("p.lbl").as("lbl"))
+        struct(col("g"), negate(col("nl")))).as("p"),
+        max(when(col("nl") === col("lbl"), col("k"))).as("k_own"),
+        max(col("d")).as("d"))
+      .select(col("a"), col("p.nl").as("nl"), col("p.lbl").as("lbl"),
+        col("k_own"), col("d"))
   }
 
   /** DuckDB twin of [[louvainMove]] — identical LPA rounds, identical
@@ -1250,7 +1415,7 @@ object Graphs {
     * and one weighted local-move pass on the contracted graph from
     * singleton super-communities, composed back onto the original
     * nodes. Q is priced by the same exact integer rational
-    * ([[qNumRow]], DECIMAL(38,0) ↔ HUGEINT) at the three level
+    * ([[qNumFold]], DECIMAL(38,0) ↔ HUGEINT) at the three level
     * boundaries. The coarsened pass is a monotone-accept PROPOSAL:
     * its composed partition is kept only if it does not lower the
     * exactly-priced Q (numerators compared — same denominator), else
@@ -1306,13 +1471,17 @@ object Graphs {
     var labels: DataFrame = lpaLabels(spark, sfDir, rounds)
     val m = e.count()
     val deg = u.groupBy("a").agg(count(lit(1)).as("d")).localCheckpoint()
-    val (_, numStart) = qNumRow(e, labels, deg, m)
-    // --- level 0: move passes to local fixpoint (bounded)
+    // --- level 0: move passes to local fixpoint (bounded). r17: the
+    // start pricing rides pass 1's pick checkpoint (node-sized —
+    // [[qNumFromPicked]]); it previously re-joined the edge list with
+    // the start labels twice before the loop even began.
+    var numStart = BigInt(0)
     var passes = 0
     var movedLast = -1L
     var nNodes = 0L
     while (movedLast != 0L && passes < passCap) {
       val picked = louvainPick(m, u, deg, labels).localCheckpoint()
+      if (passes == 0) numStart = qNumFromPicked(picked, m)._2
       val mv = picked
         .agg(count(lit(1)).as("n"),
           coalesce(sum(when(col("nl") =!= col("lbl"), 1L).otherwise(0L)),
@@ -1327,7 +1496,7 @@ object Graphs {
       labels = next
       passes += 1
     }
-    val (nCommFix, numFix) = qNumRow(e, labels, deg, m)
+    if (passes == 0) numStart = qNumRowU(u, labels, deg, m)._2
     // --- level 1: contraction (edges re-keyed to community ids,
     // weights summed — one edge-bounded aggregate) + one weighted pass
     val ce = e
@@ -1337,26 +1506,55 @@ object Graphs {
         greatest(col("la"), col("lb")).as("cb"))
       .groupBy("ca", "cb").agg(count(lit(1)).as("w"))
       .localCheckpoint()
-    val noSelf = ce.filter(col("ca") =!= col("cb"))
-    val ucBoth = noSelf.select(col("ca").as("a"), col("cb").as("b"), col("w"))
-      .unionByName(noSelf.select(col("cb").as("a"), col("ca").as("b"), col("w")))
     // weighted supernode degree = D_c of the fixpoint partition
-    // (2·self-loop weight included by construction)
+    // (2·self-loop weight included by construction); checkpointed —
+    // four consumers (fixpoint pricing, the weighted pick, the
+    // singleton start state, the coarsened pricing) read it
     val degC = deg
       .join(labels.select(col("v").as("a"), col("lbl")), "a")
       .groupBy(col("lbl")).agg(sum("d").as("d"))
       .select(col("lbl").as("a"), col("d"))
+      .localCheckpoint()
+    releaseLocalCheckpoint(labels)
+    // r17 (guide §2.4): the fixpoint pricing reads the CONTRACTION
+    // instead of re-joining the edge list with the fixpoint labels —
+    // ce's diagonal rows (ca = cb = c) carry exactly e_c (every
+    // intra-community edge lands in its community's (c, c) group) and
+    // degC is exactly d_c, so the price is a community-sized fold.
+    // This also covers the cap-exit case (labels = the last pass's
+    // OUTPUT, which no pick's input ever priced).
+    val (nCommFix, numFix) = qNumFold(
+      degC.select(col("a").as("lbl"), col("d").as("dc"))
+        .join(ce.filter(col("ca") === col("cb"))
+          .select(col("ca").as("lbl"), col("w").as("ec")), Seq("lbl"), "left"),
+      m)
+    val noSelf = ce.filter(col("ca") =!= col("cb"))
+    val ucBoth = noSelf.select(col("ca").as("a"), col("cb").as("b"), col("w"))
+      .unionByName(noSelf.select(col("cb").as("a"), col("ca").as("b"), col("w")))
     val labelsC = degC.select(col("a").as("v"), col("a").as("lbl"))
     val picked2 = louvainPick(m, ucBoth, degC, labelsC, weighted = true)
       .localCheckpoint()
-    // compose: node → fixpoint community → its coarsened community
-    val composed = labels
-      .join(picked2.select(col("a").as("lbl"), col("nl").as("lbl2")), "lbl")
-      .select(col("v"), col("lbl2").as("lbl"))
-    val (nCommCoarsen, numCoarsen) = qNumRow(e, composed, deg, m)
-    releaseLocalCheckpoint(labels)
+    // r17: the coarsened-partition pricing also stays on the contracted
+    // graph — an e row's composed endpoint labels are its ce row's
+    // coarse labels (pickc is a function of the fixpoint label), so
+    // e_c of the composed partition is Σ w over ce rows whose two
+    // coarse labels agree and d_c is Σ degC per coarse label. The old
+    // shape composed node-level labels and re-joined the full edge
+    // list twice; every relation here is community-sized.
+    val map2 = picked2.select(col("a").as("s"), col("nl").as("c2"))
+    val ecCo = ce
+      .join(map2.select(col("s").as("ca"), col("c2").as("c2a")), "ca")
+      .join(map2.select(col("s").as("cb"), col("c2").as("c2b")), "cb")
+      .filter(col("c2a") === col("c2b"))
+      .groupBy(col("c2a").as("lbl")).agg(sum("w").as("ec"))
+    val dcCo = degC
+      .join(map2.select(col("s").as("a"), col("c2")), "a")
+      .groupBy(col("c2").as("lbl")).agg(sum("d").as("dc"))
+    val (nCommCoarsen, numCoarsen) = qNumFold(
+      dcCo.join(ecCo, Seq("lbl"), "left"), m)
     releaseLocalCheckpoint(ce)
     releaseLocalCheckpoint(picked2)
+    releaseLocalCheckpoint(degC)
     releaseLocalCheckpoint(deg)
     e.unpersist(blocking = false)
     // monotone accept: keep the coarsened partition only if it does

@@ -203,7 +203,10 @@ object TextAnalysis {
     * re-running this corpus-sized pass. */
   private[operators] def winnowRaw(spark: SparkSession,
       sfDir: String, k: Int, w: Int): DataFrame =
-    winnowRawOf(Tables(spark, sfDir, "documents"), k, w)
+    // r17: widened scan (guide §2.5) — the per-position fingerprint
+    // hash runs scan-side and the fixture layout provides fewer scan
+    // tasks than cores
+    winnowRawOf(Tables.documentsWide(spark, sfDir), k, w)
 
   /** [[winnowRaw]] over an explicit `(doc_id, text)` relation — the
     * per-row fingerprint derivation depends only on the row, so a

@@ -55,6 +55,26 @@ object Tables {
     }
   }
 
+  /** The documents relation widened to the session's core parallelism
+    * when the file layout provides fewer scan tasks than cores (r17 —
+    * guide §2.5 "input skew: one huge unsplittable file … repartition
+    * immediately after the read" and §6 input-split sizing): the bench
+    * fixtures store documents as a few large parquet files, so the
+    * corpus-wide CPU-heavy sweeps (the CDC gram pass, the shingle md5
+    * sweep, the winnow fingerprint pass — each hashes every char/gram
+    * position of every document) otherwise run at FILE-count
+    * parallelism (2 scan tasks on 32 cores at the sf10 probe, measured
+    * — the chunk_cdc cold build's 53 s). A real 100 TB lake has
+    * thousands of files and takes the else branch, paying no shuffle.
+    * Round-robin repartition (deterministic under retry via Spark's
+    * sort-before-repartition); every consumer re-keys or aggregates by
+    * doc_id downstream, so row order never reaches an output. */
+  def documentsWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = apply(spark, sfDir, "documents")
+    val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    if (d.rdd.getNumPartitions < cores) d.repartition(cores) else d
+  }
+
   /** The K-Means points relation: (id LONG, features ARRAY<DOUBLE>).
     * Maps the reference's `Points` (`utils/utils.go:8-13`) onto the
     * embeddings table; FLOAT[] is widened to DOUBLE[] to match the
@@ -103,15 +123,21 @@ object Tables {
   private val liStatsReg =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Double, Double)]]
 
-  /** [[lineitemStats]] cached per corpus (content-addressed key). */
-  def lineitemStatsShared(spark: SparkSession, sfDir: String): Seq[(Double, Double)] = {
-    val ck = Scratch.corpusKey(sfDir)
-    val hit = liStatsReg.contains(ck)
-    val v = liStatsReg.getOrElseUpdate(ck, lineitemStats(spark, sfDir))
-    CacheProbe.record(s"li_stats:$ck", built = !hit)(
-      { liStatsReg.remove(ck); () })
-    v
-  }
+  /** [[lineitemStats]] cached per corpus (content-addressed key).
+    * First-call builds serialize under the registry lock — TrieMap's
+    * `getOrElseUpdate` is not atomic for side effects, so two
+    * concurrent first callers would both run the 1-row aggregate
+    * (benign but inconsistent with [[Scratch.materialize]]'s own
+    * documented rationale; VERDICT r16 item 5). */
+  def lineitemStatsShared(spark: SparkSession, sfDir: String): Seq[(Double, Double)] =
+    liStatsReg.synchronized {
+      val ck = Scratch.corpusKey(sfDir)
+      val hit = liStatsReg.contains(ck)
+      val v = liStatsReg.getOrElseUpdate(ck, lineitemStats(spark, sfDir))
+      CacheProbe.record(s"li_stats:$ck", built = !hit)(
+        { liStatsReg.remove(ck); () })
+      v
+    }
 
   /** Per-dimension (mean, clamped std) of [[lineitemPoints]] — exposed so
     * frozen-state oracles can carry the exact literals the projection
